@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+The reference hand-rolls its execution posture: 5 worker threads, 1M-row
+partitions, disk-file shuffle (``D/Program.cs:34-36,252-261``). Here the
+same posture is configuration: AQE sizes/coalesces partitions at runtime,
+skew-join splitting replaces the reference's overflow chunking
+(``D/Program.cs:131-139``), and the task scheduler replaces the
+callback-driven dynamic dispatch (``D/Program.cs:190-210``).
+
+At 100 TB these settings matter more than locally: AQE + skew join keep
+reducers bounded, and shuffle partitions are set explicitly rather than
+left at the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mrcs_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or fetch) a local SparkSession tuned for this workload."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 16)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("MRCS_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable confs on a session we did not create.
+
+    The driver hands our queries an externally built session; correctness
+    against the UTC-naive DuckDB oracle requires a UTC session timezone,
+    and the scale posture wants AQE on. Both are runtime-settable.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return spark
