@@ -1,1 +1,279 @@
-"""Plans: aggregates (populated incrementally)."""
+"""Aggregation-family queries.
+
+The reference implements one aggregate — ``SUM(double)`` grouped by one
+string key, as hand-rolled partial (map-side, ``D/Program.cs:312-315``)
++ final (``:151-165``) hash aggregation. Spark emits the same two-phase
+HashAggregate automatically for every query here; this module covers
+the generalized surface (SURVEY.md §2.3 "Aggregations"): multi-function
+aggs, distinct aggs, cube/rollup/grouping sets (redeeming the "CubeMR"
+name — the reference computes no cube despite it, ``D/CubeMR.csproj:11``),
+pivot, ordered collect, and exact percentiles.
+
+All double aggregates are rounded identically on both engine and oracle
+side so float-summation order cannot flip the value hash (the reference
+itself sums doubles in nondeterministic merge order, ``D/Program.cs:162``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from ..session import pin_session
+from .registry import register
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("aggregate", "filter"),
+    headline=True,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan → 8 aggregates over 2 group keys.
+
+    The predicate is pushed into the parquet scan (PushedFilters) and
+    only 7 of 11 columns are read — the declarative form of the
+    reference's hand-coded projection (``D/Program.cs:421-427``).
+    """
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("aggregate",),
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under the hood)."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines; exactness checked in pytest
+    tags=("aggregate", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct counts, where exact distinct would shuffle every key."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("aggregate", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys: all 2^2 grouping sets in one pass."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,
+       ROUND(SUM(o_totalprice), 2) AS total,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (CAST(year(o_orderdate) AS INT), o_orderstatus)
+""",
+    tags=("aggregate", "cube"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (year, status): hierarchical subtotals + grand total."""
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    tags=("aggregate", "cube"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (temp views)."""
+    pin_session(spark)
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS "O",
+       ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS "F"
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list, so the plan
+    needs no extra distinct-values pass — required at scale)."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "agg_stats_by_brand",
+    oracle="""
+SELECT p_brand,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+       ROUND(VAR_SAMP(l_extendedprice), 1) AS var_price,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+    tags=("aggregate", "join"),
+)
+def agg_stats_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (min/max/avg/stddev/variance) per brand."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("l_extendedprice"), 1).alias("var_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+SELECT n_regionkey,
+       array_agg(n_name ORDER BY n_name) AS nations
+FROM nation
+GROUP BY n_regionkey
+""",
+    tags=("aggregate", "array"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect into an array column (sorted for determinism —
+    collect_list order is partition-dependent by design)."""
+    pin_session(spark)
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@register(
+    "agg_median_percentile",
+    oracle="""
+SELECT o_orderpriority,
+       ROUND(median(o_totalprice), 2) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("aggregate", "percentile"),
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median / p90 per group (both engines use
+    linear interpolation for continuous percentiles)."""
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 2).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
