@@ -1,0 +1,183 @@
+"""Similarity-search operators over ``array<float>`` embedding columns.
+
+* brute-force cosine top-k — the correctness baseline; per-query scan,
+  exact. Fine when the query set is small (broadcast) and candidates
+  are a full scan.
+* LSH-bucketed ANN (random hyperplanes) — the 100 TB path: bucket join
+  instead of cross join; planes are deterministic literals so results
+  are reproducible across runs/executors.
+
+All vector math is JVM-side (``zip_with`` + ``aggregate`` fold in
+doubles); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, accumulated in doubles
+    (sequential fold → deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    The query side is broadcast (small by contract); similarity is
+    rounded BEFORE ranking so float ulp noise cannot flip ranks between
+    runs/engines; ties break on candidate id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), sim_decimals).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Pseudo-random unit-free hyperplanes derived from sha256 — stable
+    across processes (no RNG state), so LSH buckets are reproducible."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(f"plane:{p}:{d}".encode()).digest()[:8]
+            (u,) = struct.unpack(">q", h)
+            row.append((u / float(1 << 63)))  # uniform-ish in [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(
+    vec: Column, n_planes: int = 12, dim: int = 64
+) -> Column:
+    """Random-hyperplane LSH bucket id (int in [0, 2^n_planes))."""
+    planes = _deterministic_planes(n_planes, dim)
+    bucket = F.lit(0)
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in row])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """ANN top-k: multi-probe LSH bucket join + exact rerank.
+
+    At scale this replaces the O(|Q|·|C|) cross join with a bucket join.
+    Multi-probe (query side also probes all buckets within
+    ``probe_hamming`` bit flips of its own) trades a bounded fan-out
+    (1 + C(n,1) + C(n,2) probe keys) for much higher recall — the
+    standard trick, since a near neighbor differs in few sign bits.
+    """
+    b = hyperplane_bucket(F.col(vec_col), n_planes, dim)
+    cand = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        b.alias("_bucket"),
+    )
+    # enumerate probe masks: all bucket-bit flips of weight <= probe_hamming
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << p for p in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << p) | (1 << q2)
+            for p in range(n_planes)
+            for q2 in range(p + 1, n_planes)
+        ]
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            b.alias("_b0"),
+        )
+        .withColumn("_mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .select(
+            "query_id",
+            "_qv",
+            F.col("_b0").bitwiseXOR(F.col("_mask")).alias("_bucket"),
+        )
+    )
+    scored = (
+        q.join(cand, "_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+        )
+        .distinct()  # a pair can surface via several probe buckets
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All column expressions (JVM-side, codegen'd — no Python UDFs): tokenize,
+token/char statistics, word and character shingles, stopword-based
+language ID, quality scoring, and normalization fingerprints. Each is a
+building block used by ``plans/text.py`` and ``plans/dedup.py`` with
+DuckDB oracles where SQL can express the same computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword lists for the heuristic language-ID scorer. Deliberately tiny:
+# the point is the operator shape (fully vectorized scoring + argmax with
+# deterministic tie-break), not linguistic accuracy.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "les", "des"),
+    "de": ("der", "und", "das"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(tok: Column, k: int = 3) -> Column:
+    """k-word shingles from a token array (empty when fewer than k)."""
+    n = F.size(tok)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Character n-grams (empty when the string is shorter than n)."""
+    ln = F.length(col)
+    return F.when(
+        ln >= n,
+        F.transform(
+            F.sequence(F.lit(1), ln - (n - 1)), lambda i: col.substr(i, F.lit(n))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    """How many of ``words`` occur as whole tokens (padded contains)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    hit = lambda w: F.when(padded.contains(f" {w} "), 1).otherwise(0)  # noqa: E731
+    out = hit(words[0])
+    for w in words[1:]:
+        out = out + hit(w)
+    return out
+
+
+def lang_guess(col: Column) -> Column:
+    """Argmax of per-language stopword scores, deterministic tie-break
+    in LANG_STOPWORDS order; 'unknown' when all scores are zero."""
+    scores = {lang: stopword_hits(col, ws) for lang, ws in LANG_STOPWORDS.items()}
+    langs = list(LANG_STOPWORDS)
+    expr = F.lit("unknown")
+    # build backwards so earlier languages win ties
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs[: langs.index(lang)]:
+            cond = cond & (scores[lang] > scores[other])
+        for other in langs[langs.index(lang) + 1 :]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality features.
+
+    Everything is computed with length-difference tricks so the whole
+    feature set stays inside whole-stage codegen.
+    """
+    n_chars = F.length(col).cast("double")
+    toks = tokens(col)
+    n_toks = F.size(toks).cast("double")
+    punct = (n_chars - F.length(F.regexp_replace(col, r"[.!?,;:]", ""))).cast(
+        "double"
+    )
+    stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin("the", "a", "and", "of", "to"))
+    ).cast("double")
+    tok_chars = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_toks,
+        "punct_ratio": F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_toks > 0, stop / n_toks).otherwise(F.lit(0.0)),
+        "mean_token_len": F.when(n_toks > 0, tok_chars / n_toks).otherwise(
+            F.lit(0.0)
+        ),
+    }
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalization fingerprint: lowercase, strip punctuation, collapse
+    whitespace, md5. The batch analogue of a rolling-hash doc signature."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(col)), r"[.!?,;:]", ""), r"\s+", " "
+    )
+    return F.md5(norm)

@@ -1,1 +1,131 @@
-"""Plans: dedup (populated incrementally)."""
+"""Deduplication queries over ``documents`` (LLM-pipeline surface).
+
+Exact and n-gram-Jaccard dedup carry DuckDB oracles. MinHash+LSH and
+SimHash are genuinely non-SQL-expressible (xxhash64 has no DuckDB
+equivalent), so they are rows-only here and pinned by planted-duplicate
+tests in ``tests/test_dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    exact_dedup_keep_first,
+    minhash_lsh_dedup_pairs,
+    simhash64,
+)
+from ..operators.text import tokens, word_shingles
+from ..session import pin_session
+from .registry import register
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+""",
+    tags=("dedup",),
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (lowest id) per distinct text.
+
+    Hash-groupBy on sha2(text) — shuffle keys are 32 bytes regardless of
+    document size, the scale-correct exact-dedup shape.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup_keep_first(d, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard_adjacent",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(len(toks) - 2),
+                j -> toks[CAST(j + 1 AS INT)] || ' ' ||
+                     toks[CAST(j + 2 AS INT)] || ' ' ||
+                     toks[CAST(j + 3 AS INT)])
+           ELSE [] END) AS shingles
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.shingles AS sa, b.shingles AS sb
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(sa, s -> list_contains(sb, s))) AS n_inter,
+         len(sa) + len(sb) - len(list_filter(sa, s -> list_contains(sb, s))) AS n_union
+  FROM pairs
+)
+SELECT doc_a, doc_b,
+       ROUND(CASE WHEN n_union > 0 THEN CAST(n_inter AS DOUBLE) / n_union
+                  ELSE 0.0 END, 4) AS jaccard
+FROM scored
+""",
+    tags=("dedup", "ngram"),
+)
+def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard between adjacent doc ids — the exact
+    similarity kernel that MinHash approximates, oracle-checked."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("shingles"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+    n_inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    n_union = F.size(F.col("sa")) + F.size(F.col("sb")) - n_inter
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.when(n_union > 0, n_inter.cast("double") / n_union).otherwise(0.0), 4
+        ).alias("jaccard"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based; pinned by planted-duplicate pytest
+    tags=("dedup", "minhash", "custom-operator"),
+    headline=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.5.
+
+    shingle → 32-perm minhash → 8 bands × 4 rows → bucket join →
+    verify. Every stage is a bounded shuffle; nothing driver-side.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(
+        d, "doc_id", "text", shingle_k=3, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=None,  # xxhash64-based; pinned by planted-duplicate pytest
+    tags=("dedup", "simhash", "custom-operator"),
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (hamming-ball near-dup)."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return simhash64(d, "doc_id", "text")

@@ -1,0 +1,80 @@
+"""Planted-duplicate tests for the probabilistic dedup operators
+(SURVEY.md §7.3: "test with planted duplicates, assert containment").
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+    exact_dedup_keep_first,
+    hamming64,
+    minhash_lsh_dedup_pairs,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "as morning light spreads slowly across the quiet little town"
+)
+NEAR_DUP = BASE.replace("quiet little town", "sleepy little village")
+DISTINCT = (
+    "completely different content about distributed query engines and "
+    "columnar execution with vectorized operators over parquet files "
+    "streaming shuffles and adaptive partitioning at petabyte scale"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, NEAR_DUP),  # near duplicate of 1
+        (4, DISTINCT),
+        (5, "tiny"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    out = {r.doc_id: r.n_copies for r in exact_dedup_keep_first(docs, "text", "doc_id").collect()}
+    assert out[1] == 2  # doc 2 collapsed into doc 1
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_minhash_lsh_finds_planted_pair(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5  # near dup survives verify
+    assert all(4 not in p and 5 not in p for p in pairs)  # no false positives
+
+
+def test_simhash_near_dup_is_close_distinct_is_far(spark, docs):
+    sig = simhash64(docs, "doc_id", "text")
+    a = sig.alias("a")
+    b = sig.alias("b")
+    d = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("ham"),
+        )
+    )
+    ham = {(r.ia, r.ib): r.ham for r in d.collect()}
+    assert ham[(1, 2)] == 0  # identical text → identical signature
+    assert ham[(1, 3)] <= 16  # near dup → small hamming distance
+    assert ham[(1, 4)] > 16  # unrelated → far
+
+
+def test_simhash_deterministic_across_runs(docs):
+    s1 = {r.doc_id: r.simhash for r in simhash64(docs, "doc_id", "text").collect()}
+    s2 = {r.doc_id: r.simhash for r in simhash64(docs, "doc_id", "text").collect()}
+    assert s1 == s2
