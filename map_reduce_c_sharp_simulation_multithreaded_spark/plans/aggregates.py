@@ -32,9 +32,9 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 2) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 2) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 2) AS avg_qty,
+       ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 2) AS avg_price,
+       ROUND(ROUND(SUM(l_discount), 4) / COUNT(*), 4) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-12-01'
@@ -61,9 +61,18 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # round(sum)/n, not AVG: pins both engines to identical
+            # doubles pre-division (power-of-two group sizes otherwise
+            # hit rounding boundaries with opposite ulp signs)
+            F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 2).alias(
+                "avg_qty"
+            ),
+            F.round(
+                F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 2
+            ).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 4) / F.count(F.lit(1)), 4).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -207,7 +216,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_brand,
        ROUND(MIN(l_extendedprice), 2) AS min_price,
        ROUND(MAX(l_extendedprice), 2) AS max_price,
-       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 2) AS avg_price,
        ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
        ROUND(VAR_SAMP(l_extendedprice), 1) AS var_price,
        COUNT(*) AS n
@@ -227,7 +236,9 @@ def agg_stats_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(
+                F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 2
+            ).alias("avg_price"),
             F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
             F.round(F.var_samp("l_extendedprice"), 1).alias("var_price"),
             F.count(F.lit(1)).alias("n"),

@@ -1,1 +1,56 @@
-"""Plans: multimodal (populated incrementally)."""
+"""Multimodal-column queries (LLM-pipeline surface, north star §2.4).
+
+Binary payload metadata is oracle-checked (byte length, sha256, first
+byte — all JVM-side). The mapInPandas feature extractor is rows-only
+(its decode stub is engine-specific) and pinned by pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.multimodal import attach_binary_payload, extract_features
+from ..session import pin_session
+from .registry import register
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha,
+       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
+FROM documents
+""",
+    tags=("multimodal", "binary"),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over binary payloads: byte length, content hash,
+    leading byte — all computed on the ``binary`` column JVM-side."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha"),
+        F.ascii(F.substring("text", 1, 1)).cast("int").alias("first_byte"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # decode stub is engine-specific; pinned in pytest
+    tags=("multimodal", "mapInPandas", "custom-operator"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: attach binary payload → Arrow
+    mapInPandas feature extraction (deterministic fake decode; the real
+    decode is import-gated, see operators/multimodal.py)."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(d, "text", "doc_id")
+    return extract_features(with_payload)

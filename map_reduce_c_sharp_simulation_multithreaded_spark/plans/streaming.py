@@ -1,1 +1,216 @@
-"""Plans: streaming (populated incrementally)."""
+"""Structured Streaming queries (SURVEY.md §2.3 "Streaming" / §7.2 M3).
+
+Each query runs a REAL streaming plan (file replay → watermark →
+stateful op → memory sink, drained to completion) and returns the final
+table. Because the replay covers the whole dataset, tumbling/sliding/
+session aggregations have exact batch equivalents — so they get full
+DuckDB oracles, stronger than the usual rows-only streaming check.
+Stateful ``applyInPandasWithState`` and streaming dedup are pinned the
+same way.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..session import pin_session
+from ..streaming.events_stream import events_stream, run_to_completion
+from .registry import register
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL 5 MINUTE, ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows per event type, with watermark.
+
+    Complete-mode memory sink: after full replay the result equals the
+    batch bucket aggregation, which is exactly what the oracle computes.
+    """
+    pin_session(spark)
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = run_to_completion(agg, spark, "complete")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "stream_sliding_avg",
+    oracle="""
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n,
+       ROUND(ROUND(SUM(value), 2) / COUNT(*), 4) AS avg_value
+FROM (
+  SELECT value,
+         unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS ws
+  FROM events
+)
+GROUP BY 1
+""",
+    tags=("streaming", "window"),
+)
+def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min, slide 5 min): each event lands in two
+    windows; the oracle unrolls the same two bucket starts per event."""
+    pin_session(spark)
+    ev = events_stream(spark, sf_dir)
+    # avg is computed as round(sum,2)/n: rounding the SUM first pins both
+    # engines to the identical double before the division, so a window
+    # whose count is a power of two cannot land avg exactly on a rounding
+    # boundary with opposite ulp signs (observed with AVG at sf0.01)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias(
+                "avg_value"
+            ),
+        )
+    )
+    out = run_to_completion(agg, spark, "complete")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "avg_value",
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sess_id
+  FROM g
+)
+SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sess_id
+""",
+    tags=("streaming", "session", "custom-operator"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``session_window`` (30-minute gap) per user.
+
+    The oracle is batch sessionization (lag-gap-cumsum) — the streaming
+    state machine must merge to exactly those sessions after full
+    replay; session start compared as integer microseconds.
+    """
+    pin_session(spark)
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(agg, spark, "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_window.start").alias("session_start_us"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_dedup_user_type",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type): first-seen
+    emission; after full replay the kept set equals batch DISTINCT."""
+    pin_session(spark)
+    ev = events_stream(spark, sf_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_completion(dedup, spark, "append")
+
+
+@register(
+    "stream_stateful_user_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0.0)), 2) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "stateful", "custom-operator"),
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-user running (count, sum) state, update-mode emission; after
+    full replay the state equals the batch aggregate.
+
+    This is the arbitrary-state escape hatch the built-in aggregations
+    don't need — shown here so the engine's stateful surface is tested
+    end-to-end (state schema, Arrow batches, update semantics).
+    """
+    pin_session(spark)
+    ev = events_stream(spark, sf_dir)
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    result = (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_completion(result, spark, "update")

@@ -53,9 +53,37 @@ def pin_session(spark: SparkSession) -> SparkSession:
     The driver hands our queries an externally built session; correctness
     against the UTC-naive DuckDB oracle requires a UTC session timezone,
     and the scale posture wants AQE on. Both are runtime-settable.
+    Also ships this package to executors (addPyFile) so worker-side
+    Python (mapInPandas / applyInPandasWithState closures that reference
+    package functions) can unpickle when the host process imported us
+    from a path the executors don't have.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Zip this package and addPyFile it, once per session."""
+    try:
+        if spark.conf.get("mrcs.pyfiles.shipped", "") == "true":
+            return
+    except Exception:
+        pass
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "mrcs_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark.conf.set("mrcs.pyfiles.shipped", "true")
