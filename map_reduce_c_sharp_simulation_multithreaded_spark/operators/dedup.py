@@ -40,29 +40,48 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
     )
 
 
-def doc_shingle_hashes(
+def doc_shingle_sets(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle_hash) pairs from k-word shingles."""
+    """Per-doc DISTINCT shingle-hash SET as an array column.
+
+    Shingling, hashing, and dedup are all per-row array expressions —
+    zero shuffles. Docs too short for a single shingle are dropped
+    (they cannot be shingle-near-dups, and at scale they would
+    otherwise all collide into one degenerate LSH bucket).
+    """
     sh = word_shingles(tokens(F.col(text_col)), k)
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("_sh"))
-        .select(id_col, F.xxhash64("_sh").alias("shingle_hash"))
-        .distinct()
+    hashes = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
+    return df.select(F.col(id_col), hashes.alias("sh_set")).filter(
+        F.size("sh_set") > 0
     )
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str, num_hashes: int = 32
+    shingle_sets: DataFrame, id_col: str, num_hashes: int = 32
 ) -> DataFrame:
-    """MinHash signature per doc: for permutation i, min over shingles of
-    ``(a_i * h + b_i) mod M`` — one wide aggregation, single shuffle."""
-    h = F.pmod(F.col("shingle_hash"), F.lit(_MERSENNE))
-    aggs = []
+    """MinHash signature per doc: for permutation i, min over the
+    shingle set of ``(a_i * h + b_i) mod M``.
+
+    Computed as ``array_min(transform(...))`` per row — the whole
+    signature matrix costs zero shuffles (the reference's entire
+    pipeline philosophy — partition once, compute locally — taken to
+    its limit).
+    """
+    def perm(a: int, b: int):
+        # factory so the transform lambda stays single-arg (PySpark
+        # derives higher-order-function arity from the signature)
+        return lambda h: F.pmod(
+            F.pmod(h, F.lit(_MERSENNE)) * a + b, F.lit(_MERSENNE)
+        )
+
+    cols = [F.col(id_col), F.col("sh_set")]
     for i in range(num_hashes):
         a, b = 2 * i + 1, 104729 * (i + 1)  # odd multiplier, spread offset
-        aggs.append(F.min(F.pmod(h * a + b, F.lit(_MERSENNE))).alias(f"mh_{i}"))
-    return shingles.groupBy(id_col).agg(*aggs)
+        cols.append(
+            F.array_min(F.transform("sh_set", perm(a, b))).alias(f"mh_{i}")
+        )
+    return shingle_sets.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -100,33 +119,25 @@ def lsh_candidate_pairs(
 
 
 def exact_jaccard(
-    pairs: DataFrame, shingles: DataFrame, id_col: str
+    pairs: DataFrame, shingle_sets: DataFrame, id_col: str
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification step).
 
-    Two hash joins against the (id, shingle_hash) relation; intersection
-    counted by matching hashes, union by inclusion-exclusion.
+    Two equi joins pull each side's shingle-hash ARRAY onto the pair
+    row, then intersection/union are per-row array expressions — no
+    per-shingle shuffle, work proportional to candidate pairs only.
     """
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle_hash")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle_hash")
-    inter = (
-        pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle_hash"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("_sa"))
+    sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("_sb"))
+    n_inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    n_union = F.size("_sa") + F.size("_sb") - n_inter
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
-                4,
-            ).alias("jaccard"),
+            F.round(n_inter.cast("double") / n_union, 4).alias("jaccard"),
         )
     )
 
@@ -141,11 +152,26 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH buckets →
-    candidate pairs → exact-Jaccard verify → threshold filter."""
-    sh = doc_shingle_hashes(df, id_col, text_col, shingle_k)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    candidate pairs → exact-Jaccard verify → threshold filter.
+
+    Shuffle budget: signatures are shuffle-free; the band self-join and
+    the two pair joins are the only exchanges, each keyed on bounded
+    data (band buckets / candidate pairs) — the property that holds at
+    100 TB where per-shingle shuffles would not.
+
+    The shingle sets and signatures are persisted: each feeds 2+ plan
+    branches (both sides of the self-join, both jaccard probes) and the
+    shingling expressions are the expensive part — recomputing them per
+    branch dominated runtime before caching. At cluster scale the same
+    persist would go to MEMORY_AND_DISK serialized.
+    """
+    sets_df = doc_shingle_sets(df, id_col, text_col, shingle_k).cache()
+    sig = minhash_signatures(sets_df.select(id_col, "sh_set"), id_col, num_hashes)
+    sig = sig.drop("sh_set").cache()
     cand = lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands)
-    return exact_jaccard(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+    return exact_jaccard(cand, sets_df, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

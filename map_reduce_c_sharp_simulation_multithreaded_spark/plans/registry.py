@@ -60,6 +60,7 @@ def _load_all_plan_modules() -> None:
         flagship,
         joins,
         multimodal,
+        relational,
         scalars,
         setops,
         similarity,

@@ -1,0 +1,209 @@
+"""Relational completeness: predicates, subqueries, unpivot, composite
+keys, null-safe equality.
+
+The reference has NO filter operator at all (SURVEY.md §2.3
+"Projections / filters" — the closest thing is blank-line skipping,
+``D/Program.cs:557-561``); this module supplies the full predicate
+algebra and the SQL-surface forms (scalar/correlated subqueries) that a
+user of a general engine expects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_views
+from ..session import pin_session
+from .registry import register
+
+
+@register(
+    "filter_predicate_pack",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_totalprice BETWEEN 100000 AND 300000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_orderstatus LIKE 'F%'
+  AND NOT (o_orderkey % 10 = 0)
+""",
+    tags=("filter",),
+)
+def filter_predicate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """between / isin / like / negation — full boolean predicate algebra
+    pushed into the parquet scan where possible."""
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_totalprice").between(100000, 300000)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_orderstatus").like("F%")
+        & ~(F.col("o_orderkey") % 10 == 0)
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "filter_rlike_regex",
+    oracle="""
+SELECT p_partkey, p_name
+FROM part
+WHERE regexp_matches(p_name, '^(small|large) (widget|bolt)$')
+""",
+    tags=("filter", "string"),
+)
+def filter_rlike_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate (rlike)."""
+    pin_session(spark)
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").rlike(r"^(small|large) (widget|bolt)$")
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "filter_null_safe_eq",
+    oracle="""
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN value < 10 THEN NULL ELSE ROUND(value, 0) END AS v
+  FROM events
+)
+SELECT e1.event_id AS id_a, e2.event_id AS id_b
+FROM e e1 JOIN e e2
+  ON e1.v IS NOT DISTINCT FROM e2.v
+ AND e1.event_id + 1 = e2.event_id
+""",
+    tags=("filter", "join", "nulls"),
+)
+def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM):
+    NULL = NULL matches, unlike ordinary equi-join semantics. The
+    corpus has no NULL values, so NULLs are derived deterministically
+    (value < 10 → NULL) to exercise the NULL-match path for real."""
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") < 10, F.lit(None).cast("double")).otherwise(
+        F.round("value", 0)
+    )
+    e = ev.select("event_id", v.alias("v"))
+    a = e.select(F.col("event_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("event_id").alias("id_b"), F.col("v").alias("vb"))
+    return a.join(
+        b,
+        (F.col("va").eqNullSafe(F.col("vb")))
+        & (F.col("id_a") + 1 == F.col("id_b")),
+    ).select("id_a", "id_b")
+
+
+_SCALAR_SUBQ = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
+"""
+
+
+@register("subquery_scalar_avg", oracle=_SCALAR_SUBQ, tags=("subquery",))
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (orders 80% above the global mean).
+
+    The 1.8x margin keeps the cut line far from any data point, so the
+    engines' ulp-level AVG difference cannot flip membership.
+    """
+    pin_session(spark)
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_SCALAR_SUBQ)
+
+
+_CORR_SUBQ = """
+SELECT c_custkey, c_nationkey, ROUND(c_acctbal, 2) AS c_acctbal
+FROM customer c
+WHERE c_acctbal > 500 + (
+  SELECT AVG(c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+"""
+
+
+@register("subquery_correlated_avg", oracle=_CORR_SUBQ, tags=("subquery",))
+def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into an
+    aggregate + join — no per-row re-execution at scale); the +500
+    margin keeps membership ulp-stable."""
+    pin_session(spark)
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(_CORR_SUBQ)
+
+
+@register(
+    "unpivot_part_attrs",
+    oracle="""
+SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+""",
+    tags=("unpivot",),
+)
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide columns → (attr, val) rows via stack."""
+    pin_session(spark)
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE), "
+            "'retailprice', p_retailprice) AS (attr, val)"
+        ),
+    )
+
+
+@register(
+    "join_composite_key",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, ROUND(l.l_extendedprice, 2) AS price
+FROM lineitem l
+JOIN (
+  SELECT l_orderkey, MAX(l_linenumber) AS l_linenumber
+  FROM lineitem GROUP BY l_orderkey
+) last_line
+  ON l.l_orderkey = last_line.l_orderkey
+ AND l.l_linenumber = last_line.l_linenumber
+""",
+    tags=("join",),
+)
+def join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key equi join (argmax via self-join on two columns)."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    last_line = li.groupBy("l_orderkey").agg(
+        F.max("l_linenumber").alias("l_linenumber")
+    )
+    return li.join(last_line, ["l_orderkey", "l_linenumber"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@register(
+    "having_clause",
+    oracle="""
+SELECT l_suppkey, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY l_suppkey
+HAVING COUNT(*) > 50 AND SUM(l_quantity) > 1000.5
+""",
+    tags=("aggregate", "filter"),
+)
+def having_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .filter((F.col("n_lines") > 50) & (F.col("qty") > 1000.5))
+    )
