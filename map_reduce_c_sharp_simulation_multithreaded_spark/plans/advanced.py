@@ -1,0 +1,226 @@
+"""Advanced operators: Pandas-UDF surface, bucketized range join,
+iterative algorithms.
+
+Covers the SURVEY.md §2.3 "UDF/UDAF/UDTF surface" with Arrow-batched
+implementations whose semantics remain SQL-expressible (so they keep
+full DuckDB oracles — the UDF is the implementation, not the contract),
+plus the two classic "Spark lacks a primitive" shapes: range joins via
+bucketing, and an iterative fixpoint (connected components) built from
+joins — each step a bounded shuffle, no driver-side graph state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import minhash_lsh_dedup_pairs
+from ..session import pin_session
+from .registry import register
+
+
+@register(
+    "pandas_grouped_zscore",
+    oracle="""
+SELECT c_custkey,
+       ROUND((c_acctbal - avg_bal) / NULLIF(sd_bal, 0), 4) AS zscore
+FROM (
+  SELECT c_custkey, c_acctbal,
+         AVG(c_acctbal) OVER (PARTITION BY c_nationkey) AS avg_bal,
+         STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_nationkey) AS sd_bal
+  FROM customer
+)
+""",
+    tags=("udf", "pandas", "window"),
+)
+def pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (``applyInPandas``): per-nation z-score.
+
+    The contract is pure SQL (window mean/std), so the oracle fully
+    checks the Arrow path: grouping, batch in/out schema, float math.
+    ddof=1 matches STDDEV_SAMP.
+    """
+    pin_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["c_acctbal"].std(ddof=1)
+        mean = pdf["c_acctbal"].mean()
+        z = (pdf["c_acctbal"] - mean) / sd if sd and sd > 0 else pd.Series([None] * len(pdf))
+        return pd.DataFrame(
+            {"c_custkey": pdf["c_custkey"], "zscore": z.astype(float).round(4)}
+        )
+
+    return (
+        c.select("c_custkey", "c_nationkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInPandas(zscore, "c_custkey long, zscore double")
+    )
+
+
+@register(
+    "pandas_asof_join",
+    oracle="""
+SELECT e.event_id, p.value AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+    tags=("udf", "pandas", "asof", "custom-operator"),
+)
+def pandas_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join #2: ``applyInPandas`` + ``pd.merge_asof`` per user.
+
+    Alternative implementation of ``asof_join_last_purchase`` (window
+    composition) — same oracle, different physical strategy: co-group
+    both sides by key, sort within group, pandas backward-search. The
+    window form wins when one side dominates; this form wins when both
+    sides are dense per key. Both are one shuffle on the join key.
+    """
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+
+    def asof(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        right = right.sort_values("ts")
+        if len(left) == 0:
+            return pd.DataFrame({"event_id": [], "last_purchase_value": []})
+        if len(right) == 0:
+            return pd.DataFrame(
+                {"event_id": left["event_id"], "last_purchase_value": None}
+            )
+        merged = pd.merge_asof(
+            left, right, on="ts", direction="backward", allow_exact_matches=True
+        )
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"],
+                "last_purchase_value": merged["value"],
+            }
+        )
+
+    return (
+        errors.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(asof, "event_id long, last_purchase_value double")
+    )
+
+
+@register(
+    "range_join_bucketed",
+    oracle="""
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+""",
+    tags=("join", "range", "custom-operator"),
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join (pairs of same-user events within 5 minutes) via
+    time bucketing.
+
+    The naive form is a per-user theta join (quadratic per key). The
+    scale shape: bucket ts to the range width, join on (user, bucket)
+    with the probe side exploded to {bucket-1, bucket, bucket+1}, then
+    apply the exact range predicate. Work is bounded by bucket
+    occupancy, not per-user event count. The oracle is the naive theta
+    join — small enough at test scale.
+    """
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    width = 300_000_000  # 5 minutes in microseconds
+    base = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    ).withColumn("bucket", (F.col("us") / width).cast("long"))
+    probe = base.withColumn(
+        "bucket", F.explode(F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1))
+    )
+    a = base.select(
+        F.col("user_id"),
+        F.col("bucket"),
+        F.col("event_id").alias("id_a"),
+        F.col("us").alias("us_a"),
+    )
+    b = probe.select(
+        F.col("user_id"),
+        F.col("bucket"),
+        F.col("event_id").alias("id_b"),
+        F.col("us").alias("us_b"),
+    )
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("us_a") - F.col("us_b")) <= width)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+@register(
+    "dedup_connected_components",
+    oracle=None,  # edges come from MinHash (engine-specific hashing);
+    # fixpoint semantics pinned by pytest on planted clusters
+    tags=("dedup", "iterative", "custom-operator"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash
+    pair graph by iterative min-label propagation.
+
+    Each iteration is two joins (label exchange along edges) + a
+    min-aggregate — all distributed, no driver-side graph. Iterates to
+    fixpoint (component diameter bounds the rounds; dedup clusters are
+    shallow). Output: (doc_id, cluster_id = min doc_id in component).
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    edges = pairs.select("id_a", "id_b").cache()
+    # undirected adjacency (both directions) once
+    adj = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).cache()
+    labels = (
+        adj.select(F.col("id_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(10):  # diameter cap; dedup components are shallow
+        neighbor_min = (
+            adj.join(labels, adj.id_b == labels.node)
+            .groupBy(adj.id_a)
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("id_a", "node2")
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .take(1)
+        )
+        labels = new_labels.cache()
+        if not changed:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -55,6 +55,7 @@ def _load_all_plan_modules() -> None:
     # Import side effects populate the registry; keep the list explicit so
     # a broken module is an import error, not silent missing coverage.
     from . import (  # noqa: F401
+        advanced,
         aggregates,
         dedup,
         flagship,

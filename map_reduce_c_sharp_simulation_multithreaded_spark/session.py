@@ -62,6 +62,12 @@ def pin_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # a foreign session at the stock 200 shuffle partitions over-splits
+    # local test scales badly (iterative plans fan to 400-task stages);
+    # respect any explicit non-default choice, fix only the default
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 16)))
     _ship_package(spark)
     return spark
 

@@ -78,3 +78,45 @@ def test_simhash_deterministic_across_runs(docs):
     s1 = {r.doc_id: r.simhash for r in simhash64(docs, "doc_id", "text").collect()}
     s2 = {r.doc_id: r.simhash for r in simhash64(docs, "doc_id", "text").collect()}
     assert s1 == s2
+
+
+def test_connected_components_clusters_planted_groups(spark):
+    # two planted near-dup groups {1,2,3} and {10,11}, plus a singleton
+    g1 = BASE
+    g1b = BASE.replace("quiet little town", "sleepy little town")
+    g1c = BASE.replace("morning light", "evening light")
+    g2 = DISTINCT
+    g2b = DISTINCT.replace("petabyte scale", "exabyte scale")
+    docs = spark.createDataFrame(
+        [(1, g1), (2, g1b), (3, g1c), (10, g2), (11, g2b), (20, "tiny text here")],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+    )
+
+    pairs = minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.4)
+    edges = pairs.select("id_a", "id_b").cache()
+    adj = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = (
+        adj.select(F.col("id_a").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(6):
+        nbr = (
+            adj.join(labels, adj.id_b == labels.node)
+            .groupBy(adj.id_a)
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("id_a", "node2")
+        )
+        labels = labels.join(nbr, labels.node == F.col("node2"), "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+        )
+    got = {r.node: r.label for r in labels.collect()}
+    assert got.get(1) == 1 and got.get(2) == 1 and got.get(3) == 1
+    assert got.get(10) == 10 and got.get(11) == 10
+    assert 20 not in got  # singleton: no edges, not in the pair graph
