@@ -29,18 +29,28 @@ def main() -> int:
     spark = get_spark("mrcs_bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    # two runs per query: first pays JIT/page-cache warmup, min is the
+    # steady-state number (what a long-running cluster job would see);
+    # cold times are reported alongside for honesty
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, q in sorted(registry.headline_queries().items()):
-        t0 = time.perf_counter()
-        rows = q.fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]}s ({len(rows)} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = q.fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        times[name] = round(min(runs), 3)
+        print(f"# {name}: {times[name]}s warm / {cold[name]}s cold "
+              f"({len(rows)} rows)", file=sys.stderr)
 
     out = {
         "metric": "headline_query_wall_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "cold_queries": cold,
         "sf": sf,
     }
     print(json.dumps(out))

@@ -119,8 +119,12 @@ def quality_features(col: Column) -> dict[str, Column]:
 
 def fingerprint(col: Column) -> Column:
     """Normalization fingerprint: lowercase, strip punctuation, collapse
-    whitespace, md5. The batch analogue of a rolling-hash doc signature."""
-    norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.trim(col)), r"[.!?,;:]", ""), r"\s+", " "
+    whitespace, trim, md5. The batch analogue of a rolling-hash doc
+    signature. The final trim matters: punctuation-only text must
+    normalize to "" not " " (found by property testing)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[.!?,;:]", ""), r"\s+", " "
+        )
     )
     return F.md5(norm)

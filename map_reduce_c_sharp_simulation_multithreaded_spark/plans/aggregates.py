@@ -288,3 +288,51 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_salted_two_phase",
+    oracle="""
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+FROM events
+GROUP BY event_type
+""",
+    tags=("aggregate", "skew", "custom-operator"),
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation — the manual skew-mitigation shape.
+
+    A hot group key at 100 TB funnels into one reducer; salting spreads
+    it: phase 1 groups on (key, salt = hash(row) % 16), phase 2 merges
+    the partials. Results are EXACTLY the plain groupBy (the oracle):
+    counts are exact, and the sum is rounded like every other float sum.
+    (Spark's partial aggregation covers mild skew automatically; the
+    explicit salt is for hot keys whose partials still overflow one
+    reducer — kept deterministic here via hash-salting, no rand().)
+    """
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_s")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n"), F.round(F.sum("_s"), 2).alias("total")
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # approx sketches differ across engines (exact
+    # percentile is oracle-checked in agg_median_percentile)
+    tags=("aggregate", "approx"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch) — the 100 TB path for
+    quantiles, where exact percentile would sort per group."""
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
+        F.percentile_approx("o_totalprice", 0.95, 1000).alias("approx_p95"),
+    )

@@ -168,3 +168,36 @@ def parity_last_wins_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(latest.o_totalprice), 2).alias("latest_total"),
         )
     )
+
+
+DECIMAL_ORACLE = """
+SELECT c_mktsegment AS segment,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_amount
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("parity_decimal_money_sum", oracle=DECIMAL_ORACLE,
+          tags=("parity", "decimal", "aggregate"))
+def parity_decimal_money_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship money sum in EXACT decimal semantics.
+
+    The reference aggregates money as binary double and only renders F2
+    at the sink (``D/Program.cs:483``) — float semantics, order-
+    dependent. SURVEY.md §1.2 flags DecimalType as the correctness
+    option: DECIMAL(18,2) sums are exact and order-independent, so the
+    oracle comparison needs NO rounding at all — the strongest parity
+    statement in the suite.
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    o, c = t["orders"], t["customer"]
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(c.c_mktsegment.alias("segment"))
+        .agg(
+            F.sum(o.o_totalprice.cast("decimal(18,2)")).alias("total_amount")
+        )
+    )

@@ -156,3 +156,44 @@ def sort_within_partitions_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("qty"),
     )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT l_returnflag FROM lineitem WHERE l_linenumber <= 2
+EXCEPT ALL
+SELECT l_returnflag FROM lineitem WHERE l_linenumber = 1
+""",
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics): each right-side occurrence removes
+    exactly one left-side occurrence."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linenumber") <= 2).select("l_returnflag")
+    b = li.filter(F.col("l_linenumber") == 1).select("l_returnflag")
+    return a.exceptAll(b)
+
+
+@register(
+    "sample_deterministic_count",
+    oracle=None,  # sampling RNG is engine-specific; only the statistical
+    # envelope is checkable (pinned in pytest)
+    tags=("sample",),
+)
+def sample_deterministic_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling: same seed → same sample within Spark.
+
+    Returns per-flag sampled counts; determinism within the engine is
+    what matters at scale (re-runs of a pipeline must see the same
+    sample), cross-engine equality is impossible by construction.
+    """
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

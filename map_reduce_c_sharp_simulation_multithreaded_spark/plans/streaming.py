@@ -214,3 +214,40 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(result, spark, "update")
+
+
+@register(
+    "stream_static_join_enrich",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("streaming", "join"),
+)
+def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the static
+    customer dimension mid-flight, then aggregated.
+
+    The standard streaming-ETL enrichment shape — the static side is
+    re-planned per micro-batch (broadcast at this size; shuffled-hash
+    at 100 TB dim scale). After full replay the result equals the batch
+    join+agg, which is the oracle.
+    """
+    from ..catalog import load_table
+
+    pin_session(spark)
+    ev = events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    agg = (
+        ev.join(customer, ev.user_id == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return run_to_completion(agg, spark, "complete")

@@ -218,8 +218,8 @@ def text_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_fingerprint_groups",
     oracle="""
-SELECT md5(regexp_replace(regexp_replace(lower(trim(text)), '[.!?,;:]', '', 'g'),
-                          '\\s+', ' ', 'g')) AS fp,
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[.!?,;:]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fp,
        COUNT(*) AS n_docs,
        MIN(doc_id) AS canonical_doc
 FROM documents

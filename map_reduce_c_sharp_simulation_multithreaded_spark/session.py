@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("MRCS_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                os.environ.get("TMPDIR", "/tmp"), "mrcs_spark_warehouse"
+            ),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,82 @@
+"""Source/sink coverage beyond the test-corpus parquet scans:
+partitioned parquet writes (partition pruning on read-back), JSON
+round-trip with explicit schema, bucketed tables (shuffle-free join
+co-location — the at-scale answer to the reference's pre-partitioned
+join files, ``D/Program.cs:63-149``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+from map_reduce_c_sharp_simulation_multithreaded_spark.schemas import EVENTS
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    o.write.mode("overwrite").partitionBy("yr").parquet(out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == o.count()
+    one_year = back.filter(F.col("yr") == 1995)
+    # partition pruning: the physical plan must carry the partition filter
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "yr" in plan
+    expected = o.filter(F.col("yr") == 1995).count()
+    assert one_year.count() == expected
+
+
+def test_json_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_json")
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(EVENTS).json(out)
+    assert back.count() == ev.count()
+    a = ev.agg(F.sum("value"), F.countDistinct("event_type")).collect()[0]
+    b = back.agg(F.sum("value"), F.countDistinct("event_type")).collect()[0]
+    assert abs(a[0] - b[0]) < 1e-6 and a[1] == b[1]
+
+
+def test_bucketed_table_join_without_exchange(spark, sf_dir, tmp_path):
+    # bucketBy co-locates both join sides on the key: the join plan has
+    # no Exchange on the bucketed inputs (reference: co-partitioned
+    # split files feeding partition-wise joins). Warehouse dir is set
+    # statically by the session factory (tmp).
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c.write.mode("overwrite").bucketBy(4, "c_custkey").sortBy(
+        "c_custkey"
+    ).saveAsTable("bt_customer")
+    o.write.mode("overwrite").bucketBy(4, "o_custkey").sortBy(
+        "o_custkey"
+    ).saveAsTable("bt_orders")
+    bc = spark.table("bt_customer")
+    bo = spark.table("bt_orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey).groupBy(
+            "c_mktsegment"
+        ).count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself must not re-shuffle its bucketed inputs
+        join_part = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning(o_custkey" not in join_part
+        assert "Exchange hashpartitioning(c_custkey" not in join_part
+        rows = {r.c_mktsegment: r["count"] for r in joined.collect()}
+        expected = {
+            r.c_mktsegment: r["count"]
+            for r in o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .count()
+            .collect()
+        }
+        assert rows == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bt_customer")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
