@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_views
+from ..functions.numeric import exact_decimal_sum
 from ..session import pin_session
 from .registry import register
 
@@ -30,8 +31,10 @@ from .registry import register
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
        ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+                AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
        ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 2) AS avg_qty,
        ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 2) AS avg_price,
        ROUND(ROUND(SUM(l_discount), 4) / COUNT(*), 4) AS avg_disc,
@@ -59,8 +62,12 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            # 4- and 6-decimal product terms: exact decimal sums (see
+            # functions/numeric.py — ROUND(SUM,2) ties at .005)
+            exact_decimal_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_decimal_sum(disc_price * (1 + F.col("l_tax")), 6).alias(
+                "sum_charge"
+            ),
             # round(sum)/n, not AVG: pins both engines to identical
             # doubles pre-division (power-of-two group sizes otherwise
             # hit rounding boundaries with opposite ulp signs)

@@ -24,13 +24,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
+from ..functions.numeric import exact_decimal_sum
 from ..operators.joins import dedup_dim_last_wins
 from ..session import pin_session
 from .registry import register
 
 FLAGSHIP_ORACLE = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -57,7 +59,11 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(li.l_extendedprice * (1 - li.l_discount)), 2).alias("revenue"),
+            # revenue terms have 4 exact decimals → decimal sum (see
+            # functions/numeric.py for why ROUND(SUM(...), 2) is unsafe)
+            exact_decimal_sum(
+                li.l_extendedprice * (1 - li.l_discount), 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -67,6 +67,7 @@ def _load_all_plan_modules() -> None:
         similarity,
         streaming,
         text,
+        tpch,
         windows,
     )
 

@@ -251,3 +251,52 @@ def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, spark, "complete")
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+SELECT e.event_id AS error_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) - 1800000000 AND epoch_us(e.ts)
+""",
+    tags=("streaming", "join", "custom-operator"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each error matched to the same
+    user's purchases in the preceding 30 minutes.
+
+    Both sides are streams with watermarks; the time-interval condition
+    bounds the join state so Spark can evict buffered rows — THE
+    requirement for unbounded-stream joins at scale. After full replay
+    the inner join equals the batch interval join (the oracle).
+    """
+    pin_session(spark)
+    ev = events_stream(spark, sf_dir)
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("p_ts") <= F.col("e_ts")),
+    ).select("error_id", "purchase_id")
+    return run_to_completion(joined, spark, "append")

@@ -240,3 +240,30 @@ def text_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("canonical_doc"),
         )
     )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))
+            AS INT) AS n_subwords,
+       CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS INT) AS n_vowel_runs
+FROM documents
+""",
+    tags=("text", "tokenize"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counting: a GPT-2-ish regex splits text
+    into word/number/punctuation subword units (the cheap token-count
+    estimator for LLM data budgeting — no vocab needed)."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    pat = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_subwords"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[aeiou]+"), 0)
+        ).alias("n_vowel_runs"),
+    )

@@ -1,0 +1,211 @@
+"""Composite benchmark queries in classic TPC-H shapes (Q3/Q5/Q10/Q18).
+
+The reference runs exactly one fixed query; a complete analytics engine
+must compose scans, selective filters, multi-way joins, aggregation,
+ranking and limits in one plan. These four shapes exercise Catalyst's
+join ordering, filter pushdown across joins, and TakeOrderedAndProject
+— and they are the standard yardstick for OLAP engines.
+
+Determinism: every ORDER BY ... LIMIT ranks on ROUNDED revenue with an
+id tiebreak so float ulp cannot flip the k-boundary between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions.numeric import exact_decimal_sum
+from ..session import pin_session
+from .registry import register
+
+def _rev():
+    # built lazily: constructing a Column requires an active SparkContext,
+    # and plan modules are imported at pytest collection time (no session)
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+""",
+    tags=("tpch", "join", "aggregate"),
+    headline=True,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: segment filter → 3-way join → grouped revenue.
+
+    Both date filters push into the parquet scans; the segment filter
+    prunes customer before the join (visible as PushedFilters).
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_decimal_sum(_rev(), 4).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-table snowflake with a composite join condition
+    (customer and supplier in the SAME nation) and region pruning."""
+    pin_session(spark)
+    t = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    c, o, li, s, n, r = (
+        t["customer"], t["orders"], t["lineitem"], t["supplier"],
+        t["nation"], t["region"],
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(exact_decimal_sum(_rev(), 4).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("tpch", "join", "aggregate", "topk"),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-item revenue loss, top 20 customers.
+
+    Ranking happens on the ROUNDED revenue (same on both engines) with
+    c_custkey tiebreak → the LIMIT boundary is deterministic.
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    c, o, li, n = t["customer"], t["orders"], t["lineitem"], t["nation"]
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(exact_decimal_sum(_rev(), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 150.5
+)
+SELECT c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+""",
+    tags=("tpch", "join", "aggregate", "subquery"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: semi-join against a HAVING-filtered aggregate (large
+    orders), then re-aggregate with customer context. The threshold sits
+    off any exactly-representable quantity sum (150.5)."""
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150.5)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
