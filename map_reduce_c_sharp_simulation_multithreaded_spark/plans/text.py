@@ -267,3 +267,98 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit("[aeiou]+"), 0)
         ).alias("n_vowel_runs"),
     )
+
+
+_WINNOW_ORACLE = r"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - 5 + 2, 1)),
+           i -> (ascii(substr(text, CAST(i AS INT), 1))
+               + ascii(substr(text, CAST(i + 1 AS INT), 1)) * 257
+               + ascii(substr(text, CAST(i + 2 AS INT), 1)) * 66049
+               + ascii(substr(text, CAST(i + 3 AS INT), 1)) * 16974593
+               + ascii(substr(text, CAST(i + 4 AS INT), 1)) * 4362470401)
+              % 1000003) AS hashes
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hashes) - 4 + 2, 1)),
+           s -> list_min(hashes[CAST(s AS INT):CAST(s + 3 AS INT)]))) AS fps
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(fps) AS INT) AS n_fp,
+       list_min(fps) AS fp_min,
+       list_aggregate(fps, 'sum') % 1000000007 AS fp_check
+FROM w
+"""
+
+
+@register("text_winnowing_fingerprints", oracle=_WINNOW_ORACLE,
+          tags=("text", "dedup", "custom-operator"))
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling hash + sliding-window
+    minima — the MOSS/plagiarism-detection scheme).
+
+    The 5-gram hash is a POLYNOMIAL over character codes (base 257 mod
+    1000003) so the identical integers are computable in plain SQL on
+    the oracle side — a cross-engine-checkable rolling hash, unlike
+    engine hashes (xxhash64). Window-4 minima, deduplicated, summarized
+    per doc as (count, min, checksum). All array expressions, zero
+    shuffles before the final projection.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    B = [1, 257, 66049, 16974593, 4362470401]
+
+    def gram_hash(i):
+        acc = F.lit(0).cast("long")
+        for j, b in enumerate(B):
+            acc = acc + F.ascii(text.substr(i + j, F.lit(1))).cast("long") * b
+        return F.pmod(acc, F.lit(1000003))
+
+    n_grams = F.greatest(F.length(text) - 5 + 1, F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash
+    )
+    hashes = F.when(n_grams > 0, hashes).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+    # Bind the O(n) hash array ONCE per row by wrapping it in a
+    # single-element array and computing downstream expressions on the
+    # lambda variable. Referencing `hashes` directly inside the
+    # per-position window-minimum lambda re-evaluates the whole gram-hash
+    # chain at every position — O(n² · w) per document (measured 625 s at
+    # sf0.001 before this rewrite).
+    def winnow(hs):
+        n_h = F.size(hs)
+        fps = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_h - 4 + 1, F.lit(1))),
+                lambda s: F.array_min(F.slice(hs, s, 4)),
+            )
+        )
+        return F.when(n_h > 0, fps).otherwise(F.array().cast("array<bigint>"))
+
+    fps = F.element_at(F.transform(F.array(hashes), winnow), 1)
+
+    # Same trick for the summary: evaluate `fps` once and emit the three
+    # outputs via inline() (a generator runs once per row), instead of
+    # embedding the full expression tree in three projection columns.
+    def summarize(fp):
+        return F.struct(
+            F.size(fp).alias("n_fp"),
+            F.array_min(fp).alias("fp_min"),
+            F.pmod(
+                F.aggregate(fp, F.lit(0).cast("long"), lambda a, x: a + x),
+                F.lit(1000000007),
+            ).alias("fp_check"),
+        )
+
+    return d.select(
+        "doc_id", F.inline(F.transform(F.array(fps), summarize))
+    )
