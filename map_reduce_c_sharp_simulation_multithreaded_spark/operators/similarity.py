@@ -116,6 +116,111 @@ def hyperplane_bucket(
     return bucket
 
 
+def _deterministic_centroids(n_centroids: int, dim: int) -> list[list[float]]:
+    """Coarse-quantizer centroid directions derived from sha256 — the
+    IVF analogue of :func:`_deterministic_planes`. A trained k-means
+    codebook would adapt to the data distribution; fixed pseudo-random
+    directions keep the partition reproducible with zero training pass,
+    which is the right trade for a correctness-first baseline (swap in
+    a trained codebook without changing the query plan)."""
+    cents = []
+    for c in range(n_centroids):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(f"centroid:{c}:{d}".encode()).digest()[:8]
+            (u,) = struct.unpack(">q", h)
+            row.append(u / float(1 << 63))
+        cents.append(row)
+    return cents
+
+
+def centroid_scores(vec: Column, n_centroids: int, dim: int) -> Column:
+    """Array of <vec, centroid_c> projections, one per centroid."""
+    cents = _deterministic_centroids(n_centroids, dim)
+
+    def proj(row: list[float]) -> Column:
+        cent = F.array(*[F.lit(v) for v in row])
+        return F.aggregate(
+            F.zip_with(vec, cent, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.array(*[proj(row) for row in cents])
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k via IVF-style cluster pruning (the inverted-file
+    scheme): every candidate belongs to its argmax centroid, every
+    query probes its ``n_probe`` best centroids, exact cosine reranks
+    within the probed cells.
+
+    The cross join becomes an equi join on the cell id, so the work is
+    |Q| · n_probe/n_centroids of the corpus on average — the same
+    recall/cost dial as FAISS's nprobe. Cell assignment is a per-row
+    array expression (no shuffle to build the index); at 100 TB the
+    candidate side would be written bucketed by cell id so repeated
+    query batches join shuffle-free.
+    """
+    scores = centroid_scores(F.col(vec_col), n_centroids, dim)
+    # argmax centroid: array_position compares the same expression's own
+    # value — exact float equality on identical bits is deterministic
+    assigned = (
+        F.array_position(scores, F.array_max(scores)).cast("int") - 1
+    )
+    cand = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        assigned.alias("_cell"),
+    )
+    idx = F.sequence(F.lit(0), F.lit(n_centroids - 1))
+    ranked_cells = F.reverse(
+        F.array_sort(
+            F.zip_with(
+                scores,
+                idx,
+                lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+            )
+        )
+    )
+    probe = F.transform(
+        F.slice(ranked_cells, 1, n_probe), lambda p: p["i"]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe).alias("_cell"),
+    )
+    # each candidate lives in exactly one cell and probe cells are
+    # distinct → a (query, neighbor) pair surfaces at most once
+    scored = (
+        q.join(cand, "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -63,6 +63,7 @@ def _load_all_plan_modules() -> None:
         multimodal,
         relational,
         scalars,
+        scd,
         setops,
         similarity,
         streaming,

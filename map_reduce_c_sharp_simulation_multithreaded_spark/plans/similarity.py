@@ -16,6 +16,7 @@ from ..operators.similarity import (
     brute_force_topk,
     cosine,
     hyperplane_bucket,
+    ivf_topk,
     lsh_topk,
 )
 from ..session import pin_session
@@ -125,6 +126,24 @@ def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(hyperplane_bucket(F.col("embedding"), 12, 64).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+@register(
+    "sim_ivf_ann_topk",
+    oracle=None,  # approximate; recall vs brute force pinned in pytest
+    tags=("similarity", "ivf", "topk", "custom-operator"),
+)
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF cluster pruning (16 cells, probe 4) + exact
+    rerank — the inverted-file alternative to the LSH path: candidates
+    partition into argmax-centroid cells, queries probe their best
+    cells, so the scan shrinks to ~nprobe/ncells of the corpus."""
+    pin_session(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=4, dim=64,
     )
 
 

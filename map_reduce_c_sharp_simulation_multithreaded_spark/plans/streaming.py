@@ -300,3 +300,84 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("e_ts")),
     ).select("error_id", "purchase_id")
     return run_to_completion(joined, spark, "append")
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events, MAX(event_id) AS max_event_id
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "sink", "custom-operator"),
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` keyed-upsert sink — the MERGE-into-target loop
+    used when the sink has no native merge (JDBC, plain parquet).
+
+    The event replay is re-staged into 4 files and streamed one file
+    per micro-batch, so the upsert genuinely runs several times; each
+    batch's per-user (count, max) deltas full-outer-merge into a
+    versioned parquet target. After the last batch the target equals
+    the batch aggregate (the oracle) no matter how rows were split.
+    At scale the target would be a lakehouse table with real MERGE; the
+    batch-id versioning shown here is also the idempotence story —
+    reprocessing a batch rewrites the same version instead of
+    double-counting.
+    """
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+
+    pin_session(spark)
+    tmp = tempfile.mkdtemp(prefix="mrcs_fb_")
+    src_dir = os.path.join(tmp, "src")
+    load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    ).repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state_base = os.path.join(tmp, "state")
+    latest: dict[str, str | None] = {"v": None}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        if latest["v"] is None:
+            merged = delta
+        else:
+            prev = sess.read.parquet(latest["v"])
+            d = delta.select(
+                F.col("user_id").alias("d_user"),
+                F.col("n_events").alias("d_n"),
+                F.col("max_event_id").alias("d_max"),
+            )
+            merged = prev.join(
+                d, prev.user_id == d.d_user, "full_outer"
+            ).select(
+                F.coalesce(prev.user_id, d.d_user).alias("user_id"),
+                (
+                    F.coalesce(prev.n_events, F.lit(0))
+                    + F.coalesce(d.d_n, F.lit(0))
+                ).cast("long").alias("n_events"),
+                F.greatest(prev.max_event_id, d.d_max).alias("max_event_id"),
+            )
+        new_v = os.path.join(state_base, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_v)
+        latest["v"] = new_v
+
+    q = stream.writeStream.foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert latest["v"] is not None, "no micro-batch ran"
+    return spark.read.parquet(latest["v"])

@@ -1,4 +1,5 @@
-"""Composite benchmark queries in classic TPC-H shapes (Q3/Q5/Q10/Q18).
+"""Composite benchmark queries in classic TPC-H shapes
+(Q3/Q5/Q10/Q12/Q14/Q18/Q19).
 
 The reference runs exactly one fixed query; a complete analytics engine
 must compose scans, selective filters, multi-way joins, aggregation,
@@ -16,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions.numeric import exact_decimal_sum
+from ..functions.numeric import exact_decimal_sum, exact_decimal_sum_sql
 from ..session import pin_session
 from .registry import register
 
@@ -207,5 +208,145 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             F.round("o_totalprice", 2).alias("o_totalprice"),
             "total_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q12_late_lines",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 75 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+       COUNT(*) AS all_lines
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("tpch", "join", "aggregate", "conditional"),
+)
+def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (adapted: the corpus has no l_shipmode/l_receiptdate):
+    conditional aggregation over a fact-fact join — lines shipped more
+    than 75 days after the order date, bucketed by order priority.
+
+    The lateness predicate is timestamp arithmetic evaluated inside the
+    partial aggregate; the shuffle carries 5 groups, not 6M rows.
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o, li = t["orders"], t["lineitem"]
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("late_lines"),
+            F.count(F.lit(1)).alias("all_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+       {exact_decimal_sum_sql(
+           "CASE WHEN p_type = 'PROMO' "
+           "THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+         AS promo_rev,
+       {exact_decimal_sum_sql("l_extendedprice * (1 - l_discount)", 4)}
+         AS total_rev,
+       ROUND(100 * {exact_decimal_sum_sql(
+           "CASE WHEN p_type = 'PROMO' "
+           "THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+         / {exact_decimal_sum_sql("l_extendedprice * (1 - l_discount)", 4)}, 2)
+         AS promo_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promotion revenue share per ship month of 1997.
+
+    The ratio divides two exact-decimal sums (identical IEEE bits on
+    both engines per functions/numeric.py), so the division and final
+    round are reproducible cross-engine. part is broadcast-joined into
+    the lineitem scan; the date filter pushes to parquet.
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"], t["part"]
+    promo_term = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    promo = exact_decimal_sum(promo_term, 4)
+    total = exact_decimal_sum(_rev(), 4)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            promo.alias("promo_rev"),
+            total.alias("total_rev"),
+            F.round(F.lit(100) * promo / total, 2).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_filter",
+    oracle=f"""
+SELECT COUNT(*) AS n_lines,
+       {exact_decimal_sum_sql("l_extendedprice * (1 - l_discount)", 4)}
+         AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("tpch", "join", "filter"),
+)
+def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive brand/size/quantity bands
+    spanning both join sides — the classic test that OR predicates
+    still prune (Catalyst extracts the common l_quantity/p_brand/p_size
+    envelope below the join; part is broadcast)."""
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"], t["part"]
+    q = F.col("l_quantity")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .filter(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_decimal_sum(_rev(), 4).alias("revenue"),
         )
     )

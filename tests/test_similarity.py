@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
 from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -53,6 +54,35 @@ def test_lsh_recall_vs_brute_force(emb):
     hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
     total = sum(len(s) for s in exact_sets.values())
     assert hits / total >= 0.3, f"LSH recall too low: {hits}/{total}"
+
+
+def test_ivf_recall_scales_with_nprobe(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact_sets = {}
+    for r in brute_force_topk(queries, emb, k=5).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    total = sum(len(s) for s in exact_sets.values())
+
+    def recall(n_probe):
+        approx_sets = {}
+        rows = ivf_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=n_probe, dim=64
+        ).collect()
+        for r in rows:
+            approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        # probing >=2 of 16 cells must surface candidates for every query
+        assert set(approx_sets) == set(exact_sets)
+        return (
+            sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
+            / total
+        )
+
+    r4 = recall(4)
+    r16 = recall(16)
+    # measured 0.42 at n_probe=4 on this corpus; floor with margin
+    assert r4 >= 0.25, f"IVF recall too low at n_probe=4: {r4}"
+    # probing every cell degenerates to exact brute force
+    assert r16 == 1.0, f"IVF full probe must be exact, got {r16}"
 
 
 def test_lsh_buckets_deterministic(emb):
