@@ -87,3 +87,33 @@ def extract_features(df: DataFrame, use_real_decode: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+ARROW_STATS_SCHEMA = "doc_id long, n_bytes long, n_chars long, n_e long"
+
+
+def arrow_doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Columnar batch stats via ``mapInArrow`` — the zero-copy sibling
+    of mapInPandas: Arrow RecordBatches in and out, no pandas
+    materialization at all, every op a vectorized pyarrow.compute
+    kernel. This is the shape for Python batch processors that never
+    need row objects (tokenizer fleets, feature hashers)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def run(batches):
+        for batch in batches:
+            names = batch.schema.names
+            text = batch.column(names.index(text_col))
+            doc_id = batch.column(names.index("doc_id"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(doc_id, pa.int64()),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, "e"), pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_chars", "n_e"],
+            )
+
+    return df.select("doc_id", text_col).mapInArrow(run, ARROW_STATS_SCHEMA)

@@ -224,3 +224,57 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+@register(
+    "udtf_chunk_windows",
+    oracle="""
+WITH p AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(u.i AS INT) AS chunk_idx,
+       CAST(len(w[(CAST(u.i AS INT) * 8 + 1):((CAST(u.i AS INT) + 1) * 8)])
+            AS INT) AS n_words,
+       CAST(length(array_to_string(
+              w[(CAST(u.i AS INT) * 8 + 1):((CAST(u.i AS INT) + 1) * 8)],
+              ' ')) AS INT) AS n_chars
+FROM p, LATERAL (
+  SELECT unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+) u
+""",
+    tags=("udf", "udtf", "text"),
+)
+def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+ table function): chunk each document
+    into 8-word windows, one output row per chunk — the table-function
+    fan-out the reference's whole worker body approximates (SURVEY.md
+    §2.3 UDF/UDAF/UDTF; the C# map body is the 'UDF',
+    D/Program.cs:289-344), and the chunking shape every context-window
+    pipeline needs.
+
+    The UDTF is invoked laterally per input row; its semantics stay
+    SQL-expressible (split + list slices + unnest on the oracle side),
+    so the Python surface is differentially tested, not just
+    smoke-tested. Built-in posexplode is the faster path for pure
+    explosion (scalar_posexplode_words); the UDTF form is the escape
+    hatch when the per-row fan-out body is genuinely imperative.
+    """
+    from pyspark.sql.functions import udtf
+
+    pin_session(spark)
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_words int, n_chars int")
+    class ChunkWindows:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            words = text.split(" ")
+            for i in range(0, (len(words) + 7) // 8):
+                chunk = words[i * 8 : (i + 1) * 8]
+                yield doc_id, i, len(chunk), len(" ".join(chunk))
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    spark.udtf.register("chunk_windows", ChunkWindows)
+    return spark.sql(
+        "SELECT s.* FROM _udtf_docs, "
+        "LATERAL chunk_windows(doc_id, text) s"
+    )

@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.multimodal import attach_binary_payload, extract_features
+from ..operators.multimodal import (
+    arrow_doc_stats,
+    attach_binary_payload,
+    extract_features,
+)
 from ..session import pin_session
 from .registry import register
 
@@ -39,6 +43,26 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(payload, 256).alias("payload_sha"),
         F.ascii(F.substring("text", 1, 1)).cast("int").alias("first_byte"),
     )
+
+
+@register(
+    "arrow_batch_doc_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS n_e
+FROM documents
+""",
+    tags=("multimodal", "mapInArrow", "custom-operator"),
+)
+def arrow_batch_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` document stats: byte length, char length,
+    substring occurrence count — all vectorized pyarrow.compute
+    kernels on RecordBatches, no pandas conversion. Deterministic, so
+    it carries a full oracle (unlike the decode stub)."""
+    pin_session(spark)
+    return arrow_doc_stats(load_table(spark, sf_dir, "documents"))
 
 
 @register(

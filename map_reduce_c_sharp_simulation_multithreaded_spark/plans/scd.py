@@ -106,6 +106,9 @@ def scd2_merge_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_seg",
             "change_date",
         )
+        # reused by all three output branches; without this the window+
+        # join subtree executes 3x (persist(MEMORY_AND_DISK) at scale)
+        .cache()
     )
     untouched = c.join(
         changed, c.c_custkey == changed.custkey, "left_anti"

@@ -381,3 +381,37 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     assert latest["v"] is not None, "no micro-batch ran"
     return spark.read.parquet(latest["v"])
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM events
+""",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` on event_id: duplicate-arrival
+    protection whose state EVICTS as the watermark advances — unlike
+    plain streaming dropDuplicates, whose key set grows forever. The
+    right dedup for at-least-once sources at 100 TB/day, where a
+    duplicate can only arrive within the delivery-delay bound.
+
+    event_id is unique in the corpus, so after full replay the output
+    is exactly the input (the oracle) while the plan still runs the
+    bounded-state dedup operator.
+    """
+    pin_session(spark)
+    ev = events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+    )
+    return run_to_completion(dedup, spark, "append")
