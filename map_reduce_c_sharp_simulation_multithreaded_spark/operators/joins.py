@@ -60,3 +60,36 @@ def strict_inner_join(
             f"strict join: probe row without build match: {violations[0]}"
         )
     return probe.join(build, on, how)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof equi join: salt the fact side, replicate the dim side.
+
+    A hot join key sends all its fact rows to one reducer; salting
+    splits each key's rows across ``n_salts`` sub-partitions
+    (deterministic salt = hash of ``salt_col``, a fact column unique-ish
+    per row, NOT the join key) and replicates each dim row n_salts
+    times so every sub-partition still finds its match. Join result is
+    IDENTICAL to the unsalted join — proven by the oracle — at the cost
+    of an n_salts× dim blow-up (fine: dim ≪ fact is the skew scenario;
+    the generalization of the reference's 1M-row chunk splitting,
+    ``D/Program.cs:131-139``).
+
+    AQE's skew-join handles most cases at runtime; explicit salting is
+    the deterministic fallback for pathological single-key skew that
+    even split partitions can't balance (one key > one executor).
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)])),
+    )
+    return salted_fact.join(replicated_dim, [key, "_salt"]).drop("_salt")

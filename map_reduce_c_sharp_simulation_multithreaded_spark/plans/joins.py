@@ -231,3 +231,36 @@ def join_broadcast_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("join", "skew", "custom-operator"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically salted fact⋈dim join (16 salts) — the explicit
+    mitigation for pathological single-key skew that AQE's split-
+    partition skew join can't balance (operators/joins.py salted_join).
+    The oracle is the UNSALTED join: salting must not change results.
+    """
+    pin_session(spark)
+    from ..operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    o = t["orders"].withColumnRenamed("o_custkey", "custkey")
+    c = t["customer"].select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, key="custkey", salt_col="o_orderkey")
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -197,3 +197,27 @@ def sample_deterministic_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle=None,  # seeded sampling RNG is engine-specific; envelope
+    # + determinism pinned in pytest
+    tags=("sample", "mlprep"),
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``): per-language fractions — the
+    corpus-rebalancing primitive (downsample the dominant language,
+    keep the tail) every training-data pipeline needs. Seeded, so
+    re-runs see the same sample; per-stratum rates are pinned in
+    pytest, cross-engine equality is impossible by construction."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    langs = [r[0] for r in d.select("lang").distinct().collect()]
+    fractions = {lg: (0.25 if i % 2 == 0 else 0.75)
+                 for i, lg in enumerate(sorted(langs))}
+    return (
+        d.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )

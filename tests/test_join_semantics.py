@@ -38,3 +38,53 @@ def test_strict_join_passes_when_ri_holds(spark):
     build = spark.createDataFrame([("d1", "CA")], "k string, state string")
     out = strict_inner_join(probe, build, "k")
     assert out.count() == 2
+
+
+def test_salted_join_equals_plain_join(spark):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.joins import (
+        salted_join,
+    )
+
+    # skewed fact: key 'hot' holds 90% of rows
+    fact = spark.createDataFrame(
+        [("hot" if i % 10 != 0 else f"k{i}", i, float(i)) for i in range(200)],
+        "k string, rid long, amt double",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"d{i}") for i in range(0, 200, 10)],
+        "k string, attr string",
+    )
+    plain = {(r.k, r.rid, r.attr) for r in fact.join(dim, "k").collect()}
+    salted = {
+        (r.k, r.rid, r.attr)
+        for r in salted_join(fact, dim, key="k", salt_col="rid").collect()
+    }
+    assert salted == plain
+    # the salted fact side spreads the hot key across many salt values
+    from pyspark.sql import functions as F2
+
+    n_salts = (
+        fact.filter(F2.col("k") == "hot")
+        .select(F2.pmod(F2.xxhash64("rid"), F2.lit(16)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts > 8
+
+
+def test_stratified_sample_deterministic_and_in_envelope(spark, sf_dir):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {r[0]: 0.5 for r in d.select("lang").distinct().collect()}
+    a = d.sampleBy("lang", fractions, seed=7).groupBy("lang").count().collect()
+    b = d.sampleBy("lang", fractions, seed=7).groupBy("lang").count().collect()
+    assert sorted((r.lang, r["count"]) for r in a) == sorted(
+        (r.lang, r["count"]) for r in b
+    )
+    totals = dict(
+        (r.lang, r["count"]) for r in d.groupBy("lang").count().collect()
+    )
+    for r in a:
+        rate = r["count"] / totals[r.lang]
+        assert 0.25 < rate < 0.75, f"stratum {r.lang} rate {rate}"
