@@ -1,5 +1,5 @@
 """Composite benchmark queries in classic TPC-H shapes
-(Q3/Q5/Q10/Q12/Q14/Q18/Q19).
+(Q3/Q5/Q7/Q10/Q12/Q14/Q16/Q18/Q19).
 
 The reference runs exactly one fixed query; a complete analytics engine
 must compose scans, selective filters, multi-way joins, aggregation,
@@ -348,5 +348,99 @@ def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             exact_decimal_sum(_rev(), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       {exact_decimal_sum_sql("volume", 4)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bilateral trade volume — the same dimension (nation)
+    joined TWICE under different roles (supplier side, customer side)
+    with a cross-role disjunction, then revenue by year. Exercises
+    self-aliasing a broadcast dim and OR-predicates spanning both
+    aliases."""
+    pin_session(spark)
+    t = load_tables(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    s, li, o, c, n = (
+        t["supplier"], t["lineitem"], t["orders"], t["customer"], t["nation"]
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(exact_decimal_sum(_rev(), 4).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    oracle="""
+SELECT p_brand, p_type,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+       COUNT(*) AS n_lines
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size BETWEEN 10 AND 30
+GROUP BY p_brand, p_type
+""",
+    tags=("tpch", "join", "aggregate", "distinct"),
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (adapted: no partsupp table in the corpus — lineitem
+    stands in as the part↔supplier bridge): DISTINCT supplier count per
+    (brand, type). Distinct aggregation = two-phase expand+dedup before
+    the final count; the size filter prunes the part scan."""
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    p, li = t["part"], t["lineitem"]
+    return (
+        p.filter(F.col("p_size").between(10, 30))
+        .join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("n_lines"),
         )
     )
