@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_tables
 from ..operators.dedup import minhash_lsh_dedup_pairs
 from ..session import pin_session
 from .registry import register
@@ -277,4 +277,92 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.* FROM _udtf_docs, "
         "LATERAL chunk_windows(doc_id, text) s"
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """PageRank by power iteration — pure DataFrame ops, no driver graph.
+
+    Per iteration: one join (rank → out-edges), one aggregation
+    (contributions per destination), one left join back onto the node
+    set. The lineage is truncated with ``localCheckpoint`` every
+    ``checkpoint_every`` rounds — without that, iterative plans nest
+    exponentially and re-optimize the whole history each round (the
+    at-scale practice SCALE.md promises for iterative operators; on a
+    cluster this would be reliable ``checkpoint()`` to HDFS).
+
+    Dangling nodes keep their share un-redistributed (simplified
+    PageRank), so ranks sum to ≤ 1 — fine for ranking use.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(out_deg, "src").cache()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(n_iter):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+@register(
+    "graph_pagerank_suppliers",
+    oracle=None,  # float fixpoint; exact semantics pinned by pytest on
+    # a hand-computed graph (triangle stays uniform; hub beats leaves)
+    tags=("iterative", "graph", "custom-operator"),
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer↔supplier purchase graph
+    (edges both directions from distinct lineitem⋈orders pairs), 5
+    power iterations. Top 20 nodes by rounded rank, id tiebreak.
+
+    The second iterative algorithm beside connected components: CC
+    propagates min-labels to a fixpoint, PageRank redistributes mass a
+    fixed number of rounds with lineage checkpointing.
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    li, o = t["lineitem"], t["orders"]
+    cs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cs.union(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iter=5)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(20)
     )

@@ -88,3 +88,35 @@ def test_stratified_sample_deterministic_and_in_envelope(spark, sf_dir):
     for r in a:
         rate = r["count"] / totals[r.lang]
         assert 0.25 < rate < 0.75, f"stratum {r.lang} rate {rate}"
+
+
+def test_pagerank_triangle_stays_uniform(spark):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.advanced import (
+        pagerank,
+    )
+
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    ranks = {r.node: r.rank for r in pagerank(tri, n_iter=4).collect()}
+    # symmetric cycle: uniform 1/3 is the exact fixpoint at every step
+    assert set(ranks) == {"a", "b", "c"}
+    for v in ranks.values():
+        assert abs(v - 1 / 3) < 1e-9
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.advanced import (
+        pagerank,
+    )
+
+    # star with backlinks: leaves l1..l4 <-> hub
+    edges = [("hub", f"l{i}") for i in range(4)] + [
+        (f"l{i}", "hub") for i in range(4)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = {r.node: r.rank for r in pagerank(df, n_iter=6).collect()}
+    assert all(ranks["hub"] > ranks[f"l{i}"] for i in range(4))
+    # no dangling nodes -> total mass conserved
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
