@@ -1,5 +1,5 @@
 """Composite benchmark queries in classic TPC-H shapes
-(Q3/Q5/Q7/Q10/Q12/Q14/Q16/Q18/Q19).
+(Q2/Q3/Q5/Q7/Q10/Q12/Q14/Q16/Q18/Q19/Q20).
 
 The reference runs exactly one fixed query; a complete analytics engine
 must compose scans, selective filters, multi-way joins, aggregation,
@@ -443,4 +443,172 @@ def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+  FROM lineitem
+  GROUP BY 1, 2
+)
+SELECT p_partkey, p_name, s_name, n_name,
+       CAST(ROUND(s_acctbal, 2) AS DOUBLE) AS acctbal,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM ps
+JOIN part ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size BETWEEN 5 AND 15
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY acctbal DESC, p_partkey, s_name
+LIMIT 100
+""",
+    tags=("tpch", "join", "subquery", "topk"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (adapted: no partsupp in the corpus — per-(part,supplier)
+    unit cost is derived from lineitem): for each mid-size part, the
+    EUROPE supplier(s) offering the minimum supply cost.
+
+    The classic correlated scalar subquery (`= (SELECT MIN ...)`) is
+    decorrelated Spark-side into a per-partkey aggregate joined back on
+    (partkey, cost) — the same rewrite Catalyst performs, written
+    explicitly so the join is visibly broadcast-able: the min-cost
+    table is one row per part, tiny next to the cost fact.
+
+    Determinism: supply cost is the min line price as exact
+    DECIMAL(18,2) (a per-unit division would tie at rounding
+    half-boundaries whenever quantity is a power of two — engines
+    disagree there), so the min and the equality join compare exact
+    decimals, not float ulps, in both engines.
+    """
+    pin_session(spark)
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    li, p, s, n, r = (
+        t["lineitem"], t["part"], t["supplier"], t["nation"], t["region"]
+    )
+    cost = F.col("l_extendedprice").cast("decimal(18,2)")
+    ps = (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(F.min(cost).alias("ps_supplycost"))
+    )
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = ps.join(eu_supp, ps.ps_suppkey == eu_supp.s_suppkey)
+    # explicit output aliases: min_cost derives from ps_eu, so reusing
+    # ps_eu's column objects in the join condition would self-resolve
+    # into a trivially-true predicate
+    min_cost = (
+        ps_eu.groupBy(F.col("ps_partkey").alias("mc_partkey"))
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+    )
+    return (
+        ps_eu.join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(
+            p.filter(F.col("p_size").between(5, 15)),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.col("acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q20_excess_shippers",
+    oracle="""
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+  )
+  GROUP BY l_partkey, l_suppkey
+  HAVING 2 * SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate < TIMESTAMP '1998-01-01'
+                      THEN CAST(l_quantity AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END)
+        > SUM(CAST(l_quantity AS DECIMAL(18,2)))
+)
+ORDER BY s_name, n_name
+""",
+    tags=("tpch", "join", "subquery", "semi-join"),
+)
+def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (adapted: availqty has no source table — the "excess"
+    test compares 1997 shipments against half the all-time total per
+    (part, supplier)): suppliers who shipped more than half of their
+    all-time volume of widget parts during 1997.
+
+    Exercises the nested-IN decorrelation: the inner part filter becomes
+    a broadcast LEFT SEMI join onto lineitem, the conditional/total
+    aggregate pair is ONE grouped pass (no self-join of lineitem), and
+    the outer IN becomes a LEFT SEMI join onto supplier. Quantities sum
+    as DECIMAL so the 2x-vs-total comparison is exact cross-engine.
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    s, n, li, p = t["supplier"], t["nation"], t["lineitem"], t["part"]
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    in_97 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    excess = (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("%widget%"))),
+            li.l_partkey == p.p_partkey,
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in_97, qty).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .alias("qty_97"),
+            F.sum(qty).alias("qty_all"),
+        )
+        .filter(F.lit(2) * F.col("qty_97") > F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name", "n_name")
     )
