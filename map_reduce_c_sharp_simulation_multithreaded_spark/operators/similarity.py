@@ -134,9 +134,8 @@ def _deterministic_centroids(n_centroids: int, dim: int) -> list[list[float]]:
     return cents
 
 
-def centroid_scores(vec: Column, n_centroids: int, dim: int) -> Column:
+def centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
     """Array of <vec, centroid_c> projections, one per centroid."""
-    cents = _deterministic_centroids(n_centroids, dim)
 
     def proj(row: list[float]) -> Column:
         cent = F.array(*[F.lit(v) for v in row])
@@ -146,7 +145,79 @@ def centroid_scores(vec: Column, n_centroids: int, dim: int) -> Column:
             lambda acc, v: acc + v,
         )
 
-    return F.array(*[proj(row) for row in cents])
+    return F.array(*[proj(row) for row in centroids])
+
+
+def train_kmeans_codebook(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd) codebook for the IVF coarse quantizer.
+
+    Distributed the way FAISS-style training actually is: the DATA never
+    leaves the cluster — each round is one scan assigning every vector
+    to its argmax-dot centroid plus one aggregation of per-(cell,
+    position) sums — while the CODEBOOK (k×dim doubles, a few KB) is
+    collected to the driver, renormalized, and rebroadcast as literals.
+    That driver round-trip is the textbook pattern for iteratively
+    refined small state; it is NOT a driver-side loop over data.
+
+    Determinism: seeds are the data vectors with the k smallest
+    md5(vec-bytes) digests (stable across runs/partitionings); argmax
+    assignment and double-precision sums are order-free; empty cells
+    keep their previous centroid.
+    """
+    # bind the norm to its own column BEFORE the per-position lambda —
+    # an aggregate referenced inside transform() re-evaluates per
+    # position (the O(dim^2) trap)
+    vecs = (
+        df.select(F.col(vec_col).alias("_v"))
+        .withColumn("_n", F.greatest(l2_norm(F.col("_v")), F.lit(1e-12)))
+        .select(
+            F.transform(
+                "_v", lambda x: x.cast("double") / F.col("_n")
+            ).alias("_uv")
+        )
+        .cache()
+    )
+    seed_key = F.md5(F.to_json(F.struct(F.col("_uv"))).cast("binary"))
+    seeds = [
+        r["_uv"]
+        for r in vecs.select("_uv", seed_key.alias("_k"))
+        .orderBy("_k")
+        .limit(n_centroids)
+        .collect()
+    ]
+    cents = [list(map(float, s)) for s in seeds]
+    for _ in range(n_iter):
+        assigned = F.array_position(
+            centroid_scores(F.col("_uv"), cents),
+            F.array_max(centroid_scores(F.col("_uv"), cents)),
+        ).cast("int") - 1
+        sums = (
+            vecs.select(assigned.alias("_cell"), F.posexplode("_uv"))
+            .groupBy("_cell", "pos")
+            .agg(F.sum("col").alias("s"))
+            .collect()
+        )
+        acc = [[0.0] * dim for _ in range(n_centroids)]
+        touched = [False] * n_centroids
+        for r in sums:
+            acc[r["_cell"]][r["pos"]] = r["s"]
+            touched[r["_cell"]] = True
+        new_cents = []
+        for c in range(n_centroids):
+            if not touched[c]:
+                new_cents.append(cents[c])
+                continue
+            norm = sum(v * v for v in acc[c]) ** 0.5 or 1.0
+            new_cents.append([v / norm for v in acc[c]])
+        cents = new_cents
+    vecs.unpersist()
+    return cents
 
 
 def ivf_topk(
@@ -158,6 +229,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     dim: int = 64,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF-style cluster pruning (the inverted-file
     scheme): every candidate belongs to its argmax centroid, every
@@ -170,8 +242,15 @@ def ivf_topk(
     array expression (no shuffle to build the index); at 100 TB the
     candidate side would be written bucketed by cell id so repeated
     query batches join shuffle-free.
+
+    ``centroids`` overrides the default sha256-derived codebook with a
+    trained one (see :func:`train_kmeans_codebook`) — the query plan is
+    identical either way, only the literals change.
     """
-    scores = centroid_scores(F.col(vec_col), n_centroids, dim)
+    if centroids is None:
+        centroids = _deterministic_centroids(n_centroids, dim)
+    n_centroids = len(centroids)
+    scores = centroid_scores(F.col(vec_col), centroids)
     # argmax centroid: array_position compares the same expression's own
     # value — exact float equality on identical bits is deterministic
     assigned = (

@@ -196,7 +196,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(10):  # diameter cap; dedup components are shallow
+    for i in range(10):  # diameter cap; dedup components are shallow
         neighbor_min = (
             adj.join(labels, adj.id_b == labels.node)
             .groupBy(adj.id_a)
@@ -218,7 +218,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .take(1)
         )
+        stale = labels
+        # cache feeds both the convergence probe and the next round;
+        # periodic localCheckpoint truncates the lineage so the
+        # optimizer never re-plans the whole iteration history (same
+        # posture as pagerank(); cluster-scale: checkpoint())
         labels = new_labels.cache()
+        if (i + 1) % 3 == 0:
+            labels = labels.localCheckpoint()
+        stale.unpersist()
         if not changed:
             break
     return labels.select(

@@ -18,6 +18,7 @@ from ..operators.similarity import (
     hyperplane_bucket,
     ivf_topk,
     lsh_topk,
+    train_kmeans_codebook,
 )
 from ..session import pin_session
 from .registry import register
@@ -161,4 +162,26 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
         e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
         k=5, n_planes=6, dim=64, probe_hamming=2,
+    )
+
+
+@register(
+    "sim_ivf_trained_topk",
+    oracle=None,  # approximate; determinism + recall pinned in pytest
+    tags=("similarity", "ivf", "topk", "iterative", "custom-operator"),
+)
+def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF with a TRAINED spherical k-means codebook
+    (8 cells, 3 Lloyd rounds, probe 2) — the production IVF story: the
+    training scan stays distributed, only the k×dim codebook visits the
+    driver between rounds, and the query plan is byte-identical to the
+    untrained variant (centroid literals swap in)."""
+    pin_session(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = train_kmeans_codebook(
+        e, "embedding", n_centroids=8, n_iter=3, dim=64
+    )
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+        k=5, n_probe=2, dim=64, centroids=cents,
     )
