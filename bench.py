@@ -29,14 +29,14 @@ def main() -> int:
     spark = get_spark("mrcs_bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
-    # two runs per query: first pays JIT/page-cache warmup, min is the
+    # three runs per query: first pays JIT/page-cache warmup, min is the
     # steady-state number (what a long-running cluster job would see);
     # cold times are reported alongside for honesty
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, q in sorted(registry.headline_queries().items()):
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             rows = q.fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
