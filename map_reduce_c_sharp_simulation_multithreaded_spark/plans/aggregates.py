@@ -110,17 +110,44 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines; exactness checked in pytest
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS supp_within_5pct,
+       TRUE AS ord_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
     tags=("aggregate", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for
-    distinct counts, where exact distinct would shuffle every key."""
+    distinct counts, where exact distinct would shuffle every key.
+
+    Driver-checkable despite being a sketch: the query emits the exact
+    distinct counts plus a Spark-computed "sketch within ±5% of exact"
+    boolean per group; the oracle emits the same exact counts and
+    literal TRUE. HLL++ register-merge is order-insensitive, so the
+    booleans are deterministic, and rsd=0.01 makes ±5% a wide margin.
+    """
     pin_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("exact_suppliers"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("_ap_supp"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_ap_ord"),
+    )
+    within = lambda ap, ex: (  # noqa: E731
+        F.abs(F.col(ap) - F.col(ex)) <= 0.05 * F.col(ex)
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_suppliers",
+        "exact_orders",
+        within("_ap_supp", "exact_suppliers").alias("supp_within_5pct"),
+        within("_ap_ord", "exact_orders").alias("ord_within_5pct"),
     )
 
 
@@ -257,19 +284,27 @@ def agg_stats_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
 SELECT n_regionkey,
-       array_agg(n_name ORDER BY n_name) AS nations
+       array_to_string(array_agg(n_name ORDER BY n_name), '|') AS nations
 FROM nation
 GROUP BY n_regionkey
 """,
     tags=("aggregate", "array"),
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered collect into an array column (sorted for determinism —
-    collect_list order is partition-dependent by design)."""
+    """Ordered collect, rendered as a '|'-joined string (sorted for
+    determinism — collect_list order is partition-dependent by design).
+
+    The join to string is for the driver's correctness harness, whose
+    pandas canonicalizer cannot hash an array cell (round-1 TypeError);
+    the array-typed variant stays covered in
+    ``tests/test_oracle_parity.py::test_collect_sorted_array``.
+    """
     pin_session(spark)
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations")
+        F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias(
+            "nations"
+        )
     )
 
 
@@ -330,16 +365,45 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_percentile",
-    oracle=None,  # approx sketches differ across engines (exact
-    # percentile is oracle-checked in agg_median_percentile)
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       TRUE AS median_in_rank_band,
+       TRUE AS p95_in_rank_band
+FROM orders
+GROUP BY o_orderpriority
+""",
     tags=("aggregate", "approx"),
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (t-digest-style sketch) — the 100 TB path for
-    quantiles, where exact percentile would sort per group."""
+    """percentile_approx (GK sketch) — the 100 TB path for quantiles,
+    where exact percentile would sort per group.
+
+    Driver-checkable via a rank-band assertion instead of the raw
+    sketch value: percentile_approx(accuracy=1000) guarantees the
+    returned datum's rank is within ±n/1000 of the target rank, so the
+    value must lie inside the exact [p-2%, p+2%] percentile band — a
+    20× safety margin the oracle asserts as literal TRUE. (The exact
+    interpolated percentile path is hash-checked in
+    agg_median_percentile.)
+    """
     pin_session(spark)
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx_median"),
-        F.percentile_approx("o_totalprice", 0.95, 1000).alias("approx_p95"),
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("_ap_med"),
+        F.percentile_approx("o_totalprice", 0.95, 1000).alias("_ap_p95"),
+        F.percentile("o_totalprice", F.lit(0.48)).alias("_lo_med"),
+        F.percentile("o_totalprice", F.lit(0.52)).alias("_hi_med"),
+        F.percentile("o_totalprice", F.lit(0.93)).alias("_lo_p95"),
+        F.percentile("o_totalprice", F.lit(0.97)).alias("_hi_p95"),
+    )
+    band = lambda ap, lo, hi: (  # noqa: E731
+        (F.col(ap) >= F.col(lo)) & (F.col(ap) <= F.col(hi))
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        band("_ap_med", "_lo_med", "_hi_med").alias("median_in_rank_band"),
+        band("_ap_p95", "_lo_p95", "_hi_p95").alias("p95_in_rank_band"),
     )

@@ -34,3 +34,31 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
     assert res["ok"], {k: v for k, v in res.items() if k != "first_diffs"} | {
         "first_diffs": res.get("first_diffs")
     }
+
+
+def test_collect_sorted_array(spark, sf_dir):
+    """Array-typed ordered collect (the registered query joins to string
+    because the driver's canonicalizer can't hash array cells)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    rows = (
+        n.groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .orderBy("n_regionkey")
+        .collect()
+    )
+    assert len(rows) == 5
+    for r in rows:
+        assert r.nations == sorted(r.nations) and len(r.nations) == 5
+
+
+def test_driver_window_is_oracle_backed():
+    """Every slot in the driver's 50-entry verification window must be
+    an oracle-backed query — a rows-only entry there wastes a slot."""
+    qs = registry.all_queries()
+    window = list(qs)[:50]
+    assert window == list(registry.DRIVER_WINDOW)
+    assert all(qs[n].oracle is not None for n in window)
