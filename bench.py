@@ -21,6 +21,18 @@ from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
 from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark
 
 
+# Join-heavy TPC-H shapes + one streaming query, timed alongside the
+# headline set but reported under separate keys so `value` stays
+# comparable round-over-round with BENCH_r01.json's 9-query total.
+EXTRA_BENCH = (
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q18_large_orders",
+    "tpch_q20_excess_shippers",
+    "stream_tumbling_counts",
+)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -29,21 +41,30 @@ def main() -> int:
     spark = get_spark("mrcs_bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
+    all_q = registry.all_queries()
+    headline = sorted(registry.headline_queries())
+    assert not (set(EXTRA_BENCH) & set(headline))
+
     # three runs per query: first pays JIT/page-cache warmup, min is the
     # steady-state number (what a long-running cluster job would see);
     # cold times are reported alongside for honesty
-    times: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name, q in sorted(registry.headline_queries().items()):
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            rows = q.fn(spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
-        cold[name] = round(runs[0], 3)
-        times[name] = round(min(runs), 3)
-        print(f"# {name}: {times[name]}s warm / {cold[name]}s cold "
-              f"({len(rows)} rows)", file=sys.stderr)
+    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        times: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        for name in names:
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                rows = all_q[name].fn(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+            cold[name] = round(runs[0], 3)
+            times[name] = round(min(runs), 3)
+            print(f"# {name}: {times[name]}s warm / {cold[name]}s cold "
+                  f"({len(rows)} rows)", file=sys.stderr)
+        return times, cold
+
+    times, cold = run_set(headline)
+    extra_times, extra_cold = run_set(sorted(EXTRA_BENCH))
 
     out = {
         "metric": "headline_query_wall_sec",
@@ -51,6 +72,9 @@ def main() -> int:
         "unit": "sec",
         "queries": times,
         "cold_queries": cold,
+        "extra_total": round(sum(extra_times.values()), 3),
+        "extra_queries": extra_times,
+        "extra_cold_queries": extra_cold,
         "sf": sf,
     }
     print(json.dumps(out))

@@ -213,11 +213,17 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest, cross-engine equality is impossible by construction."""
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    langs = [r[0] for r in d.select("lang").distinct().collect()]
-    fractions = {lg: (0.25 if i % 2 == 0 else 0.75)
-                 for i, lg in enumerate(sorted(langs))}
+    # Per-stratum fraction derived from the lang value itself (hash
+    # parity → 0.25 or 0.75), then Bernoulli-filtered with a seeded
+    # rand — semantically sampleBy, but with no driver round-trip to
+    # enumerate strata (round 1 ran a collect() at plan-build time;
+    # at 100 TB the stratum list shouldn't require a pre-pass).
+    frac = F.when(F.pmod(F.xxhash64("lang"), F.lit(2)) == 0, 0.25).otherwise(
+        0.75
+    )
     return (
-        d.sampleBy("lang", fractions, seed=42)
+        d.withColumn("_frac", frac)
+        .filter(F.rand(42) < F.col("_frac"))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )

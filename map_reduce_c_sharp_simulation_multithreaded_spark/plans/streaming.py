@@ -106,7 +106,7 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     oracle="""
 WITH g AS (
-  SELECT user_id, ts, epoch_us(ts) AS us,
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
          CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_sess
@@ -115,8 +115,11 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, us,
+         -- same (us, event_id) order as window w: under identical-µs
+         -- ties an us-only sort could place a session-opening row after
+         -- its successor and flip MIN(us)/COUNT nondeterministically
          SUM(new_sess) OVER (
-           PARTITION BY user_id ORDER BY us
+           PARTITION BY user_id ORDER BY us, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS sess_id
   FROM g
@@ -165,28 +168,11 @@ def stream_dedup_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(dedup, spark, "append")
 
 
-@register(
-    "stream_stateful_user_totals",
-    oracle="""
-SELECT user_id,
-       COUNT(*) AS n_events,
-       ROUND(SUM(COALESCE(value, 0.0)), 2) AS total_value
-FROM events
-GROUP BY user_id
-""",
-    tags=("streaming", "stateful", "custom-operator"),
-)
-def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator via ``applyInPandasWithState``:
-    per-user running (count, sum) state, update-mode emission; after
-    full replay the state equals the batch aggregate.
-
-    This is the arbitrary-state escape hatch the built-in aggregations
-    don't need — shown here so the engine's stateful surface is tested
-    end-to-end (state schema, Arrow batches, update semantics).
-    """
-    pin_session(spark)
-    ev = events_stream(spark, sf_dir)
+def stateful_user_totals(stream_df: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) state over any (user_id, value)
+    stream — the arbitrary-state escape hatch built-in aggregations
+    don't need, exercised so the stateful surface (state schema, Arrow
+    batches, update semantics) is tested end-to-end."""
 
     def update(key, pdf_iter, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)
@@ -202,8 +188,8 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    result = (
-        ev.select("user_id", "value")
+    return (
+        stream_df.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
@@ -213,7 +199,44 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_completion(result, spark, "update")
+
+
+def last_update_per_user(sink_df: DataFrame) -> DataFrame:
+    """Collapse an update-mode memory sink to the final state per user.
+
+    The sink appends every micro-batch's updated rows; with a
+    multi-file source (several micro-batches) a user appears once per
+    batch that touched it. n_events is strictly increasing per user,
+    so max_by picks the last update regardless of batching.
+    """
+    return sink_df.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+@register(
+    "stream_stateful_user_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0.0)), 2) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming", "stateful", "custom-operator"),
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-user running (count, sum) state, update-mode emission; after
+    full replay the final state per user equals the batch aggregate
+    (multi-batch replay covered by
+    ``tests/test_contract.py::test_stateful_totals_multibatch``).
+    """
+    pin_session(spark)
+    ev = events_stream(spark, sf_dir)
+    out = run_to_completion(stateful_user_totals(ev), spark, "update")
+    return last_update_per_user(out)
 
 
 @register(

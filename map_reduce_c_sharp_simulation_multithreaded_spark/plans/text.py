@@ -282,16 +282,24 @@ WITH h AS (
   FROM documents
 ),
 w AS (
+  -- 1..4 hashes still yield ONE window minimum (greatest(..., 2) keeps
+  -- range non-empty, matching Spark's greatest(n-4+1, 1) sequence);
+  -- zero hashes yield an empty fps, not [NULL]
   SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, greatest(len(hashes) - 4 + 2, 1)),
-           s -> list_min(hashes[CAST(s AS INT):CAST(s + 3 AS INT)]))) AS fps
+         CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+              ELSE list_distinct(list_transform(
+                range(1, greatest(len(hashes) - 4 + 2, 2)),
+                s -> list_min(hashes[CAST(s AS INT):CAST(s + 3 AS INT)])))
+         END AS fps
   FROM h
 )
 SELECT doc_id,
        CAST(len(fps) AS INT) AS n_fp,
        list_min(fps) AS fp_min,
-       list_aggregate(fps, 'sum') % 1000000007 AS fp_check
+       -- empty-doc convention: Spark's aggregate() over an empty array
+       -- returns the zero accumulator, DuckDB's list_aggregate returns
+       -- NULL — coalesce to Spark's 0 (fp_min stays NULL on both)
+       COALESCE(list_aggregate(fps, 'sum') % 1000000007, 0) AS fp_check
 FROM w
 """
 

@@ -89,7 +89,13 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "mrcs_spark_pkg.zip")
+    # applicationId in the name: two concurrent drivers on one machine
+    # must not interleave writes to a shared zip and addPyFile a
+    # truncated/mixed-version archive
+    app_id = spark.sparkContext.applicationId
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"mrcs_spark_pkg_{app_id}.zip"
+    )
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _, files in os.walk(pkg_dir):
             for fn in files:

@@ -28,11 +28,27 @@ from ..schemas import DONATIONS_CSV, DONORS_CSV
 
 
 def read_donors(spark: SparkSession, path: str) -> DataFrame:
-    """Donors CSV (5 positional columns, only ID + State consumed)."""
-    return (
-        spark.read.schema(DONORS_CSV)
-        .options(header=True, quote="", sep=",")
-        .csv(path)
+    """Donors CSV (5 positional columns, only ID + State consumed).
+
+    ``path="-"`` reads stdin, the reference's console-pipe mode
+    (``inputFile == null`` → ``Console.OpenStandardInput()``,
+    ``D/Program.cs:520-523``).
+    """
+    reader = spark.read.schema(DONORS_CSV).options(
+        header=True, quote="", sep=","
+    )
+    if path == "-":
+        return reader.csv(_stdin_lines(spark))
+    return reader.csv(path)
+
+
+def _stdin_lines(spark: SparkSession):
+    """Stdin as an RDD of lines. Console input is driver-bounded by
+    nature; the file path is the scale path."""
+    import sys
+
+    return spark.sparkContext.parallelize(
+        [ln.rstrip("\r\n") for ln in sys.stdin]
     )
 
 
@@ -81,6 +97,81 @@ def donations_by_state(
     return (
         joined.groupBy(F.col("Donor State").alias("State"))
         .agg(F.sum("_amount").alias("Total Donation Amount"))
+    )
+
+
+def read_reference_tokenstream(
+    spark: SparkSession, path: str, n_cols: int
+) -> DataFrame:
+    """Bug-compatible token-stream read of the reference's tokenizer
+    (``IOHelper.ReadNextToken``, ``D/Program.cs:549-571``).
+
+    The reference does NOT parse lines into records — it pulls one
+    token at a time from a line-buffered stream and fills fixed-arity
+    records. Two quirks follow (both reproduced here, both absent from
+    the fast ``read_donors``/``read_donations`` path):
+
+    * "skip at most one blank line": on a blank line it reads exactly
+      one more line; if that is also blank, ``"".Split`` yields a
+      single EMPTY TOKEN. So each PAIR of consecutive blank lines
+      injects one empty token (a run of k blanks injects k // 2), and
+      a lone blank is silently skipped.
+    * token misalignment: an injected empty token shifts every
+      subsequent field by one — record boundaries stop respecting line
+      boundaries, exactly as in the reference.
+
+    Implementation: lines in file order → blank-run bookkeeping →
+    per-line token arrays → posexplode to a global token sequence →
+    re-chunk into records of ``n_cols`` string columns (named c0..cN;
+    callers alias/cast). The global sequence number makes this a
+    single-partition sort — inherently so, because the quirk is
+    sequential tokenizer state; this reader exists for dialect parity,
+    the declarative CSV reader is the 100 TB path.
+    """
+    lines = (
+        spark.read.text(path)
+        .withColumn("_pos", F.monotonically_increasing_id())
+        .withColumn("_trim", F.trim("value"))
+    )
+    w = Window.orderBy("_pos")
+    blanks = (F.col("_trim") == "").cast("int")
+    runs = (
+        lines.withColumn("_blank", blanks)
+        # index within a run of consecutive blanks: cumsum of blanks
+        # minus cumsum at the last non-blank
+        .withColumn("_cb", F.sum("_blank").over(w))
+        .withColumn(
+            "_run_idx",
+            F.col("_cb")
+            - F.max(F.when(F.col("_blank") == 0, F.col("_cb")).otherwise(0)).over(w),
+        )
+    )
+    kept = runs.filter(
+        # non-blank lines always; blank lines only at even positions in
+        # their run (the 2nd, 4th, ... blank injects the empty token)
+        (F.col("_blank") == 0) | (F.col("_run_idx") % 2 == 0)
+    )
+    tokens = (
+        kept.select(
+            "_pos",
+            F.split(F.col("_trim"), ",|\t", -1).alias("_toks"),
+        )
+        .select("_pos", F.posexplode("_toks").alias("_tpos", "_tok"))
+        .withColumn("_seq", F.row_number().over(Window.orderBy("_pos", "_tpos")) - 1)
+    )
+    rec = tokens.withColumn("_rec", (F.col("_seq") / n_cols).cast("long")).withColumn(
+        "_field", F.col("_seq") % n_cols
+    )
+    cols = [
+        F.max(F.when(F.col("_field") == i, F.col("_tok"))).alias(f"c{i}")
+        for i in range(n_cols)
+    ]
+    return (
+        rec.groupBy("_rec")
+        .agg(*cols)
+        # drop the header record and any trailing partial record
+        .filter((F.col("_rec") > 0) & F.col(f"c{n_cols - 1}").isNotNull())
+        .drop("_rec")
     )
 
 

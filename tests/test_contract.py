@@ -32,3 +32,44 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) > 0
     for sql in os_.values():
         assert isinstance(sql, str) and sql.strip()
+
+
+def test_stateful_totals_multibatch(spark, tmp_path):
+    """The update-mode sink dedup must survive a multi-micro-batch
+    replay (ADVICE r01: round 1 silently depended on the whole corpus
+    arriving as one batch)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.streaming import (
+        last_update_per_user,
+        stateful_user_totals,
+    )
+    from map_reduce_c_sharp_simulation_multithreaded_spark.streaming.events_stream import (
+        run_to_completion,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [(i, i % 5, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    # two separate files => two micro-batches with maxFilesPerTrigger=1
+    df.filter("event_id < 50").coalesce(1).write.parquet(str(src / "a.parquet"))
+    df.filter("event_id >= 50").coalesce(1).write.parquet(str(src / "b.parquet"))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*.parquet")
+    )
+    out = run_to_completion(stateful_user_totals(stream), spark, "update")
+    # every user was touched by both batches → sink holds 2 rows/user
+    assert out.count() == 10
+    final = {r.user_id: (r.n_events, r.total_value)
+             for r in last_update_per_user(out).collect()}
+    expect = {
+        r.user_id: (r.n, r.t)
+        for r in df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    assert final == expect

@@ -86,3 +86,104 @@ def test_result_csv_f2_rendering(spark, csv_paths, tmp_path):
     assert header in lines
     body = sorted(ln for ln in lines if ln != header)
     assert body == ["NY,29.50", "TX,100.50", "other,10.00"]
+
+
+def _reference_tokenizer(lines: list[str]) -> list[str]:
+    """Direct Python transcription of IOHelper.ReadNextToken
+    (D/Program.cs:549-571): line-buffered token pull with the
+    skip-at-most-one-blank-line quirk."""
+    tokens: list[str] = []
+    it = iter(lines)
+
+    def read_line():
+        try:
+            return next(it).strip()
+        except StopIteration:
+            return None
+
+    cur: list[str] = []
+    idx = 0
+    while True:
+        if idx >= len(cur):
+            line = read_line()
+            if line == "":
+                line = read_line()
+            if line is None:
+                return tokens
+            cur = __import__("re").split(r"[,\t]", line)
+            idx = 0
+        if idx >= len(cur):
+            return tokens
+        tokens.append(cur[idx])
+        idx += 1
+
+
+def _tokenstream_rows(spark, tmp_path, lines, n_cols=3):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.sources.csv_reference import (
+        read_reference_tokenstream,
+    )
+
+    f = tmp_path / "in.csv"
+    f.write_text("\n".join(lines) + "\n")
+    df = read_reference_tokenstream(spark, str(f), n_cols)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tokenstream_single_blank_skipped(spark, tmp_path):
+    lines = ["a,b,c", "1,x,10", "", "2,y,20"]
+    assert _tokenstream_rows(spark, tmp_path, lines) == [
+        ("1", "x", "10"),
+        ("2", "y", "20"),
+    ]
+
+
+def test_tokenstream_double_blank_injects_empty_token(spark, tmp_path):
+    """Two consecutive blanks mid-file inject ONE empty token, shifting
+    every subsequent field — the reference's at-most-one-skip bug
+    (D/Program.cs:555-561), differentially pinned against a direct
+    Python transcription of the tokenizer."""
+    lines = ["a,b,c", "1,x,10", "", "", "2,y,20", "3,z,30"]
+    toks = _reference_tokenizer(lines)
+    # reference stream: header, record 1, injected "", then shifted rows
+    assert toks == ["a", "b", "c", "1", "x", "10", "", "2", "y",
+                    "20", "3", "z", "30"]
+    expect = sorted(
+        tuple(toks[i : i + 3]) for i in range(3, len(toks) - 2, 3)
+    )
+    assert _tokenstream_rows(spark, tmp_path, lines) == expect
+    # and the misalignment is visible: record 2 starts with the empty token
+    assert ("", "2", "y") in expect
+
+
+def test_tokenstream_blank_runs_match_reference(spark, tmp_path):
+    """Runs of 1..4 blanks: k // 2 empty tokens injected, matching the
+    transcribed tokenizer exactly."""
+    for k in (1, 2, 3, 4):
+        lines = ["a,b,c", "1,x,10", *([""] * k), "2,y,20", "3,z,30"]
+        toks = _reference_tokenizer(lines)
+        n_full = (len(toks) - 3) // 3
+        expect = sorted(
+            tuple(toks[3 + 3 * i : 6 + 3 * i]) for i in range(n_full)
+        )
+        got = _tokenstream_rows(spark, tmp_path, lines)
+        assert got == expect, f"k={k}: {got} != {expect}"
+        assert toks.count("") == k // 2
+
+
+def test_stdin_console_pipe_mode(spark, monkeypatch):
+    """path='-' reads the donors CSV from stdin (the reference's
+    inputFile == null console mode, D/Program.cs:520-523)."""
+    import io
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.sources.csv_reference import (
+        read_donors,
+    )
+
+    csv = (
+        "Donor ID,Donor City,Donor State,Donor Is Teacher,Donor Zip\n"
+        "d1,Springfield,Illinois,No,62704\n"
+        "d2,Portland,Oregon,Yes,97201\n"
+    )
+    monkeypatch.setattr("sys.stdin", io.StringIO(csv))
+    rows = {(r["Donor ID"], r["Donor State"]) for r in read_donors(spark, "-").collect()}
+    assert rows == {("d1", "Illinois"), ("d2", "Oregon")}

@@ -62,3 +62,41 @@ def test_driver_window_is_oracle_backed():
     window = list(qs)[:50]
     assert window == list(registry.DRIVER_WINDOW)
     assert all(qs[n].oracle is not None for n in window)
+
+
+def test_winnowing_short_docs(spark, tmp_path):
+    """Docs shorter than the 5-gram window produce zero fingerprints;
+    pin the cross-engine convention (n_fp=0, fp_min NULL, fp_check 0)
+    the real corpus never exercises (ADVICE r01)."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.text import (
+        _WINNOW_ORACLE,
+        text_winnowing_fingerprints,
+    )
+
+    rows = [
+        (1, "", "en", "t", 0),
+        (2, "abc", "en", "t", 3),
+        (3, "abcde", "en", "t", 5),  # exactly one 5-gram
+        (4, "hello world, winnowing!", "en", "t", 23),
+    ]
+    sf = tmp_path / "sf_tiny"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    scols, srows = ora.spark_result(text_winnowing_fingerprints(spark, str(sf)))
+    ocols, orows = ora.oracle_result(con, _WINNOW_ORACLE)
+    res = ora.compare(scols, srows, ocols, orows)
+    assert res["ok"], res
+    by_id = {r[0]: r for r in srows}
+    assert by_id[1][1] == 0 and by_id[1][2] is None and by_id[1][3] == 0
+    assert by_id[2][1] == 0 and by_id[2][3] == 0
+    assert by_id[3][1] == 1
