@@ -128,3 +128,46 @@ def fingerprint(col: Column) -> Column:
         )
     )
     return F.md5(norm)
+
+
+def winnow_fps(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing fingerprints (MOSS scheme): polynomial k-gram rolling
+    hash (base 257 mod 1000003 — plain arithmetic, so any engine can
+    recompute the identical integers), sliding-window minima,
+    deduplicated. Returns array<bigint>; empty for docs shorter than k.
+
+    Shared by ``plans/text.py`` (per-doc summary) and the winnowing-
+    based dedup clustering in ``plans/advanced.py``; the matching
+    DuckDB CTE lives in ``plans/text.py:WINNOW_FPS_CTE``.
+    """
+    # base-257 positional weights; literals match WINNOW_FPS_CTE
+    B = [1, 257, 66049, 16974593, 4362470401][:k]
+
+    def gram_hash(i):
+        acc = F.lit(0).cast("long")
+        for j, b in enumerate(B):
+            acc = acc + F.ascii(text.substr(i + j, F.lit(1))).cast("long") * b
+        return F.pmod(acc, F.lit(1000003))
+
+    n_grams = F.greatest(F.length(text) - k + 1, F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash
+    )
+    hashes = F.when(n_grams > 0, hashes).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+    # Bind the O(n) hash array ONCE per row (single-element array trick):
+    # referencing `hashes` inside the per-position window-minimum lambda
+    # re-evaluates the whole gram-hash chain per position — O(n²·w).
+    def winnow(hs):
+        n_h = F.size(hs)
+        fps = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_h - window + 1, F.lit(1))),
+                lambda s: F.array_min(F.slice(hs, s, window)),
+            )
+        )
+        return F.when(n_h > 0, fps).otherwise(F.array().cast("array<bigint>"))
+
+    return F.element_at(F.transform(F.array(hashes), winnow), 1)

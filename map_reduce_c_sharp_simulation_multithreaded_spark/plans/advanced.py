@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_tables
-from ..operators.dedup import minhash_lsh_dedup_pairs
+from ..operators.text import winnow_fps
 from ..session import pin_session
 from .registry import register
 
@@ -168,33 +168,79 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_oracle() -> str:
+    """Exact connected components in DuckDB: the same winnowing-
+    fingerprint star edges, closed with a recursive CTE (transitive
+    min-label closure), independent of the engine's iterative loop."""
+    from .text import WINNOW_FPS_CTE
+
+    return f"""
+WITH RECURSIVE {WINNOW_FPS_CTE},
+doc_fp AS (
+  SELECT DISTINCT doc_id, UNNEST(fps) AS fp FROM w
+),
+hubs AS (SELECT fp, MIN(doc_id) AS hub FROM doc_fp GROUP BY fp),
+edges AS (
+  SELECT DISTINCT d.doc_id AS a, h.hub AS b
+  FROM doc_fp d JOIN hubs h USING (fp) WHERE d.doc_id <> h.hub
+),
+undir AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+  UNION
+    SELECT u.a, r.lab FROM undir u JOIN reach r ON u.b = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 @register(
     "dedup_connected_components",
-    oracle=None,  # edges come from MinHash (engine-specific hashing);
-    # fixpoint semantics pinned by pytest on planted clusters
+    oracle=_cc_oracle(),
     tags=("dedup", "iterative", "custom-operator"),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the MinHash
-    pair graph by iterative min-label propagation.
+    """Near-duplicate CLUSTERS: connected components by iterative
+    min-label propagation over the shared-winnowing-fingerprint graph
+    (docs sharing a MOSS fingerprint are near-dup candidates — the
+    same clustering basis MOSS uses).
 
-    Each iteration is two joins (label exchange along edges) + a
-    min-aggregate — all distributed, no driver-side graph. Iterates to
-    fixpoint (component diameter bounds the rounds; dedup clusters are
-    shallow). Output: (doc_id, cluster_id = min doc_id in component).
+    Edges are STAR topology — (doc, min-doc-of-fingerprint) instead of
+    all pairs within a fingerprint group — so a fingerprint shared by
+    k docs contributes k−1 edges, not k², while connecting the same
+    components; that linearity is what survives a hot fingerprint at
+    100 TB. Each iteration is two joins + a min-aggregate, all
+    distributed, no driver-side graph; lineage is localCheckpoint-
+    truncated every 3 rounds. Output: every doc with
+    cluster_id = min doc_id of its component (singletons = self).
+
+    The fingerprint arithmetic is engine-independent (polynomial
+    rolling hash, plans/text.py), so the DuckDB oracle re-derives the
+    identical graph and closes it exactly with a recursive CTE — a
+    full differential check of an iterative distributed algorithm.
+    (The MinHash-LSH pair graph stays rows-only in dedup_minhash_lsh:
+    banding over engine hashes is probabilistic by design.)
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_dedup_pairs(d, "doc_id", "text", threshold=0.5)
-    edges = pairs.select("id_a", "id_b").cache()
+    doc_fp = d.select(
+        "doc_id", F.explode(winnow_fps(F.col("text"))).alias("fp")
+    ).distinct()
+    hubs = doc_fp.groupBy("fp").agg(F.min("doc_id").alias("hub"))
+    edges = (
+        doc_fp.join(hubs, "fp")
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("doc_id").alias("id_a"), F.col("hub").alias("id_b"))
+        .distinct()
+        .cache()
+    )
     # undirected adjacency (both directions) once
     adj = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).cache()
-    labels = (
-        adj.select(F.col("id_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # every doc is a node — singletons cluster as themselves
+    labels = d.select(F.col("doc_id").alias("node")).withColumn(
+        "label", F.col("node")
     )
     for i in range(10):  # diameter cap; dedup components are shallow
         neighbor_min = (
@@ -339,10 +385,51 @@ def pagerank(
     return ranks
 
 
+def _pagerank_oracle(n_iter: int, damping: float) -> str:
+    """PageRank oracle: the fixed iteration count lets the power
+    iteration unroll into ``n_iter`` chained CTEs (no recursive-CTE
+    aggregation needed). The teleport constant is written as
+    ``(1.0 - damping)`` exactly like the engine computes it, so both
+    sides start from bit-identical doubles; contribution sums differ
+    only in float association order, absorbed by ROUND(...,6) with the
+    node-id tiebreak deciding the top-20 cut deterministically."""
+    base = (1.0 - damping)
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""r{i} AS (
+  SELECT nd.node,
+         {base!r} / nn.n + {damping!r} * COALESCE(c.in_mass, 0.0) AS rank
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / d.deg) AS in_mass
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+)""")
+    chain = ",\n".join(iters)
+    return f"""
+WITH cs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+{chain}
+SELECT node, ROUND(rank, 6) AS rank
+FROM r{n_iter}
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+
+
 @register(
     "graph_pagerank_suppliers",
-    oracle=None,  # float fixpoint; exact semantics pinned by pytest on
-    # a hand-computed graph (triangle stays uniform; hub beats leaves)
+    oracle=_pagerank_oracle(n_iter=5, damping=0.85),
     tags=("iterative", "graph", "custom-operator"),
 )
 def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:

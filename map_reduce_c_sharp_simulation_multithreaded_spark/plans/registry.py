@@ -86,7 +86,9 @@ def _load_all_plan_modules() -> None:
 # driver evidence (windows, sorts/set ops, scalars, SCD, streaming,
 # text, similarity, 3 representative TPC-H shapes) plus the three
 # repaired aggregate queries. Round-1-green entries are parked after
-# the window; the remaining 8 TPC-H shapes rotate in next round.
+# the window. Round-3 rotation queue: the 8 remaining TPC-H shapes and
+# the 6 queries that gained oracles in round 2 (connected components,
+# pagerank, both samples, LSH bucket histogram, IVF-ANN).
 DRIVER_WINDOW: tuple[str, ...] = (
     # repaired this round — need a green row to clear round-1 marks
     "agg_collect_sorted",

@@ -179,21 +179,37 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_deterministic_count",
-    oracle=None,  # sampling RNG is engine-specific; only the statistical
-    # envelope is checkable (pinned in pytest)
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_sampled
+FROM lineitem
+WHERE CAST('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 15)
+      AS BIGINT) < 115292150460684704
+GROUP BY l_returnflag
+""",
     tags=("sample",),
 )
 def sample_deterministic_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sampling: same seed → same sample within Spark.
+    """~10% Bernoulli sample by CONTENT HASH (first 60 md5 bits of the
+    row key under 0.1·2^60), per-flag sampled counts.
 
-    Returns per-flag sampled counts; determinism within the engine is
-    what matters at scale (re-runs of a pipeline must see the same
-    sample), cross-engine equality is impossible by construction.
+    Hash sampling is the reproducibility discipline at 100 TB: the
+    keep/drop decision is a pure row function, so it survives reruns,
+    repartitioning, and engine swaps — which the oracle proves by
+    re-deriving the identical sample in DuckDB. (Seeded ``.sample``
+    determinism-within-Spark is pinned separately in pytest; its RNG is
+    engine-specific by construction.)
     """
     pin_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    u60 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
     return (
-        li.sample(fraction=0.1, seed=42)
+        li.filter(u60 < F.lit(115292150460684704))
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
@@ -201,29 +217,47 @@ def sample_deterministic_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_stratified_by_lang",
-    oracle=None,  # seeded sampling RNG is engine-specific; envelope
-    # + determinism pinned in pytest
+    oracle="""
+WITH f AS (
+  SELECT lang, doc_id,
+         CASE WHEN substr(md5('strat:' || lang), 1, 1) < '8'
+              THEN 288230376151711744 ELSE 864691128455135232 END AS bar
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_sampled
+FROM f
+WHERE CAST('0x' || substr(md5('doc:' || doc_id), 1, 15) AS BIGINT) < bar
+GROUP BY lang
+""",
     tags=("sample", "mlprep"),
 )
 def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (``sampleBy``): per-language fractions — the
-    corpus-rebalancing primitive (downsample the dominant language,
-    keep the tail) every training-data pipeline needs. Seeded, so
-    re-runs see the same sample; per-stratum rates are pinned in
-    pytest, cross-engine equality is impossible by construction."""
+    """Stratified sampling: per-language fractions — the corpus-
+    rebalancing primitive (downsample the dominant language, keep the
+    tail) every training-data pipeline needs.
+
+    Both the per-stratum fraction (25% or 75% by the lang's md5 nibble)
+    and each row's keep/drop (60-bit md5 uniform under fraction·2^60)
+    are pure content-hash functions: no driver pre-pass to enumerate
+    strata (round 1 collect()ed the lang list at plan-build time), no
+    RNG, and any engine re-derives the identical sample — the 100 TB
+    reproducibility discipline, proven by the DuckDB oracle.
+    """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    # Per-stratum fraction derived from the lang value itself (hash
-    # parity → 0.25 or 0.75), then Bernoulli-filtered with a seeded
-    # rand — semantically sampleBy, but with no driver round-trip to
-    # enumerate strata (round 1 ran a collect() at plan-build time;
-    # at 100 TB the stratum list shouldn't require a pre-pass).
-    frac = F.when(F.pmod(F.xxhash64("lang"), F.lit(2)) == 0, 0.25).otherwise(
-        0.75
-    )
+    # 2^58 (=0.25·2^60) and 3·2^58 (=0.75·2^60): exact integer bars
+    bar = F.when(
+        F.substring(F.md5(F.concat(F.lit("strat:"), F.col("lang"))), 1, 1)
+        < "8",
+        F.lit(288230376151711744),
+    ).otherwise(F.lit(864691128455135232))
+    u60 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("doc:"), F.col("doc_id"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
     return (
-        d.withColumn("_frac", frac)
-        .filter(F.rand(42) < F.col("_frac"))
+        d.filter(u60 < bar)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )

@@ -112,15 +112,41 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_literal_sql(row: list[float]) -> str:
+    """A hyperplane as a DuckDB DOUBLE[] literal (repr round-trips)."""
+    return "[" + ", ".join(repr(v) for v in row) + "]::DOUBLE[]"
+
+
+def _lsh_bucket_oracle(n_planes: int = 12, dim: int = 64) -> str:
+    """Bucket histogram oracle with the sha256-derived planes embedded
+    as literals. The per-plane projection is the same index-ordered
+    product-sum on both engines (Spark's zip_with fold / DuckDB's
+    list_transform sum), so the sign bits — and thus the buckets —
+    agree bit-for-bit."""
+    from ..operators.similarity import _deterministic_planes
+
+    terms = []
+    for p, row in enumerate(_deterministic_planes(n_planes, dim)):
+        dot = _DOT.format(a="embedding", b=_plane_literal_sql(row))
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(terms)
+    return f"""
+SELECT ({bucket}) AS bucket, COUNT(*) AS n_vecs
+FROM embeddings
+GROUP BY 1
+"""
+
+
 @register(
     "sim_lsh_bucket_histogram",
-    oracle=None,  # deterministic but engine-specific plane hashing
+    oracle=_lsh_bucket_oracle(),
     tags=("similarity", "lsh", "custom-operator"),
 )
 def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket occupancy (12 planes → ≤4096
-    buckets). Deterministic planes (sha256-derived literals), so the
-    histogram is stable across runs; recall is pinned in pytest."""
+    buckets). The planes are sha256-derived literals (no RNG state), so
+    the buckets are reproducible across runs AND engines — the oracle
+    recomputes the identical histogram from the same plane literals."""
     pin_session(spark)
     e = load_table(spark, sf_dir, "embeddings")
     return (
@@ -130,9 +156,64 @@ def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(n_centroids: int = 16, n_probe: int = 4, dim: int = 64) -> str:
+    """IVF-ANN oracle with the sha256-derived centroids embedded as
+    literals. Replicates the engine exactly: cell = argmax projection
+    (Spark's array_position takes the FIRST max → tie breaks cell ASC),
+    probe list = reversed (score, cell) sort (tie breaks cell DESC),
+    then the same rounded-cosine rerank as the brute-force oracle. The
+    projections are index-ordered product-sums on both engines, so cell
+    assignment agrees bit-for-bit."""
+    from ..operators.similarity import _deterministic_centroids
+
+    rows = ", ".join(
+        f"({c}, {_plane_literal_sql(row)})"
+        for c, row in enumerate(_deterministic_centroids(n_centroids, dim))
+    )
+    dot = _DOT.format(a="e.embedding", b="c.cv")
+    return f"""
+WITH cents(cell, cv) AS (VALUES {rows}),
+scores AS (
+  SELECT e.vec_id, c.cell, {dot} AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cell ASC) AS rn
+    FROM scores) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cell DESC) AS rn
+    FROM scores WHERE vec_id < 20) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND({_cos_sql('q.embedding', 'n.embedding')}, 6) AS sim
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings n ON n.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, sim,
+       CAST(rn AS INT) AS rn
+FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rn
+  FROM scored)
+WHERE rn <= 5
+"""
+
+
 @register(
     "sim_ivf_ann_topk",
-    oracle=None,  # approximate; recall vs brute force pinned in pytest
+    oracle=_ivf_oracle(),
     tags=("similarity", "ivf", "topk", "custom-operator"),
 )
 def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,6 +20,7 @@ from ..operators.text import (
     quality_features,
     token_count,
     tokens,
+    winnow_fps,
 )
 from ..session import pin_session
 from .registry import register
@@ -269,8 +270,9 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_ORACLE = r"""
-WITH h AS (
+# Shared winnowing-fingerprint CTE (mirrors operators/text.py:winnow_fps)
+# — also the edge basis of dedup_connected_components in advanced.py.
+WINNOW_FPS_CTE = r"""h AS (
   SELECT doc_id,
          list_transform(range(1, greatest(length(text) - 5 + 2, 1)),
            i -> (ascii(substr(text, CAST(i AS INT), 1))
@@ -292,7 +294,10 @@ w AS (
                 s -> list_min(hashes[CAST(s AS INT):CAST(s + 3 AS INT)])))
          END AS fps
   FROM h
-)
+)"""
+
+_WINNOW_ORACLE = f"""
+WITH {WINNOW_FPS_CTE}
 SELECT doc_id,
        CAST(len(fps) AS INT) AS n_fp,
        list_min(fps) AS fp_min,
@@ -319,40 +324,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    B = [1, 257, 66049, 16974593, 4362470401]
-
-    def gram_hash(i):
-        acc = F.lit(0).cast("long")
-        for j, b in enumerate(B):
-            acc = acc + F.ascii(text.substr(i + j, F.lit(1))).cast("long") * b
-        return F.pmod(acc, F.lit(1000003))
-
-    n_grams = F.greatest(F.length(text) - 5 + 1, F.lit(0))
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash
-    )
-    hashes = F.when(n_grams > 0, hashes).otherwise(
-        F.array().cast("array<bigint>")
-    )
-
-    # Bind the O(n) hash array ONCE per row by wrapping it in a
-    # single-element array and computing downstream expressions on the
-    # lambda variable. Referencing `hashes` directly inside the
-    # per-position window-minimum lambda re-evaluates the whole gram-hash
-    # chain at every position — O(n² · w) per document (measured 625 s at
-    # sf0.001 before this rewrite).
-    def winnow(hs):
-        n_h = F.size(hs)
-        fps = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n_h - 4 + 1, F.lit(1))),
-                lambda s: F.array_min(F.slice(hs, s, 4)),
-            )
-        )
-        return F.when(n_h > 0, fps).otherwise(F.array().cast("array<bigint>"))
-
-    fps = F.element_at(F.transform(F.array(hashes), winnow), 1)
+    fps = winnow_fps(F.col("text"))
 
     # Same trick for the summary: evaluate `fps` once and emit the three
     # outputs via inline() (a generator runs once per row), instead of
