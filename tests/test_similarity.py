@@ -152,3 +152,53 @@ def test_trained_ivf_balances_cells_vs_untrained(emb):
     # invariant worth pinning is the absolute bound, not a strict win)
     assert len(trained) == 8
     assert max(trained.values()) <= 1.5 * n / 8
+
+
+def test_ivfpq_codes_and_determinism(emb):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        _pq_codebooks,
+        ivfpq_topk,
+        pq_encode,
+    )
+
+    books = _pq_codebooks(8, 16, 8)
+    codes = (
+        emb.limit(50)
+        .select(pq_encode(F.col("embedding"), books).alias("c"))
+        .collect()
+    )
+    for r in codes:
+        assert len(r.c) == 8 and all(0 <= v < 16 for v in r.c)
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(tuple(r) for r in ivfpq_topk(emb, queries, k=5).collect())
+    b = sorted(tuple(r) for r in ivfpq_topk(emb, queries, k=5).collect())
+    assert a == b and len(a) == 25
+
+
+def test_ivfpq_beats_random_ranking(emb):
+    """PQ's asymmetric distance must carry signal: recall of the PQ
+    top-5 within probed cells vs the exact top-5 restricted to the same
+    probed cells should far exceed random picking."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact_sets = {}
+    for r in brute_force_topk(queries, emb, k=5).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf_sets = {}
+    for r in ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, dim=64
+    ).collect():
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    pq_sets = {}
+    for r in ivfpq_topk(emb, queries, k=5, n_centroids=16, n_probe=4).collect():
+        pq_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(pq_sets) == set(exact_sets)
+    # PQ ranks within the same probed cells as plain IVF; it should
+    # recover a decent share of what full-precision IVF ranking finds
+    hits = sum(len(ivf_sets[q] & pq_sets.get(q, set())) for q in ivf_sets)
+    total = sum(len(s) for s in ivf_sets.values())
+    # random top-5 from ~1/4 of 6000 vectors would land ~0; demand real signal
+    assert hits / total >= 0.2, f"PQ recall vs IVF too low: {hits}/{total}"
