@@ -117,6 +117,49 @@ def quality_features(col: Column) -> dict[str, Column]:
     }
 
 
+def top_repeated_shingle(grams_sorted: Column) -> Column:
+    """Most frequent element of a SORTED string array, with its count:
+    struct(bestg, best). One linear fold — equal elements are adjacent
+    after the sort, so a run-length scan finds the mode without a
+    shuffle or a per-doc groupBy. Strict ``>`` keeps the FIRST maximal
+    run, i.e. the lexicographically smallest winner — the same row an
+    oracle's ``ORDER BY cnt DESC, gram ASC LIMIT 1`` picks.
+
+    The struct accumulator is the idiom for "argmax inside a row":
+    state = (prev element, current run, best run, best element).
+    """
+
+    def merge(acc, g):
+        run = F.when(acc["prev"] == g, acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, g).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("bestg"),
+    )
+    return F.aggregate(
+        grams_sorted,
+        init,
+        merge,
+        lambda acc: F.struct(acc["bestg"].alias("bestg"), acc["best"].alias("best")),
+    )
+
+
+# PII patterns shared by the engine and (dialect-compatible: no
+# lookarounds, no back-references) the DuckDB/RE2 oracle.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+PII_IP_RE = r"10\.[0-9]{1,3}\.0\.1"
+
+
 def fingerprint(col: Column) -> Column:
     """Normalization fingerprint: lowercase, strip punctuation, collapse
     whitespace, trim, md5. The batch analogue of a rolling-hash doc

@@ -14,13 +14,18 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.text import (
+    PII_EMAIL_RE,
+    PII_IP_RE,
+    PII_PHONE_RE,
     char_ngrams,
     fingerprint,
     lang_guess,
     quality_features,
     token_count,
     tokens,
+    top_repeated_shingle,
     winnow_fps,
+    word_shingles,
 )
 from ..session import pin_session
 from .registry import register
@@ -267,6 +272,197 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.regexp_extract_all(F.lower("text"), F.lit("[aeiou]+"), 0)
         ).alias("n_vowel_runs"),
+    )
+
+
+_GOPHER_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS nc,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i + 1 AS INT)])) AS gram
+  FROM toks WHERE len(tk) >= 2
+),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+top AS (
+  SELECT doc_id, gram, c FROM (
+    SELECT doc_id, gram, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+    FROM cnt) WHERE rn = 1
+),
+m AS (
+  SELECT t.doc_id, t.nc,
+         CAST(len(tk) AS INT) AS n_tokens,
+         CAST(len(list_distinct(tk)) AS INT) AS n_distinct_tokens,
+         COALESCE(top.gram, '') AS top_2gram,
+         CAST(COALESCE(top.c, 0) AS INT) AS top2_count,
+         CAST(greatest(len(tk) - 4, 0) AS INT) AS n_5grams,
+         CAST(CASE WHEN len(tk) >= 5 THEN len(list_distinct(list_transform(
+              range(1, len(tk) - 3),
+              i -> array_to_string(tk[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))))
+              ELSE 0 END AS INT) AS n_distinct_5grams
+  FROM toks t LEFT JOIN top ON top.doc_id = t.doc_id
+)
+SELECT doc_id, n_tokens, n_distinct_tokens, top_2gram, top2_count,
+       n_5grams, n_distinct_5grams,
+       (n_distinct_tokens * 10 >= n_tokens * 4
+        AND top2_count * length(top_2gram) * 10 <= nc
+        AND (n_5grams - n_distinct_5grams) * 10 <= 3 * n_5grams) AS gopher_pass
+FROM m
+"""
+
+
+@register(
+    "text_gopher_quality",
+    oracle=_GOPHER_ORACLE,
+    tags=("text", "quality", "custom-operator"),
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): distinct-
+    token ratio, most-frequent-2-gram character fraction, duplicate-
+    5-gram fraction, folded into one pass/fail verdict per document.
+
+    Two scale decisions: the per-doc 2-gram mode is a sorted-array
+    run-length fold (``top_repeated_shingle``) — zero shuffles, where
+    the naive explode→groupBy→argmax costs two; and every threshold is
+    integer cross-multiplication (``10·distinct ≥ 4·total``), so the
+    verdict is exact on any engine — no float ratios to round, nothing
+    for a 1000-executor run to get nondeterministically wrong.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        tokens(F.col("text")).alias("tk"),
+    )
+    g5 = word_shingles(F.col("tk"), 5)
+    m = t.select(
+        "doc_id",
+        "nc",
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_distinct_tokens"),
+        top_repeated_shingle(F.array_sort(word_shingles(F.col("tk"), 2))).alias(
+            "top2"
+        ),
+        F.size(g5).alias("n_5grams"),
+        F.size(F.array_distinct(g5)).alias("n_distinct_5grams"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.col("top2")["bestg"].alias("top_2gram"),
+        F.col("top2")["best"].alias("top2_count"),
+        "n_5grams",
+        "n_distinct_5grams",
+        (
+            (F.col("n_distinct_tokens") * 10 >= F.col("n_tokens") * 4)
+            & (
+                F.col("top2")["best"] * F.length(F.col("top2")["bestg"]) * 10
+                <= F.col("nc")
+            )
+            & (
+                (F.col("n_5grams") - F.col("n_distinct_5grams")) * 10
+                <= F.col("n_5grams") * 3
+            )
+        ).alias("gopher_pass"),
+    )
+
+
+# Deterministic synthetic PII (the corpus itself is clean word-salad):
+# membership in each class keys off doc_id, so detection counts vary
+# 0–3 per doc and any engine can re-derive the exact same text.
+_PII_ORACLE = f"""
+WITH pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{PII_IP_RE}')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{PII_IP_RE}', '<IP>', 'g')) AS redacted_md5
+FROM pii
+"""
+
+
+@register(
+    "text_pii_redaction",
+    oracle=_PII_ORACLE,
+    tags=("text", "pii", "quality"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (email / phone / IP regex classes):
+    per-doc match counts and the md5 of the scrubbed text.
+
+    The corpus is synthetic and clean, so deterministic pseudo-PII is
+    appended keyed on doc_id before scrubbing — the differential gate
+    then proves the regex dialect is portable (Java regex vs RE2: no
+    lookarounds, no back-references, see ``operators/text.py``
+    PII_*_RE) and that redaction order (email → phone → IP) yields
+    byte-identical output on both engines. All JVM-side regexps; at
+    100 TB this is one codegen'd projection, no shuffle at all.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" host 10."), (did % 256).cast("string"), F.lit(".0.1")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", t.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return p.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_count("t", F.lit(PII_IP_RE)).cast("int").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
     )
 
 
