@@ -8,7 +8,7 @@ tests in ``tests/test_dedup.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -129,3 +129,77 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
     return simhash64(d, "doc_id", "text")
+
+
+_SPAN_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sp AS (
+  SELECT doc_id, unnest(list_transform(range(0, len(tk) // 10),
+         p -> struct_pack(pos := p,
+                sh := md5(array_to_string(
+                  tk[CAST(p * 10 + 1 AS INT):CAST(p * 10 + 10 AS INT)],
+                  ' '))))) AS s
+  FROM toks WHERE len(tk) >= 10
+),
+e AS (SELECT doc_id, s.pos AS pos, s.sh AS sh FROM sp),
+r AS (
+  SELECT doc_id, pos, sh,
+         ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+  FROM e
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM r GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_span_windows",
+    oracle=_SPAN_ORACLE,
+    tags=("dedup", "ngram", "custom-operator"),
+)
+def dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", at fixed-window
+    granularity): split each doc into non-overlapping 10-token spans,
+    keep only the corpus-wide FIRST occurrence of each span (ordered
+    by doc_id, then position), report kept/dropped per document.
+
+    The suffix-array ExactSubstr method needs a global sort over all
+    suffixes; fixed windows get most of the repeated-passage removal
+    with exactly one shuffle — keyed on the span's md5, so shuffle
+    width is a 32-hex digest however long the span is, and skew is
+    bounded by true duplicate multiplicity (AQE splits the rest).
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("tk"))
+    n_win = F.floor(F.size("tk") / 10).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda p: F.struct(
+            p.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("tk"), p * 10 + 1, 10))).alias(
+                "sh"
+            ),
+        ),
+    )
+    guarded = F.when(n_win > 0, spans).otherwise(
+        F.array().cast("array<struct<pos:int,sh:string>>")
+    )
+    e = t.select("doc_id", F.explode(guarded).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.sh").alias("sh")
+    )
+    w = Window.partitionBy("sh").orderBy("doc_id", "pos")
+    r = e.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from ..catalog import load_table
+from ..operators.text import tokens, word_shingles
 from ..session import pin_session
 from .registry import register
 
@@ -126,4 +127,163 @@ def pack_sequences_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+_CONTAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+gr AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 11),
+         i -> array_to_string(tk[CAST(i AS INT):CAST(i + 12 AS INT)], ' ')))) AS gram
+  FROM toks WHERE len(tk) >= 13
+),
+g AS (SELECT doc_id, md5(gram) AS gh FROM gr)
+SELECT t.doc_id,
+       CAST(COUNT(DISTINCT CASE WHEN e.doc_id IS NOT NULL THEN t.gh END)
+            AS BIGINT) AS n_shared_13grams,
+       CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs_hit,
+       COUNT(DISTINCT e.doc_id) > 0 AS contaminated
+FROM g t
+LEFT JOIN (SELECT * FROM g WHERE doc_id % 20 = 7) e ON e.gh = t.gh
+WHERE t.doc_id % 20 <> 7
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "contamination_eval_overlap",
+    oracle=_CONTAM_ORACLE,
+    tags=("mlprep", "dedup", "contamination", "custom-operator"),
+)
+def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit via 13-gram overlap — the GPT-3
+    appendix-C decontamination scheme: any training document sharing a
+    13-token shingle with the held-out set (here: doc_id % 20 == 7) is
+    flagged, with overlap counts for triage.
+
+    Scale shape: shingles are md5-hashed before the join, so the
+    shuffle/broadcast keys are fixed-width digests instead of ~80-byte
+    strings, and the EVAL side — small by construction — is broadcast;
+    the 100 TB training side streams through one codegen'd stage with
+    no shuffle at all (the final per-doc rollup shuffles only matched
+    digests). Output is the full audit table (clean docs carry zeros),
+    not just the flagged tail.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_shingles(tokens(F.col("text")), 13))
+    g = d.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id", F.md5("gram").alias("gh")
+    )
+    ev = g.filter(F.col("doc_id") % 20 == 7).select(
+        F.col("doc_id").alias("eval_id"), "gh"
+    )
+    tr = g.filter(F.col("doc_id") % 20 != 7)
+    return (
+        tr.join(F.broadcast(ev), "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("eval_id").isNotNull(), F.col("gh"))
+            ).alias("n_shared_13grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+            (F.countDistinct("eval_id") > 0).alias("contaminated"),
+        )
+    )
+
+
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, v -> abs(v))) / 127.0 AS qscale
+  FROM e
+),
+q AS (
+  SELECT vec_id, qscale,
+         list_transform(emb, v -> greatest(-127, least(127,
+           CAST(floor(v / qscale + 0.5) AS BIGINT)))) AS codes,
+         emb
+  FROM s WHERE qscale > 0
+)
+SELECT vec_id,
+       ROUND(qscale, 9) AS qscale_r,
+       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+       CAST(len(list_filter(codes, c -> abs(c) = 127)) AS INT) AS n_extreme,
+       ROUND(list_max(list_transform(range(1, len(emb) + 1),
+             i -> abs(emb[CAST(i AS INT)]
+                      - codes[CAST(i AS INT)] * qscale))), 9) AS max_abs_err
+FROM q
+"""
+
+
+@register(
+    "quantize_embeddings_int8",
+    oracle=_QUANT_ORACLE,
+    tags=("mlprep", "similarity", "quantization"),
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    scale = max|v|/127, code = round(v/scale) clamped) with a
+    reconstruction-error audit — the 4× storage cut that makes a
+    100 TB embedding corpus shippable, and the precursor to the PQ
+    codes in ``sim_ivfpq_topk``.
+
+    Cross-engine discipline: rounding is ``floor(x + 0.5)`` on both
+    sides (Spark's ROUND and DuckDB's differ on negative halves),
+    floats are cast to double BEFORE any arithmetic, and the audited
+    outputs are either integers (code_sum, n_extreme) or order-free
+    maxima rounded well past the double noise floor.
+    """
+    pin_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "emb"
+        ),
+    )
+    s = e.select(
+        "vec_id",
+        "emb",
+        (
+            F.array_max(F.transform(F.col("emb"), F.abs)) / F.lit(127.0)
+        ).alias("qscale"),
+    ).filter(F.col("qscale") > 0)
+    codes = F.transform(
+        F.col("emb"),
+        lambda v: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(v / F.col("qscale") + F.lit(0.5)),
+            ),
+        ),
+    )
+    q = s.select("vec_id", "qscale", "emb", codes.alias("codes"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("emb"),
+            F.col("codes"),
+            lambda v, c: F.abs(v - c * F.col("qscale")),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("qscale"), 9).alias("qscale_r"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("code_sum"),
+        F.size(F.filter(F.col("codes"), lambda c: F.abs(c) == 127)).alias(
+            "n_extreme"
+        ),
+        F.round(err, 9).alias("max_abs_err"),
     )
