@@ -30,6 +30,46 @@ def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     assert one_year.count() == expected
 
 
+def test_dynamic_partition_overwrite_replaces_only_touched(
+    spark, sf_dir, tmp_path
+):
+    """partitionOverwriteMode=dynamic: an overwrite-mode write replaces
+    ONLY the partitions present in the incoming frame — the idempotent
+    backfill primitive for a partitioned 100 TB table (re-run one day's
+    job without clobbering the other 3,649 days)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_dyn")
+    o.write.mode("overwrite").partitionBy("yr").parquet(out)
+    before = {
+        r.yr: r.cnt
+        for r in spark.read.parquet(out).groupBy("yr").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+
+    # backfill 1995 with a filtered (halved) frame under dynamic mode
+    patch = o.filter((F.col("yr") == 1995) & (F.col("o_orderkey") % 2 == 0))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch.write.mode("overwrite").partitionBy("yr").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = {
+        r.yr: r.cnt
+        for r in spark.read.parquet(out).groupBy("yr").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    assert after[1995] == patch.count() and after[1995] < before[1995]
+    for yr, cnt in before.items():  # every untouched partition survives
+        if yr != 1995:
+            assert after[yr] == cnt, yr
+
+
 def test_json_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     out = str(tmp_path / "events_json")
