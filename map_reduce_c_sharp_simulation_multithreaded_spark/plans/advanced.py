@@ -339,6 +339,7 @@ def pagerank(
     n_iter: int = 5,
     damping: float = 0.85,
     checkpoint_every: int = 2,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """PageRank by power iteration — pure DataFrame ops, no driver graph.
 
@@ -350,8 +351,13 @@ def pagerank(
     at-scale practice SCALE.md promises for iterative operators; on a
     cluster this would be reliable ``checkpoint()`` to HDFS).
 
-    Dangling nodes keep their share un-redistributed (simplified
-    PageRank), so ranks sum to ≤ 1 — fine for ranking use.
+    With ``redistribute_dangling`` the rank mass parked on sink nodes
+    (no out-edges) is spread uniformly each round — full PageRank,
+    ranks sum to exactly 1. The dangling total is a one-row aggregate
+    cross-joined back into the update (broadcast of a scalar), NOT a
+    driver collect, so the loop body stays a single distributed plan.
+    Without it, dangling mass leaks (ranks sum to ≤ 1) — fine for
+    ranking on graphs with no sinks (e.g. symmetrized ones).
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -362,6 +368,9 @@ def pagerank(
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e = edges.join(out_deg, "src").cache()
+    dangling = nodes.join(
+        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).cache()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(n_iter):
         contribs = (
@@ -373,13 +382,30 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-            ).alias("rank"),
-        )
+        incoming = F.coalesce(F.col("in_mass"), F.lit(0.0))
+        if redistribute_dangling:
+            dm = ranks.join(dangling, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            )
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dm))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (incoming + F.col("dm") / F.lit(float(n)))
+                    ).alias("rank"),
+                )
+            )
+        else:
+            ranks = nodes.join(contribs, "node", "left").select(
+                "node",
+                (F.lit((1.0 - damping) / n) + F.lit(damping) * incoming).alias(
+                    "rank"
+                ),
+            )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
@@ -425,6 +451,81 @@ FROM r{n_iter}
 ORDER BY rank DESC, node
 LIMIT 20
 """
+
+
+def _pagerank_directed_oracle(n_iter: int, damping: float) -> str:
+    """Directed-graph PageRank oracle WITH dangling-mass redistribution:
+    each unrolled iteration carries a one-row scalar CTE summing the
+    rank parked on sink nodes (``node NOT IN (SELECT src FROM deg)``),
+    mirroring the engine's broadcast-scalar cross join. Same float
+    discipline as ``_pagerank_oracle``: identical literals, identical
+    op order, ROUND(...,6) absorbing association-order ulps."""
+    base = 1.0 - damping
+    iters = []
+    for i in range(1, n_iter + 1):
+        iters.append(f"""r{i} AS (
+  SELECT nd.node,
+         {base!r} / nn.n
+           + {damping!r} * (COALESCE(c.in_mass, 0.0) + dmv.dm / nn.n) AS rank
+  FROM nodes nd CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(SUM(rank), 0.0) AS dm
+              FROM r{i - 1} WHERE node NOT IN (SELECT src FROM deg)) dmv
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / d.deg) AS in_mass
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+)""")
+    chain = ",\n".join(iters)
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+{chain}
+SELECT node, ROUND(rank, 6) AS rank
+FROM r{n_iter}
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+
+
+@register(
+    "graph_pagerank_directed",
+    oracle=_pagerank_directed_oracle(n_iter=5, damping=0.85),
+    tags=("iterative", "graph", "custom-operator"),
+)
+def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the DIRECTED customer→supplier purchase graph with
+    dangling-mass redistribution. Every supplier is a sink (no
+    out-edges), so roughly half the total rank is dangling each round —
+    the degenerate case the symmetrized variant never exercises — and
+    redistribution is what keeps the distribution a distribution
+    (ranks sum to exactly 1; pinned in tests). Top 20 by rounded rank.
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    li, o = t["lineitem"], t["orders"]
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, n_iter=5, redistribute_dangling=True)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(20)
+    )
 
 
 @register(

@@ -120,3 +120,27 @@ def test_pagerank_hub_outranks_leaves(spark):
     assert all(ranks["hub"] > ranks[f"l{i}"] for i in range(4))
     # no dangling nodes -> total mass conserved
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.advanced import (
+        pagerank,
+    )
+
+    # chain a -> b -> c: c is a sink; without redistribution its mass
+    # leaks every round, with it the ranks stay a distribution
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    leaky = {r.node: r.rank for r in pagerank(chain, n_iter=5).collect()}
+    assert sum(leaky.values()) < 1.0 - 1e-6
+
+    full = {
+        r.node: r.rank
+        for r in pagerank(
+            chain, n_iter=5, redistribute_dangling=True
+        ).collect()
+    }
+    assert abs(sum(full.values()) - 1.0) < 1e-9
+    # downstream nodes still accumulate more rank than upstream ones
+    assert full["c"] > full["b"] > full["a"]
