@@ -153,6 +153,35 @@ def top_repeated_shingle(grams_sorted: Column) -> Column:
     )
 
 
+def token_poly_hash(tok: Column, max_chars: int = 12) -> Column:
+    """Cross-engine string hash: positional base-257 polynomial over the
+    first ``max_chars`` characters, mod 1000003 — plain integer
+    arithmetic any engine reproduces bit-for-bit (same family as
+    :func:`winnow_fps`; engine hashes like xxhash64 have no DuckDB
+    equivalent). The cap keeps every weight*char product < 2^31 so the
+    sum can never overflow int64; truncating long tokens is standard
+    sketch-hash practice and applied identically on both sides."""
+    p = 1000003
+    acc = F.lit(0).cast("long")
+    for i in range(1, max_chars + 1):
+        w = pow(257, i - 1, p)
+        acc = acc + F.when(
+            F.length(tok) >= i,
+            F.ascii(tok.substr(i, 1)).cast("long") * F.lit(w),
+        ).otherwise(F.lit(0))
+    return F.pmod(acc, F.lit(p))
+
+
+# (a, b) rows of the count-min hash family h_j(x) = ((a*h + b) mod p)
+# mod width — literal constants so oracles can re-derive every bucket.
+CM_HASH_FAMILY: tuple[tuple[int, int], ...] = (
+    (1, 0),
+    (31, 17),
+    (97, 29),
+    (257, 41),
+)
+
+
 # PII patterns shared by the engine and (dialect-compatible: no
 # lookarounds, no back-references) the DuckDB/RE2 oracle.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

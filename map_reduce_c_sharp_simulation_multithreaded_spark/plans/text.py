@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.text import (
+    CM_HASH_FAMILY,
     PII_EMAIL_RE,
     PII_IP_RE,
     PII_PHONE_RE,
@@ -22,6 +23,7 @@ from ..operators.text import (
     lang_guess,
     quality_features,
     token_count,
+    token_poly_hash,
     tokens,
     top_repeated_shingle,
     winnow_fps,
@@ -537,4 +539,111 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.select(
         "doc_id", F.inline(F.transform(F.array(fps), summarize))
+    )
+
+
+def _countmin_oracle(width: int = 64, p: int = 1000003) -> str:
+    """Count-min oracle: re-derives the polynomial token hash (positional
+    weight list literal), the (a,b) hash family, the 4×width sketch, and
+    the min-over-rows estimate — every count an exact integer."""
+    ws = [pow(257, i, p) for i in range(12)]
+    ws_sql = "[" + ", ".join(str(w) for w in ws) + "]"
+    fam = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(CM_HASH_FAMILY))
+    return f"""
+WITH tk AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                t -> t <> '')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT tok,
+         list_aggregate(list_transform(range(1, least(length(tok), 12) + 1),
+           i -> ascii(substr(tok, CAST(i AS INT), 1))
+                * ({ws_sql})[CAST(i AS INT)]), 'sum') % {p} AS h
+  FROM tk
+),
+fam(j, a, b) AS (VALUES {fam}),
+cm AS (
+  SELECT f.j, ((f.a * h.h + f.b) % {p}) % {width} AS bucket, COUNT(*) AS cnt
+  FROM h CROSS JOIN fam f GROUP BY f.j, bucket
+),
+exact AS (SELECT tok, h, COUNT(*) AS exact_count FROM h GROUP BY tok, h),
+probe AS (SELECT * FROM exact ORDER BY exact_count DESC, tok LIMIT 20),
+est AS (
+  SELECT pr.tok, MIN(c.cnt) AS cm_estimate
+  FROM probe pr CROSS JOIN fam f
+  JOIN cm c ON c.j = f.j
+           AND c.bucket = ((f.a * pr.h + f.b) % {p}) % {width}
+  GROUP BY pr.tok
+)
+SELECT pr.tok, CAST(pr.exact_count AS BIGINT) AS exact_count,
+       CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+       e.cm_estimate >= pr.exact_count AS is_upper_bound
+FROM probe pr JOIN est e ON e.tok = pr.tok
+"""
+
+
+@register(
+    "sketch_countmin_terms",
+    oracle=_countmin_oracle(),
+    tags=("text", "sketch", "aggregate", "custom-operator"),
+)
+def sketch_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus term occurrences: a 4×64 counter
+    matrix (one groupBy on (row, bucket) — the sketch is a DataFrame,
+    not driver state), probed for the top-20 exact terms with the
+    min-over-rows estimate and the CM upper-bound guarantee
+    (estimate ≥ truth, always) as an audited column.
+
+    Third sketch family beside HLL++ (agg_approx_distinct) and GK
+    quantiles (agg_approx_percentile) — unlike those, every cell here
+    is exact integer arithmetic on a cross-engine polynomial hash
+    (``token_poly_hash``), so the driver gate can hash-compare the
+    whole thing. At 100 TB the sketch stays 256 rows whatever the
+    corpus; merging shards is counter addition (the map-side-combine
+    shape Spark already gives the groupBy).
+    """
+    pin_session(spark)
+    p, width = 1000003, 64
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    ).select("tok", token_poly_hash(F.col("tok")).alias("h"))
+
+    def bucket(j: int, h) -> F.Column:
+        a, b = CM_HASH_FAMILY[j]
+        return F.pmod(F.pmod(F.lit(a) * h + F.lit(b), F.lit(p)), F.lit(width))
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"), bucket(j, F.col("h")).alias("bucket")
+            )
+            for j in range(len(CM_HASH_FAMILY))
+        ]
+    )
+    cm = (
+        occ.select(F.explode(rows).alias("s"))
+        .groupBy(F.col("s.j").alias("j"), F.col("s.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = occ.groupBy("tok", "h").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    probe = exact.orderBy(F.col("exact_count").desc(), F.col("tok")).limit(20)
+    probed = probe.select(
+        "tok",
+        "exact_count",
+        F.explode(rows).alias("s"),
+    ).select("tok", "exact_count", "s.j", "s.bucket")
+    est = (
+        probed.join(F.broadcast(cm), ["j", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return est.select(
+        "tok",
+        "exact_count",
+        "cm_estimate",
+        (F.col("cm_estimate") >= F.col("exact_count")).alias("is_upper_bound"),
     )

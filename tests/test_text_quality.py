@@ -82,3 +82,34 @@ def test_gopher_verdict_on_crafted_docs(spark, sf_dir):
         assert r.n_distinct_tokens <= r.n_tokens
         assert r.n_distinct_5grams <= r.n_5grams
         assert r.top2_count >= 1
+
+
+def test_countmin_upper_bound_holds(spark, sf_dir):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.text import (
+        sketch_countmin_terms,
+    )
+
+    rows = sketch_countmin_terms(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # the count-min guarantee: estimates never undercount
+        assert r.cm_estimate >= r.exact_count, r.tok
+        assert r.is_upper_bound
+
+
+def test_token_poly_hash_matches_python_reference(spark):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.text import (
+        token_poly_hash,
+    )
+
+    words = ["spark", "join", "a", "customer", "averyverylongtokenindeed"]
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    got = {
+        r.tok: r.h
+        for r in df.select("tok", token_poly_hash(F.col("tok")).alias("h")).collect()
+    }
+    for w in words:
+        expect = sum(
+            ord(c) * pow(257, i, 1000003) for i, c in enumerate(w[:12])
+        ) % 1000003
+        assert got[w] == expect, w
