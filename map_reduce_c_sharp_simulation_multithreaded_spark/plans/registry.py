@@ -60,6 +60,7 @@ def _load_all_plan_modules() -> None:
         dedup,
         flagship,
         joins,
+        layout,
         mlprep,
         multimodal,
         relational,

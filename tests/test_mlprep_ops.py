@@ -75,3 +75,41 @@ def test_quantization_error_and_saturation_bounds(spark, sf_dir):
         assert r.max_abs_err <= r.qscale_r / 2 + 1e-9, r.vec_id
         # the max-|v| component always maps to ±127
         assert r.n_extreme >= 1, r.vec_id
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.layout import (
+        zorder_key,
+    )
+
+    pts = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+
+    def interleave(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for x, y in pts:
+        assert got[(x, y)] == interleave(x, y), (x, y)
+
+
+def test_zorder_tiles_bound_both_dimensions(spark, sf_dir):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.layout import (
+        layout_zorder_tiles,
+    )
+
+    rows = layout_zorder_tiles(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        # tile = zkey >> 20 frees 10 bits per dimension: both spans
+        # are bounded — the data-skipping property a plain sort lacks
+        assert r.max_x - r.min_x <= 1023, r.tile
+        assert r.max_y - r.min_y <= 1023, r.tile
