@@ -8,7 +8,7 @@ The hyperplane-LSH ANN path is rows-only + recall-tested in pytest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -359,3 +359,78 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
         k=5, n_probe=2, dim=64, centroids=cents,
     )
+
+
+_CENTROID_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, i.i AS pos,
+         CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+),
+cents AS (
+  SELECT label AS clabel, pos, AVG(v) AS cv FROM e GROUP BY label, pos
+),
+dots AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         ROUND(SUM(e.v * c.cv), 6) AS dot
+  FROM e JOIN cents c ON c.pos = e.pos
+  GROUP BY e.vec_id, e.label, c.clabel
+),
+pred AS (
+  SELECT vec_id, label, clabel FROM (
+    SELECT vec_id, label, clabel,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, clabel) AS rn
+    FROM dots) WHERE rn = 1
+)
+SELECT label AS true_label, clabel AS predicted_label,
+       COUNT(*) AS n_vecs
+FROM pred GROUP BY true_label, predicted_label
+"""
+
+
+@register(
+    "embed_label_centroids",
+    oracle=_CENTROID_ORACLE,
+    tags=("similarity", "mlprep", "centroid", "custom-operator"),
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid audit for embedding curation: compute each
+    label's mean vector, reassign every vector to its nearest centroid
+    (max dot product), and emit the confusion matrix — the standard
+    label-noise / cluster-coherence check before training on a labeled
+    embedding corpus.
+
+    The centroid build and the vector×centroid scoring are both
+    explode-on-position relational shapes (groupBy (label, pos), then
+    join on pos + groupBy (vec, label)) — no driver-side matrix, no
+    UDF; at 100 TB the 10×64 centroid table would instead be collected
+    and broadcast like the k-means codebook, but the relational form
+    is what DuckDB can replay exactly. Dot products are rounded to 6
+    before the argmax window so association-order ulps can't flip an
+    assignment (see cross-engine float rules in the registry
+    docstring).
+    """
+    pin_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cents = e.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.avg("v").alias("cv")
+    )
+    dots = (
+        e.join(cents, "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.round(F.sum(F.col("v") * F.col("cv")), 6).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dot").desc(), F.col("clabel")
+    )
+    pred = dots.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return pred.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("clabel").alias("predicted_label"),
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))

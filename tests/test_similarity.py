@@ -202,3 +202,18 @@ def test_ivfpq_beats_random_ranking(emb):
     total = sum(len(s) for s in ivf_sets.values())
     # random top-5 from ~1/4 of 6000 vectors would land ~0; demand real signal
     assert hits / total >= 0.2, f"PQ recall vs IVF too low: {hits}/{total}"
+
+
+def test_label_centroid_confusion_has_diagonal_signal(spark, sf_dir):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+        embed_label_centroids,
+    )
+
+    rows = embed_label_centroids(spark, sf_dir).collect()
+    total = sum(r.n_vecs for r in rows)
+    diag = sum(r.n_vecs for r in rows if r.true_label == r.predicted_label)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert total == n  # every vector assigned exactly once
+    # self-centroid bias must beat the 1/10 random-assignment baseline
+    # by a wide margin (measured ~0.41 on this corpus)
+    assert diag / total > 0.25, f"diagonal {diag}/{total}"
