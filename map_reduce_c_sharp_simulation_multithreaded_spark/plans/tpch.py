@@ -1,5 +1,6 @@
-"""Composite benchmark queries in classic TPC-H shapes
-(Q2/Q3/Q5/Q7/Q10/Q12/Q14/Q16/Q18/Q19/Q20).
+"""Composite benchmark queries in classic TPC-H shapes (19 of 22:
+Q2-Q8, Q10, Q12-Q22; Q1 lives as ``agg_pricing_summary``, Q9/Q11 need
+the partsupp table this corpus lacks).
 
 The reference runs exactly one fixed query; a complete analytics engine
 must compose scans, selective filters, multi-way joins, aggregation,
@@ -611,4 +612,437 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
         .orderBy("s_name", "n_name")
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+    tags=("tpch", "join", "semi"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi extra conjunct. The schema has no l_commitdate /
+    l_receiptdate, so "late" is adapted to shipping >30 days after the
+    order date — the plan shape (filtered scan → semi join carrying a
+    correlated date comparison → count by priority) is Q4's.
+    Reference: the reference engine has no subquery support at all
+    (one fixed aggregation, ``D/Program.cs:300-340``).
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o, li = t["orders"], t["lineitem"]
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cond = (li.l_orderkey == o_f.o_orderkey) & (
+        li.l_shipdate > o_f.o_orderdate + F.expr("INTERVAL 30 DAY")
+    )
+    return (
+        o_f.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT {exact_decimal_sum_sql("l_extendedprice * l_discount", 4)} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+""",
+    tags=("tpch", "filter", "aggregate"),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the pure scan–filter–aggregate query — zero joins,
+    every predicate pushable into the parquet scan (PushedFilters shows
+    all four), one partial/final agg pair with no groupBy keys. The
+    canonical "is your scan path fast" probe.
+    """
+    pin_session(spark)
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_decimal_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+WITH all_sales AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         ROUND(l_extendedprice * (1 - l_discount), 4) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       ROUND(
+         CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                            ELSE 0 END AS DECIMAL(28,4))) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(28,4))) AS DOUBLE), 6)
+         AS mkt_share
+FROM all_sales
+GROUP BY o_year
+""",
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: national market share — an 8-table join with TWO
+    roles for nation (customer's nation restricts the market region,
+    supplier's nation is the share dimension), then a conditional-sum
+    ratio per year. Both sums are decimal-exact before the single
+    double division, so the ratio is bit-identical across engines and
+    ROUND(...,6) cannot tie.
+    """
+    pin_session(spark)
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "part", "customer",
+        "nation", "supplier", "region",
+    )
+    li, o, p, c, n, s, r = (
+        t["lineitem"], t["orders"], t["part"], t["customer"],
+        t["nation"], t["supplier"], t["region"],
+    )
+    n1 = n.alias("n1")
+    n2 = n.alias("n2")
+    volume = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    sales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+              li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    dec = "decimal(28,4)"
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("volume"))
+        .otherwise(F.lit(0))
+        .cast(dec)
+    ).cast("double")
+    den = F.sum(F.col("volume").cast(dec)).cast("double")
+    return sales.groupBy("o_year").agg(
+        F.round(num / den, 6).alias("mkt_share")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    tags=("tpch", "join", "outer", "aggregate"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: order-count-per-customer histogram. The defining
+    subtlety is the filter in the LEFT JOIN's ON clause (not WHERE):
+    customers whose only orders are urgent must survive with count 0,
+    so the predicate cannot be pushed below the outer join as a WHERE.
+    (Adapted: the schema has no o_comment, so the exclusion predicate
+    is a priority class instead of the NOT LIKE comment pattern.)
+    Two stacked aggregations over one outer join.
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    cond = (c.c_custkey == o.o_custkey) & (
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {exact_decimal_sum_sql("l_extendedprice * (1 - l_discount)", 4)}
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    tags=("tpch", "join", "subquery"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: aggregate → scalar MAX over the aggregate → join
+    back (the view-reuse query). The revenue equality against the MAX
+    is exact because both sides reduce the same DECIMAL sum to the
+    same double — the float-equality the exact-decimal-sum discipline
+    exists to make safe. Aggregate columns get fresh names
+    (supplier_no) before the self-referencing join, avoiding Spark's
+    trivially-true-predicate resolution trap on reused plans.
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    li, s = t["lineitem"], t["supplier"]
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(exact_decimal_sum(_rev(), 4).alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+WITH qa AS (
+  SELECT l_partkey AS ap_partkey, AVG(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND({exact_decimal_sum_sql("l_extendedprice", 2)} / 7.0, 2)
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN qa ON ap_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
+""",
+    tags=("tpch", "join", "subquery", "aggregate"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: the correlated per-part average decorrelated into a
+    grouped aggregate joined back (small-quantity order revenue).
+    Quantities are integer-valued doubles, so AVG is exact and
+    identical across engines (sum of ints < 2^53 is order-free); the
+    0.2·avg threshold is therefore the same double on both sides.
+    The /7.0 output can never tie at ROUND(...,2): m/7 with three
+    decimals would need 2m ≡ 7·odd, impossible in integers.
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li, p = t["lineitem"], t["part"]
+    qa = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#3")),
+                li.l_partkey == p.p_partkey)
+        .join(qa, F.col("ap_partkey") == li.l_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(exact_decimal_sum(F.col("l_extendedprice"), 2) / 7.0, 2)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("tpch", "join", "semi", "anti"),
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the hardest TPC-H join topology — one EXISTS and one
+    NOT EXISTS, both correlated on the same key with a <> conjunct,
+    decorrelated into a left-semi then a left-anti self-join on
+    lineitem. "Late" is adapted to ship >60 days after order date (no
+    receipt/commit dates in this schema); 'F' status and the supplier
+    region filter mirror the original's selectivity structure. The
+    anti join's lateness test references l1's order date — carried
+    through the semi join as a join-condition column, not recomputed.
+    """
+    pin_session(spark)
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation", "region"
+    )
+    li, o, s, n, r = (
+        t["lineitem"], t["orders"], t["supplier"], t["nation"], t["region"],
+    )
+    late_days = F.expr("INTERVAL 60 DAY")
+    l1 = (
+        li.join(o.filter(F.col("o_orderstatus") == "F"),
+                li.l_orderkey == o.o_orderkey)
+        .filter(li.l_shipdate > o.o_orderdate + late_days)
+        .select(
+            li.l_orderkey.alias("k1"),
+            li.l_suppkey.alias("sk1"),
+            o.o_orderdate.alias("od1"),
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("sd3"),
+    )
+    cand = l1.join(
+        l2, (F.col("k2") == F.col("k1")) & (F.col("sk2") != F.col("sk1")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("k3") == F.col("k1"))
+        & (F.col("sk3") != F.col("sk1"))
+        & (F.col("sd3") > F.col("od1") + late_days),
+        "left_anti",
+    )
+    return (
+        cand.join(s, F.col("sk1") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(28,2))) AS DOUBLE)
+         / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(28,2))) AS DOUBLE)
+         AS totacctbal
+FROM customer CROSS JOIN avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+""",
+    tags=("tpch", "join", "anti", "subquery"),
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: wealthy but lapsed customers — a scalar subquery
+    threshold (average positive balance, exact-decimal sum over count
+    so the bar is the same double on both engines) feeding a NOT
+    EXISTS decorrelated to a left-anti join, grouped by nation key
+    (no phone column for the original's country codes; "never
+    ordered" is adapted to "no orders since 1999" because this corpus
+    gives every customer at least one order). The scalar rides a
+    broadcast cross join, not a collect.
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    bal_sum = F.sum(
+        F.round(F.col("c_acctbal"), 2).cast("decimal(28,2)")
+    ).cast("double")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (bal_sum / F.count(F.lit(1))).alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            o.filter(
+                F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+            ),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            bal_sum.alias("totacctbal"),
+        )
     )
