@@ -9,7 +9,7 @@ same thing relationally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -646,4 +646,80 @@ def sketch_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_count",
         "cm_estimate",
         (F.col("cm_estimate") >= F.col("exact_count")).alias("is_upper_bound"),
+    )
+
+
+_TFIDF_ORACLE = r"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS dfreq FROM occ GROUP BY term),
+nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM occ),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.dfreq,
+         ROUND(tf.tf * ln(nn.n / df.dfreq), 6) AS tfidf
+  FROM tf JOIN df ON df.term = tf.term CROSS JOIN nn
+)
+SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, dfreq, tfidf
+FROM (
+  SELECT doc_id, term, tf, dfreq, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rnk
+  FROM scored)
+WHERE rnk <= 3
+"""
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=_TFIDF_ORACLE,
+    tags=("text", "aggregate", "window"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic relevance score
+    as three aggregates (term frequency, document frequency, corpus
+    size) joined and window-ranked; the keyword-extraction primitive
+    for corpus curation.
+
+    Scale + float shape: DF is tiny (vocabulary-sized) so its join
+    side broadcasts; the corpus-size scalar rides a broadcast cross
+    join, not a collect. Scores are rounded to 6 BEFORE the ranking
+    window with a term tiebreak, so a last-ulp difference between the
+    two engines' ln() cannot flip a rank (the inputs to ln are exact
+    small-integer ratios, identical on both sides).
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = occ.groupBy("term").agg(F.countDistinct("doc_id").alias("dfreq"))
+    nn = occ.agg(
+        F.countDistinct("doc_id").cast("double").alias("n")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dfreq",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("dfreq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", "dfreq", "tfidf")
     )
