@@ -261,3 +261,50 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+WITH pri AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(
+           -ln((CAST(CAST('0x' || substr(md5('wsamp:' || doc_id), 1, 15)
+                     AS BIGINT) AS DOUBLE) + 1) / 1152921504606846976.0)
+           / n_chars, 9) AS key_r
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, key_r
+FROM pri ORDER BY key_r ASC, doc_id LIMIT 50
+""",
+    tags=("sample", "mlprep", "custom-operator"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis via
+    exponential clocks): each doc draws key = -ln(u)/weight from a
+    CONTENT-HASH uniform, and the k smallest keys are the sample —
+    inclusion probability proportional to weight (n_chars here), with
+    the same 100 TB reproducibility discipline as the other samples:
+    no RNG state, survives reruns/repartitions/engine swaps, and one
+    distributed top-k (TakeOrdered) instead of a driver-side pass.
+
+    u = (60-bit md5 + 1)/2^60 is the identical double on both engines;
+    keys are rounded to 9 BEFORE the top-k cut with a doc_id tiebreak
+    so a last-ulp ln() difference cannot flip the boundary.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    u60 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (u60.cast("double") + 1) / F.lit(1152921504606846976.0)
+    key_r = F.round(-F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "lang", "n_chars", key_r.alias("key_r"))
+        .orderBy(F.col("key_r").asc(), F.col("doc_id"))
+        .limit(50)
+    )

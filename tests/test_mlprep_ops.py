@@ -113,3 +113,20 @@ def test_zorder_tiles_bound_both_dimensions(spark, sf_dir):
         # are bounded — the data-skipping property a plain sort lacks
         assert r.max_x - r.min_x <= 1023, r.tile
         assert r.max_y - r.min_y <= 1023, r.tile
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.setops import (
+        sample_weighted_priority,
+    )
+
+    rows = sample_weighted_priority(spark, sf_dir).collect()
+    assert len(rows) == 50
+    assert len({r.doc_id for r in rows}) == 50  # without replacement
+    sampled_avg = sum(r.n_chars for r in rows) / len(rows)
+    corpus = load_table(spark, sf_dir, "documents").agg(
+        F.avg("n_chars").alias("a")
+    ).collect()[0].a
+    # inclusion ∝ n_chars: the sample must skew heavy (size-biased mean;
+    # weights span ~1 order of magnitude here, measured ratio ≈ 1.13)
+    assert sampled_avg > corpus * 1.08, (sampled_avg, corpus)

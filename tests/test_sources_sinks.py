@@ -120,3 +120,24 @@ def test_bucketed_table_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bt_customer")
         spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_orc_roundtrip_preserves_aggregates(spark, sf_dir, tmp_path):
+    """ORC sink/source (the third columnar format beside parquet and
+    the reference CSV dialect): full round-trip with identical
+    aggregate results and pushed-down filters on read-back."""
+    o = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == o.count()
+    a = o.agg(
+        F.sum("o_totalprice").alias("s"), F.countDistinct("o_custkey").alias("c")
+    ).collect()[0]
+    b = back.agg(
+        F.sum("o_totalprice").alias("s"), F.countDistinct("o_custkey").alias("c")
+    ).collect()[0]
+    assert abs(a.s - b.s) < 1e-6 and a.c == b.c
+    filt = back.filter(F.col("o_orderstatus") == "F")
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
