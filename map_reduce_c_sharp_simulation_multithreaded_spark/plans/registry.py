@@ -87,9 +87,14 @@ def _load_all_plan_modules() -> None:
 # driver evidence (windows, sorts/set ops, scalars, SCD, streaming,
 # text, similarity, 3 representative TPC-H shapes) plus the three
 # repaired aggregate queries. Round-1-green entries are parked after
-# the window. Round-3 rotation queue: the 8 remaining TPC-H shapes and
-# the 6 queries that gained oracles in round 2 (connected components,
-# pagerank, both samples, LSH bucket histogram, IVF-ANN).
+# the window. Round-3 rotation queue (everything still lacking a green
+# driver row after round 2): the round-1 oracle gains (connected
+# components, pagerank, both r1 samples, LSH bucket histogram,
+# IVF-ANN), the 8 TPC-H shapes outside this window (q2/q5/q10/q12/q14/
+# q16/q19/q20), and every round-2 addition (ivfpq, gopher, pii,
+# tfidf, countmin, contamination, span dedup, int8 quant, zorder,
+# label centroids, weighted sample, directed pagerank, q4/q6/q8/q13/
+# q15/q17/q21/q22).
 DRIVER_WINDOW: tuple[str, ...] = (
     # repaired this round — need a green row to clear round-1 marks
     "agg_collect_sorted",
