@@ -117,3 +117,68 @@ def test_last_wins_matches_python_model(spark, pairs):
     for k, seq, v in rows:
         expected[k] = v  # later row overwrites — reference semantics
     assert got == expected
+
+
+@given(BATCH)
+@SLOW
+def test_top_shingle_matches_counter_model(spark, batch):
+    from collections import Counter
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.text import (
+        top_repeated_shingle,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(batch)], "i long, t string"
+    )
+    got = {
+        r.i: (r.m.bestg, r.m.best)
+        for r in df.select(
+            "i",
+            top_repeated_shingle(
+                F.array_sort(word_shingles(tokens(F.col("t")), 2))
+            ).alias("m"),
+        ).collect()
+    }
+    for i, s in enumerate(batch):
+        toks = _py_tokens(s)
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        if not grams:
+            assert got[i] == ("", 0), s
+            continue
+        c = Counter(grams)
+        best = max(c.values())
+        # tie-break: lexicographically smallest gram with the max count
+        bestg = min(g for g, n in c.items() if n == best)
+        assert got[i] == (bestg, best), (s, got[i], (bestg, best))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SLOW
+def test_zorder_key_is_bijective(spark, pts):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.layout import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(list(set(pts)), "x long, y long")
+    rows = df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+
+    def deinterleave(z):
+        x = y = 0
+        for i in range(16):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    for r in rows:
+        assert deinterleave(r.z) == (r.x, r.y)
+    # distinct inputs -> distinct keys
+    assert len({r.z for r in rows}) == len(rows)
