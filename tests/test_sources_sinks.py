@@ -141,3 +141,33 @@ def test_orc_roundtrip_preserves_aggregates(spark, sf_dir, tmp_path):
     filt = back.filter(F.col("o_orderstatus") == "F")
     plan = filt._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderstatus" in plan
+
+
+def test_bucket_pruning_reads_single_bucket(spark, sf_dir):
+    """Filtering on the bucket column prunes the scan to one bucket
+    (SelectedBucketsCount) — at 100 TB an equality probe on a bucketed
+    fact table touches 1/N of the files before any row is read."""
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").saveAsTable(
+        "bp_orders"
+    )
+    # a bare filter gives the planner no partitioning requirement, so
+    # auto-bucketed-scan would fall back to a plain scan and skip the
+    # pruning this test demonstrates
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                   "false")
+    try:
+        probe = spark.table("bp_orders").filter(F.col("o_custkey") == 37)
+        plan = probe._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:800]
+        expected = o.filter(F.col("o_custkey") == 37).count()
+        assert probe.count() == expected
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+        )
+        spark.sql("DROP TABLE IF EXISTS bp_orders")
