@@ -30,6 +30,10 @@ EXTRA_BENCH = (
     "tpch_q18_large_orders",
     "tpch_q20_excess_shippers",
     "stream_tumbling_counts",
+    # round-2 join-heavy additions
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_suppliers",
+    "contamination_eval_overlap",
 )
 
 
