@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.similarity import (
+    ivfpq_rerank_topk,
     brute_force_topk,
     ivfpq_topk,
     cosine,
@@ -260,6 +261,7 @@ def _ivfpq_oracle(
     dim: int = 64,
     m_sub: int = 8,
     k_codes: int = 16,
+    k: int = 5,
 ) -> str:
     """IVF-PQ oracle: same IVF cell CTEs, plus the PQ codebooks as a
     128-row VALUES table. Candidate codes are per-subspace argmins
@@ -314,7 +316,7 @@ FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY adist ASC, neighbor_id) AS rn
   FROM scored)
-WHERE rn <= 5
+WHERE rn <= {k}
 """
 
 
@@ -434,3 +436,51 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("true_label"),
         F.col("clabel").alias("predicted_label"),
     ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def _ivfpq_rerank_oracle(k: int = 5, k_prime: int = 20) -> str:
+    """Rerank oracle: the IVF-PQ shortlist (same generated SQL, k')
+    nested as a derived table, then exact rounded cosine over the
+    shortlist only, re-ranked with the neighbor tiebreak."""
+    shortlist = _ivfpq_oracle(k=k_prime)
+    cos = _cos_sql("q.embedding", "n.embedding")
+    return f"""
+WITH cand AS (
+  SELECT query_id, neighbor_id FROM ({shortlist})
+),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({cos}, 6) AS sim
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rn AS INT) AS rn
+FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rn
+  FROM sims)
+WHERE rn <= {k}
+"""
+
+
+@register(
+    "sim_ivfpq_rerank_topk",
+    oracle=_ivfpq_rerank_oracle(),
+    tags=("similarity", "ivf", "pq", "topk", "custom-operator"),
+)
+def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF-PQ shortlist (k'=20, compressed-domain) +
+    exact-cosine rerank — the standard two-stage retrieval pipeline:
+    codes pick the candidates, full vectors re-score only those 20
+    per query. Recovers most of PQ's quantization loss while reading
+    full precision for k'/N of the corpus; the oracle nests the
+    generated IVF-PQ SQL and reranks identically."""
+    pin_session(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_rerank_topk(
+        e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+        k=5, k_prime=20, n_centroids=16, n_probe=4, dim=64,
+        m_sub=8, k_codes=16,
+    )

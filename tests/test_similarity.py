@@ -217,3 +217,40 @@ def test_label_centroid_confusion_has_diagonal_signal(spark, sf_dir):
     # self-centroid bias must beat the 1/10 random-assignment baseline
     # by a wide margin (measured ~0.41 on this corpus)
     assert diag / total > 0.25, f"diagonal {diag}/{total}"
+
+
+def test_ivfpq_rerank_recovers_recall(emb):
+    """Exact-cosine rerank of the PQ shortlist must recover recall the
+    quantized ranking loses: rerank top-5 should agree with
+    full-precision IVF ranking at least as often as raw PQ top-5."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    ivf_sets = topk_sets(
+        ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, dim=64)
+    )
+    pq_sets = topk_sets(
+        ivfpq_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    )
+    rr_sets = topk_sets(
+        ivfpq_rerank_topk(emb, queries, k=5, k_prime=20)
+    )
+
+    def recall(pred):
+        hits = sum(len(ivf_sets[q] & pred.get(q, set())) for q in ivf_sets)
+        return hits / sum(len(s) for s in ivf_sets.values())
+
+    r_pq, r_rr = recall(pq_sets), recall(rr_sets)
+    assert r_rr >= r_pq, (r_rr, r_pq)
+    # with k'=4k the rerank should recover most of the IVF ranking
+    assert r_rr >= 0.6, r_rr
