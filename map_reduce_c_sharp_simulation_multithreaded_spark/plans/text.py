@@ -723,3 +723,78 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "rnk", "term", "tf", "dfreq", "tfidf")
     )
+
+
+_BIGRAM_ORACLE = r"""
+WITH g AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+         i -> struct_pack(w1 := tk[CAST(i AS INT)],
+                          w2 := tk[CAST(i + 1 AS INT)]))) AS s
+  FROM (
+    SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       t -> t <> '') AS tk
+    FROM documents) WHERE len(tk) >= 2
+),
+pairs AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM g),
+c2 AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n_head FROM pairs GROUP BY w1)
+SELECT w1, w2, n_pair, n_head, p, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT c2.w1, c2.w2, c2.n_pair, c1.n_head,
+         ROUND(CAST(c2.n_pair AS DOUBLE) / c1.n_head, 6) AS p,
+         ROW_NUMBER() OVER (PARTITION BY c2.w1
+                            ORDER BY c2.n_pair DESC, c2.w2) AS rnk
+  FROM c2 JOIN c1 ON c1.w1 = c2.w1)
+WHERE rnk <= 3
+"""
+
+
+@register(
+    "text_bigram_lm",
+    oracle=_BIGRAM_ORACLE,
+    tags=("text", "ngram", "aggregate"),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts: P(w2|w1) = c(w1,w2)/c(w1) with
+    the top-3 continuations per head word — the n-gram LM estimation
+    that classic MapReduce text pipelines were built for, as two
+    grouped aggregates and a ranking window.
+
+    Ranking uses the RAW integer pair count (not the derived float) so
+    the window order is exact; the probability is emitted alongside,
+    a ratio of identical integers → identical doubles on both engines.
+    At 100 TB both aggregations are two-phase with map-side combine,
+    and the c1 join side is vocabulary-sized → broadcast.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.lower(F.col("text")))
+    t = d.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    n = F.size("tk")
+    pairs_arr = F.zip_with(
+        F.slice(F.col("tk"), 1, n - 1),
+        F.slice(F.col("tk"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = t.select(F.explode(pairs_arr).alias("s")).select(
+        F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n_head"))
+    w = Window.partitionBy("w1").orderBy(
+        F.col("n_pair").desc(), F.col("w2")
+    )
+    return (
+        c2.join(F.broadcast(c1), "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_head",
+            F.round(F.col("n_pair").cast("double") / F.col("n_head"), 6).alias(
+                "p"
+            ),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
