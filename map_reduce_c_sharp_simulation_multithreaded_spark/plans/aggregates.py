@@ -407,3 +407,55 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         band("_ap_med", "_lo_med", "_hi_med").alias("median_in_rank_band"),
         band("_ap_p95", "_lo_p95", "_hi_p95").alias("p95_in_rank_band"),
     )
+
+
+@register(
+    "agg_histogram_totalprice",
+    oracle="""
+WITH b AS (
+  SELECT CAST(CASE WHEN o_totalprice >= 600000.0 THEN 11
+              WHEN o_totalprice < 0.0 THEN 0
+              ELSE CAST(floor(o_totalprice / 50000.0) AS INT) + 1 END AS INT)
+           AS bucket,
+         o_totalprice
+  FROM orders
+)
+SELECT bucket, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2))) AS DOUBLE)
+         AS total_value,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM b GROUP BY bucket
+""",
+    tags=("aggregate", "histogram"),
+)
+def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (12 buckets: underflow, 10
+    × 50k bins, overflow) — width_bucket semantics in portable floor
+    arithmetic, since bucketing must behave identically on every
+    engine that reads the table. One two-phase aggregation; histograms
+    at 100 TB are exactly this shape (the map side collapses each
+    partition to ≤12 rows before the exchange). Boundary values land
+    in the upper bin on both engines: floor of identical doubles.
+    """
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    bucket = (
+        F.when(p >= 600000.0, F.lit(11))
+        .when(p < 0.0, F.lit(0))
+        .otherwise(F.floor(p / 50000.0).cast("int") + 1)
+        .cast("int")
+    )
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(p, 2).cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.round(F.min(p), 2).alias("min_price"),
+            F.round(F.max(p), 2).alias("max_price"),
+        )
+    )
