@@ -1,0 +1,151 @@
+"""Event-analytics queries over ``events`` (funnel + cohort retention)
+— the product-analytics staples every clickstream warehouse runs.
+
+Timestamp discipline: events.parquet is TIMESTAMP(NANOS); the catalog
+loader floors Spark to microseconds while DuckDB keeps nanoseconds, so
+EVERY comparison here happens on integer microseconds (`unix_micros` /
+`epoch_us`) — never on raw timestamps — and every output is an integer
+count. Nothing to round, nothing engine-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..session import pin_session
+from .registry import register
+
+_7D_US = 7 * 86_400 * 1_000_000
+_DAY0 = 19_723  # epoch day of 2024-01-01, the corpus start
+
+
+_FUNNEL_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS tv
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.tv, MIN(epoch_us(e.ts)) AS tc
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.tv
+  GROUP BY e.user_id, v.tv
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.tc
+    AND epoch_us(e.ts) - c.tv <= {_7D_US}
+  GROUP BY e.user_id
+)
+SELECT COUNT(v.tv) AS n_view_users,
+       COUNT(c.tc) AS n_click_after,
+       COUNT(p.tp) AS n_purchase_within_7d
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
+@register(
+    "events_funnel_view_click_purchase",
+    oracle=_FUNNEL_ORACLE,
+    tags=("events", "funnel", "join", "custom-operator"),
+)
+def events_funnel_view_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordered conversion funnel: first view → first click AFTER that
+    view → first purchase AFTER that click, purchase within 7 days of
+    the view. One row of stage counts.
+
+    Each stage is a grouped min over a stage-filtered, time-gated join
+    against the previous stage's anchor — the decorrelated form of the
+    sequential EXISTS chain. All shuffles key on user_id, so at 100 TB
+    the three stages co-partition (one real exchange, reused), and the
+    stage filters push into the scan.
+    """
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("cu"))
+        .join(v, "user_id")
+        .filter(F.col("cu") > F.col("tv"))
+        .groupBy("user_id", "tv")
+        .agg(F.min("cu").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("pu"))
+        .join(c, "user_id")
+        .filter(
+            (F.col("pu") > F.col("tc"))
+            & (F.col("pu") - F.col("tv") <= F.lit(_7D_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("pu").alias("tp"))
+    )
+    return (
+        v.join(c.select("user_id", "tc"), "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("tv").alias("n_view_users"),
+            F.count("tc").alias("n_click_after"),
+            F.count("tp").alias("n_purchase_within_7d"),
+        )
+    )
+
+
+_COHORT_ORACLE = f"""
+WITH w AS (
+  SELECT user_id,
+         CAST(floor((epoch_us(ts) / 86400000000.0 - {_DAY0}) / 7.0)
+              AS BIGINT) AS wk
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id)
+SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+       COUNT(DISTINCT w.user_id) AS n_users
+FROM w JOIN cohort c ON c.user_id = w.user_id
+GROUP BY c.cohort_wk, week_offset
+"""
+
+
+@register(
+    "events_cohort_retention",
+    oracle=_COHORT_ORACLE,
+    tags=("events", "cohort", "aggregate", "custom-operator"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted distinct in each later week, keyed (cohort_week, offset).
+
+    Weeks are integer arithmetic on epoch days from a fixed corpus
+    anchor — not calendar `date_trunc('week')`, whose week-start
+    convention is an engine setting and a silent cross-engine trap.
+    Two user-keyed aggregations plus one distinct count; every value
+    an exact integer.
+    """
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.floor(
+        (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000.0) - _DAY0)
+        / F.lit(7.0)
+    ).cast("long")
+    w = ev.select("user_id", wk.alias("wk"))
+    cohort = w.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        w.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -58,6 +58,7 @@ def _load_all_plan_modules() -> None:
         advanced,
         aggregates,
         dedup,
+        events,
         flagship,
         joins,
         layout,
