@@ -149,3 +149,76 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+_TTC_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS tv
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.tv
+  GROUP BY e.user_id
+),
+d AS (
+  -- floor, not CAST: DuckDB's double->BIGINT cast ROUNDS while
+  -- Spark's truncates — x.999999 delays split the engines otherwise
+  SELECT p.user_id,
+         CAST(floor((p.tp - v.tv) / 1000000.0) AS BIGINT) AS delay_s
+  FROM p JOIN v ON v.user_id = p.user_id
+)
+SELECT COUNT(*) AS n_converted,
+       CAST(MIN(delay_s) AS BIGINT) AS min_s,
+       ROUND(quantile_cont(delay_s, 0.5), 4) AS p50_s,
+       ROUND(quantile_cont(delay_s, 0.9), 4) AS p90_s,
+       CAST(MAX(delay_s) AS BIGINT) AS max_s
+FROM d
+"""
+
+
+@register(
+    "events_time_to_convert",
+    oracle=_TTC_ORACLE,
+    tags=("events", "funnel", "aggregate"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from first view
+    to first subsequent purchase; min/median/p90/max over converters.
+
+    Delays are INTEGER seconds (µs difference floored by integer
+    division). Interpolated percentiles still need ROUND(…,4) on both
+    sides: DuckDB's quantile_cont computes a+(b-a)·f in floats (p90 of
+    integers came out …4.49999999994 in testing) while Spark's
+    percentile() lands exact; the true values are multiples of 0.1,
+    so 4-decimal rounding absorbs the artifact and cannot tie.
+    """
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("tv"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("pu"))
+        .join(v, "user_id")
+        .filter(F.col("pu") > F.col("tv"))
+        .groupBy("user_id", "tv")
+        .agg(F.min("pu").alias("tp"))
+    )
+    d = p.select(
+        F.floor((F.col("tp") - F.col("tv")) / F.lit(1_000_000.0))
+        .cast("long")
+        .alias("delay_s")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("delay_s").alias("min_s"),
+        F.round(F.expr("percentile(delay_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(delay_s, 0.9)"), 4).alias("p90_s"),
+        F.max("delay_s").alias("max_s"),
+    )
