@@ -130,3 +130,26 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     # inclusion ∝ n_chars: the sample must skew heavy (size-biased mean;
     # weights span ~1 order of magnitude here, measured ratio ≈ 1.13)
     assert sampled_avg > corpus * 1.08, (sampled_avg, corpus)
+
+
+def test_funnel_stages_are_monotone(spark, sf_dir):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.events import (
+        events_cohort_retention,
+        events_funnel_view_click_purchase,
+        events_time_to_convert,
+    )
+
+    f = events_funnel_view_click_purchase(spark, sf_dir).collect()[0]
+    assert f.n_view_users >= f.n_click_after >= f.n_purchase_within_7d
+    assert f.n_view_users > 0
+
+    t = events_time_to_convert(spark, sf_dir).collect()[0]
+    assert t.min_s <= t.p50_s <= t.p90_s <= t.max_s
+    assert t.n_converted > 0
+
+    rows = events_cohort_retention(spark, sf_dir).collect()
+    # offsets start at 0 and cohort sizes never exceed the week-0 count
+    base = {r.cohort_wk: r.n_users for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.week_offset >= 0
+        assert r.n_users <= base[r.cohort_wk]
