@@ -222,3 +222,53 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(delay_s, 0.9)"), 4).alias("p90_s"),
         F.max("delay_s").alias("max_s"),
     )
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       COUNT(*) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+@register(
+    "events_transition_matrix",
+    oracle=_TRANSITION_ORACLE,
+    tags=("events", "window", "aggregate"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (clickstream path analysis): for
+    each user's time-ordered event sequence, count from→to adjacent
+    pairs — the Markov-chain estimation behind "what happens after a
+    view". One lag window per user plus a two-phase count; ordering
+    ties on identical microseconds break on event_id on BOTH engines
+    (the events table carries nanos the engines floor differently —
+    integer-µs + id ordering is the only stable sequence).
+    """
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
