@@ -272,3 +272,59 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+_WAU_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) - {_DAY0} AS day
+  FROM events
+),
+contrib AS (
+  SELECT user_id, ud.day + o.o AS obs_day
+  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o
+),
+days AS (SELECT DISTINCT day AS obs_day FROM ud)
+SELECT d.obs_day,
+       COUNT(DISTINCT c.user_id) AS wau
+FROM days d JOIN contrib c ON c.obs_day = d.obs_day
+GROUP BY d.obs_day
+"""
+
+
+@register(
+    "events_rolling_wau",
+    oracle=_WAU_ORACLE,
+    tags=("events", "window", "aggregate", "custom-operator"),
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per observed day (WAU): each
+    (user, active-day) pair is expanded to the 7 observation days it
+    contributes to, then counted distinct per day — the scale-correct
+    sliding-distinct shape. A RANGE window cannot compute sliding
+    COUNT(DISTINCT); the 7× row expansion keeps the distinct a plain
+    two-phase aggregate that AQE can partition freely, and the
+    expansion factor is the window length, not the data size. Days
+    are anchored integers (no calendar truncation).
+    """
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000.0)).cast(
+            "long"
+        )
+        - _DAY0
+    )
+    ud = ev.select("user_id", day.alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("obs_day"),
+    )
+    days = ud.select(F.col("day").alias("obs_day")).distinct()
+    return (
+        days.join(contrib, "obs_day")
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
