@@ -209,3 +209,69 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (popcount of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS via pigeonhole banding: split the
+    64-bit signature into ``n_bands`` equal bands; two signatures
+    within ``max_hamming`` bit flips (< n_bands) must agree exactly on
+    at least one band, so a self-join keyed on (band_id, band_value)
+    finds every such pair with 100% recall — candidate generation is a
+    bucketed equi-join, never an all-pairs scan. Candidates are then
+    verified with the exact hamming distance (precision filter).
+
+    The LSH-for-hamming-space analogue of the MinHash band join: at
+    100 TB the join fans out n_bands rows per doc and bucket occupancy
+    bounds the pair work; skewed buckets (common band values) split
+    under AQE like any hot join key.
+    """
+    assert n_bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    width = 64 // n_bands
+    sig = simhash64(df, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), j * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, "simhash", F.col("s.band").alias("band"), F.col("s.bv").alias("bv"))
+    a = bands.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sig_a"),
+        "band",
+        "bv",
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sig_b"),
+        "band",
+        "bv",
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = hamming64(F.col("sig_a"), F.col("sig_b"))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

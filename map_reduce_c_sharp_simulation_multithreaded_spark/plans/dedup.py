@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.dedup import (
+    simhash_band_pairs,
     exact_dedup_keep_first,
     minhash_lsh_dedup_pairs,
     simhash64,
@@ -203,3 +204,21 @@ def dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
     )
+
+
+@register(
+    "dedup_simhash_band_pairs",
+    oracle=None,  # xxhash64-based signatures; equality-vs-brute-force pytest
+    tags=("dedup", "simhash", "custom-operator"),
+)
+def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole banding:
+    4×16-bit bands — two signatures within 3 flips must share a band,
+    so the bucketed band join finds every pair (proved equal to the
+    brute-force pair set in ``tests/test_dedup.py``), then the exact
+    hamming check filters false bucket-mates. Rows-only at the driver
+    gate: signatures are xxhash64, which DuckDB cannot recompute.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_band_pairs(d, "doc_id", "text", max_hamming=3, n_bands=4)

@@ -120,3 +120,35 @@ def test_connected_components_clusters_planted_groups(spark):
     assert got.get(1) == 1 and got.get(2) == 1 and got.get(3) == 1
     assert got.get(10) == 10 and got.get(11) == 10
     assert 20 not in got  # singleton: no edges, not in the pair graph
+
+
+def test_simhash_band_pairs_equal_brute_force(spark, sf_dir):
+    """Pigeonhole guarantee: the banded join's verified pair set must
+    EQUAL the all-pairs hamming<=3 set — recall 1.0 by construction,
+    precision 1.0 from the exact verify."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import (
+        load_table,
+    )
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+        simhash_band_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_band_pairs(d, "doc_id", "text", 3, 4).collect()
+    }
+    sig = simhash64(d, "doc_id", "text")
+    a = sig.select(F.col("doc_id").alias("ia"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("ib"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.ia, r.ib): r.h
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia", "ib", hamming64(F.col("sa"), F.col("sb")).alias("h")
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert len(brute) > 0  # corpus has planted near-dups
