@@ -92,10 +92,12 @@ def _load_all_plan_modules() -> None:
 # driver row after round 2): the round-1 oracle gains (connected
 # components, pagerank, both r1 samples, LSH bucket histogram,
 # IVF-ANN), the 8 TPC-H shapes outside this window (q2/q5/q10/q12/q14/
-# q16/q19/q20), and every round-2 addition (ivfpq, gopher, pii,
-# tfidf, countmin, contamination, span dedup, int8 quant, zorder,
-# label centroids, weighted sample, directed pagerank, q4/q6/q8/q13/
-# q15/q17/q21/q22).
+# q16/q19/q20), and every round-2 addition (ivfpq + rerank, gopher,
+# pii, tfidf, bigram LM, countmin, histogram, contamination, span
+# dedup, simhash band pairs, int8 quant, zorder, label centroids,
+# weighted sample, directed pagerank, q4/q6/q8/q13/q15/q17/q21/q22,
+# events funnel/cohort/ttc/transitions/wau). That is ~44 queries for
+# a 50-slot window — fill the remainder with the oldest green entries.
 DRIVER_WINDOW: tuple[str, ...] = (
     # repaired this round — need a green row to clear round-1 marks
     "agg_collect_sorted",
