@@ -798,3 +798,89 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+_PMI_ORACLE = r"""
+WITH g AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+         i -> struct_pack(w1 := tk[CAST(i AS INT)],
+                          w2 := tk[CAST(i + 1 AS INT)]))) AS s
+  FROM (
+    SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       t -> t <> '') AS tk
+    FROM documents) WHERE len(tk) >= 2
+),
+pairs AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM g),
+c2 AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2),
+m1 AS (SELECT w1, COUNT(*) AS n_left FROM pairs GROUP BY w1),
+m2 AS (SELECT w2, COUNT(*) AS n_right FROM pairs GROUP BY w2),
+nn AS (SELECT COUNT(*) AS n FROM pairs),
+scored AS (
+  SELECT c2.w1, c2.w2, c2.n_pair,
+         ROUND(ln(CAST(c2.n_pair * nn.n AS DOUBLE)
+                  / (m1.n_left * m2.n_right)), 6) AS pmi
+  FROM c2
+  JOIN m1 ON m1.w1 = c2.w1
+  JOIN m2 ON m2.w2 = c2.w2
+  CROSS JOIN nn
+  WHERE c2.n_pair >= 10
+)
+SELECT w1, w2, n_pair, pmi
+FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 30
+"""
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=_PMI_ORACLE,
+    tags=("text", "ngram", "aggregate"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 collocations by pointwise mutual information:
+    PMI(w1,w2) = ln(p(w1,w2) / (p(w1·)p(·w2))) over adjacent pairs
+    with support ≥ 10 — the classic association measure that finds
+    multiword expressions, where raw bigram counts just find common
+    words.
+
+    The ln argument is one double division of exact integer products
+    (pair count × corpus total over the two marginals), identical on
+    both engines; PMI rounds to 6 BEFORE the global top-30 cut with a
+    (w1, w2) tiebreak. Marginals are vocabulary-sized → broadcast; the
+    corpus total rides a broadcast cross join.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.lower(F.col("text")))
+    t = d.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    n = F.size("tk")
+    pairs_arr = F.zip_with(
+        F.slice(F.col("tk"), 1, n - 1),
+        F.slice(F.col("tk"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = t.select(F.explode(pairs_arr).alias("s")).select(
+        F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")
+    )
+    c2 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 10)
+    )
+    m1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n_left"))
+    m2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("n_right"))
+    nn = pairs.agg(F.count(F.lit(1)).alias("n"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_pair") * F.col("n")).cast("double")
+            / (F.col("n_left") * F.col("n_right"))
+        ),
+        6,
+    )
+    return (
+        c2.join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(nn))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+        .limit(30)
+    )
