@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from .schemas import TABLE_NAMES
 
@@ -25,15 +26,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and floor-convert to the
-        # engine-native microsecond TimestampType (matches DuckDB's ns→µs
-        # floor when rendered at µs precision).
+        # events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+        # across corpus generations. Nanos would be rejected by Spark's
+        # vectorized reader, so the legacy conf reads them as long and a
+        # floor-convert lands on the engine-native microsecond TimestampType
+        # (matching DuckDB's ns→µs floor); micros read natively as NTZ and
+        # only need the cast to session-TZ (UTC) TimestampType.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

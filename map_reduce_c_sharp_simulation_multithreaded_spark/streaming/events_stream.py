@@ -18,29 +18,31 @@ from pyspark.sql import types as T
 
 _COUNTER = itertools.count()
 
-# events schema with ts as raw nanosecond longs (the parquet physical
-# type; file-stream sources need the physical schema, conversion after).
-_EVENTS_NANOS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream replay of events.parquet with µs TimestampType ts."""
+    """File-stream replay of events.parquet with µs TimestampType ts.
+
+    File-stream sources need an explicit schema, and events.ts has
+    shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    corpus generations — so the schema is taken from a (lazy, footer
+    -only) batch read of the same file and ts normalized per dtype,
+    exactly as in ``catalog.load_table``.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(_EVENTS_NANOS)
+    physical = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(physical)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if isinstance(physical["ts"].dataType, T.LongType):
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_completion(
