@@ -1,6 +1,8 @@
-"""Composite benchmark queries in classic TPC-H shapes (19 of 22:
-Q2-Q8, Q10, Q12-Q22; Q1 lives as ``agg_pricing_summary``, Q9/Q11 need
-the partsupp table this corpus lacks).
+"""Composite benchmark queries in classic TPC-H shapes (all 22:
+Q2-Q22 here, Q1 lives as ``agg_pricing_summary``; Q9/Q11 are adapted —
+the corpus lacks partsupp, so supply cost/value are proxied through
+part retail price and lineitem revenue while keeping each query's
+plan shape intact).
 
 The reference runs exactly one fixed query; a complete analytics engine
 must compose scans, selective filters, multi-way joins, aggregation,
@@ -1045,4 +1047,115 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             F.count(F.lit(1)).alias("numcust"),
             bal_sum.alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+SELECT n_name AS nation,
+       CAST(strftime(o_orderdate, '%Y') AS INT) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                           - 0.5 * p_retailprice * l_quantity, 4)
+                AS DECIMAL(28,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+""",
+    tags=("tpch", "join", "aggregate"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: product-type profit — a 5-way star join (lineitem to
+    part, supplier, orders, nation) with a LIKE filter on the part
+    name and profit grouped by supplier nation and order year. The
+    corpus has no partsupp table, so the original's ``ps_supplycost``
+    is proxied by half the part's retail price; the plan shape (one
+    fact table joined to four dimensions, substring filter pruning
+    the part build side before the join, two-phase aggregation on a
+    composite key) is the point. Profit terms are rounded to their
+    exact 4-decimal width and summed as DECIMAL so float order can't
+    flip the hash (functions/numeric.py).
+
+    Reference: generalizes the single hash join + SUM at
+    ``D/Program.cs:301-318`` to a multi-dimension star.
+    """
+    pin_session(spark)
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation"
+    )
+    li, p, s, o, n = (
+        t["lineitem"], t["part"], t["supplier"], t["orders"], t["nation"]
+    )
+    profit = F.round(
+        _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity"), 4
+    ).cast("decimal(28,4)")
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_name").like("%red%"))),
+                li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2)))
+              AS DOUBLE) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value
+FROM pv CROSS JOIN (SELECT SUM(value) AS total FROM pv)
+WHERE value > 0.002 * total
+""",
+    tags=("tpch", "join", "aggregate", "subquery"),
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: important-stock identification — per-part value for
+    one nation's suppliers, kept only where it exceeds a fraction of
+    the national total. The corpus lacks partsupp, so value is the
+    lineitem revenue routed through NATION_7 suppliers rather than
+    ``ps_supplycost * ps_availqty``; the shape — an aggregate reused
+    both as rows and as a scalar threshold (HAVING against a global
+    SUM) — is intact. The per-part aggregate is computed once and
+    self-joined against its own broadcast total, not recomputed; the
+    threshold double is derived identically on both engines so the
+    comparison can't straddle an ulp.
+
+    At 100 TB the pv aggregate shuffles once on l_partkey and the
+    total is a single-row broadcast — no driver collect.
+    """
+    pin_session(spark)
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    li, s, n = t["lineitem"], t["supplier"], t["nation"]
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .groupBy("l_partkey")
+        .agg(exact_decimal_sum(F.col("l_extendedprice"), 2).alias("value"))
+    )
+    total = pv.agg(F.sum("value").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.002 * F.col("total"))
+        .select("l_partkey", "value")
     )
