@@ -562,3 +562,96 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), F.col("node"))
         .limit(20)
     )
+
+
+def bfs_hops(edges: DataFrame, source, max_hops: int) -> DataFrame:
+    """Breadth-first shortest hop distances from ``source`` over an edge
+    list ``(src, dst)`` — the recursive-CTE shape Spark SQL lacks,
+    built as a bounded loop of joins (SURVEY.md §2.3 "no transitive
+    closure primitive").
+
+    Classic visited-set frontier expansion: each round joins the
+    current frontier against the edge list, anti-joins out already-
+    visited nodes, and stamps the hop count. Every step is a bounded
+    key-shuffle (frontier ⋈ edges on node id); the visited set lives
+    as a DataFrame, never on the driver, so the same loop runs on a
+    1000-executor cluster unchanged. ``localCheckpoint`` truncates
+    lineage growth per round (same discipline as pagerank above); the
+    loop exits early when a frontier comes back empty — ``isEmpty``
+    is a cheap limit-1 job, not a collect of the frontier.
+    """
+    visited = edges.sparkSession.createDataFrame(
+        [(source, 0)], "node long, dist int"
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return visited
+
+
+@register(
+    "graph_bfs_supplier_hops",
+    oracle="""
+WITH RECURSIVE sp AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+ranked AS (
+  SELECT p, s, ROW_NUMBER() OVER (PARTITION BY p ORDER BY s) AS rn FROM sp
+),
+pair AS (
+  SELECT a.s AS src, b.s AS dst FROM ranked a JOIN ranked b USING (p)
+  WHERE a.rn = 1 AND b.rn = 2
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM pair UNION ALL SELECT dst, src FROM pair)
+),
+bfs AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
+  UNION ALL
+  SELECT e.dst, bfs.dist + 1 FROM bfs JOIN edges e ON e.src = bfs.node
+  WHERE bfs.dist < 6
+)
+SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
+""",
+    tags=("iterative", "graph", "custom-operator"),
+)
+def graph_bfs_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest hop distance from supplier 1 over a sparse co-supply
+    graph: each part contributes one edge between its two lowest-key
+    suppliers (the raw shared-part graph is near-complete at this SF,
+    so the min-2 ranking is what makes distances non-trivial). The
+    DuckDB oracle is a genuine WITH RECURSIVE — the one relational
+    construct Spark has no primitive for — checked against the
+    iterative frontier loop, hop cap 6 on both sides.
+    """
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ranked = sp.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("p").orderBy("s"))
+    )
+    a = ranked.filter(F.col("rn") == 1).select("p", F.col("s").alias("src"))
+    b = ranked.filter(F.col("rn") == 2).select("p", F.col("s").alias("dst"))
+    pair = a.join(b, "p").select("src", "dst")
+    edges = (
+        pair.union(pair.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .distinct()
+    )
+    return bfs_hops(edges, source=1, max_hops=6)
