@@ -884,3 +884,78 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
         .limit(30)
     )
+
+
+@register(
+    "text_inverted_index",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT tok, doc_id, COUNT(*) AS tf FROM toks GROUP BY tok, doc_id),
+stats AS (
+  SELECT tok, COUNT(*) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY tok
+),
+capped AS (
+  SELECT tok, doc_id, tf,
+         ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+  FROM tf
+),
+postings AS (
+  SELECT tok,
+         string_agg(doc_id || ':' || tf, '|' ORDER BY doc_id) AS postings
+  FROM capped WHERE rn <= 20 GROUP BY tok
+)
+SELECT s.tok, s.doc_freq, s.total_tf, p.postings
+FROM stats s JOIN postings p USING (tok)
+WHERE s.doc_freq >= 2
+""",
+    tags=("text", "aggregate", "index", "custom-operator"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index construction: term → document frequency, corpus
+    term frequency, and a posting list of the first 20 ``doc:tf``
+    pairs by doc id — the retrieval-side primitive behind BM25/TF-IDF
+    serving and the contamination digest join.
+
+    Scale discipline: the posting cap is applied with a row_number
+    window BEFORE collect_list, so per-term state is bounded at 20
+    rows even for stopword-grade terms (collect-then-slice would
+    materialize the full million-document posting array for every hot
+    term). df/total_tf aggregate the UNCAPPED (tok, doc) table; both
+    groupBys shuffle on the same key. Postings render as a sorted
+    pipe-joined string so the driver's canonicalizer can hash them
+    (arrays are unhashable — the agg_collect_sorted lesson).
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    tf = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+    )
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    capped = tf.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 20
+    )
+    postings = capped.groupBy("tok").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                lambda s: F.concat_ws(":", s.doc_id, s.tf),
+            ),
+        ).alias("postings")
+    )
+    return (
+        stats.join(postings, "tok")
+        .filter(F.col("doc_freq") >= 2)
+        .select("tok", "doc_freq", "total_tf", "postings")
+    )
