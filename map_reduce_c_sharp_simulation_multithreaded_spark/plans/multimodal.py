@@ -1,8 +1,9 @@
 """Multimodal-column queries (LLM-pipeline surface, north star §2.4).
 
 Binary payload metadata is oracle-checked (byte length, sha256, first
-byte — all JVM-side). The mapInPandas feature extractor is rows-only
-(its decode stub is engine-specific) and pinned by pytest.
+byte — all JVM-side). The mapInPandas feature extractor's fake decode
+is sha-digest arithmetic, so it is oracle-checked too; the real decode
+stays import-gated behind ``use_real_decode``.
 """
 
 from __future__ import annotations
@@ -67,13 +68,28 @@ def arrow_batch_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # decode stub is engine-specific; pinned in pytest
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha,
+       CAST(CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 128 + 1
+            AS INT) AS width,
+       CAST(CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 128 + 1
+            AS INT) AS height,
+       CAST(CAST('0x' || substr(sha256(text), 5, 2) AS INT) % 3 + 1
+            AS INT) AS channels
+FROM documents
+""",
     tags=("multimodal", "mapInPandas", "custom-operator"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: attach binary payload → Arrow
-    mapInPandas feature extraction (deterministic fake decode; the real
-    decode is import-gated, see operators/multimodal.py)."""
+    mapInPandas feature extraction (the real decode is import-gated,
+    see operators/multimodal.py). The fake decode's pseudo-dimensions
+    are pure sha256-digest-byte arithmetic, so DuckDB reproduces them
+    exactly from the hex digest — a full cross-engine oracle over a
+    mapInPandas path (the UDF is the implementation, not the
+    contract)."""
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
     with_payload = attach_binary_payload(d, "text", "doc_id")
