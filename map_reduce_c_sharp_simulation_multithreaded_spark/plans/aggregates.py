@@ -459,3 +459,104 @@ def agg_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(p), 2).alias("max_price"),
         )
     )
+
+
+@register(
+    "agg_profile_orders_columns",
+    oracle="""
+SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_custkey) AS n_null,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+       CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus), NULL, NULL
+FROM orders
+""",
+    tags=("aggregate", "profile"),
+)
+def agg_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling: per-column row/null/distinct
+    counts and numeric min/max, emitted long-format (one row per
+    column). All columns profile in a SINGLE scan + single aggregate
+    (one struct-typed projection unpivoted with ``stack``) — the
+    profile pass a lakehouse runs before choosing join strategies and
+    NDV-based broadcast decisions; at 100 TB one pass over the fact
+    table instead of one per column is the difference between usable
+    and not.
+    """
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    prof = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("double").alias("min_ck"),
+        F.max("o_custkey").cast("double").alias("max_ck"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.round(F.min("o_totalprice"), 2).alias("min_tp"),
+        F.round(F.max("o_totalprice"), 2).alias("max_tp"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("nn_os"),
+        F.countDistinct("o_orderstatus").alias("nd_os"),
+    )
+    return prof.selectExpr(
+        """stack(3,
+             'o_custkey',    n_rows, nn_ck, nd_ck, min_ck, max_ck,
+             'o_totalprice', n_rows, nn_tp, nd_tp, min_tp, max_tp,
+             'o_orderstatus',n_rows, nn_os, nd_os,
+                             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+           AS (col, n_rows, n_null, n_distinct, min_val, max_val)"""
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+)
+WHERE rn = 1
+""",
+    tags=("aggregate", "mode", "topk"),
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a deterministic
+    value tiebreak — the argmax pattern: count-group, then
+    row_number over (count DESC, value ASC). Native ``mode()``
+    aggregates break ties engine-specifically, so the explicit window
+    is both portable and what you'd write at scale anyway (two
+    shuffles: one for the count, one for the per-group rank; the
+    second operates on the already-reduced group table).
+    """
+    pin_session(spark)
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
