@@ -438,3 +438,57 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return run_to_completion(dedup, spark, "append")
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+SELECT window_start, event_type, n
+FROM (
+  SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, COUNT(*) AS n,
+         ROW_NUMBER() OVER (
+           PARTITION BY time_bucket(INTERVAL 15 MINUTE, ts)
+           ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events
+  GROUP BY time_bucket(INTERVAL 15 MINUTE, ts), event_type
+)
+WHERE rn <= 2
+""",
+    tags=("streaming", "window", "topk", "custom-operator"),
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 event types per 15-minute tumbling window. Ranking is not
+    a streaming-supported operator (it needs the whole window's counts),
+    so this is the production two-layer shape: the STREAM maintains the
+    windowed counts incrementally (watermarked state, complete-mode
+    sink); the RANK runs as a batch window function over the
+    materialized counts — exactly what a dashboard query does over a
+    streaming-maintained aggregate table. Deterministic event_type
+    tiebreak on the rank boundary.
+    """
+    pin_session(spark)
+    from pyspark.sql import Window
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = run_to_completion(agg, spark, "complete")
+    w = Window.partitionBy("window").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+        )
+    )
