@@ -1,0 +1,110 @@
+"""Semantics tests for the late-round-2 operators: BFS hops, inverted
+index, column profiler, per-group mode, streaming windowed top-k."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+from map_reduce_c_sharp_simulation_multithreaded_spark.plans.advanced import (
+    bfs_hops,
+    graph_bfs_supplier_hops,
+)
+from map_reduce_c_sharp_simulation_multithreaded_spark.plans.aggregates import (
+    agg_mode_per_group,
+    agg_profile_orders_columns,
+)
+from map_reduce_c_sharp_simulation_multithreaded_spark.plans.streaming import (
+    stream_windowed_topk,
+)
+from map_reduce_c_sharp_simulation_multithreaded_spark.plans.text import (
+    text_inverted_index,
+)
+
+
+def test_bfs_hops_on_known_graph(spark):
+    """Path graph 1-2-3-4 plus an unreachable node: exact distances,
+    and the loop's early exit must not fabricate entries."""
+    pairs = [(1, 2), (2, 3), (3, 4), (8, 9)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    got = {r.node: r.dist for r in bfs_hops(edges, 1, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_cap_truncates(spark):
+    pairs = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: r.dist for r in bfs_hops(edges, 1, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}  # node 4 beyond the cap
+
+
+def test_bfs_supplier_hops_triangle_inequality(spark, sf_dir):
+    """Distances are BFS-consistent: every non-source node at dist d
+    has a neighbor at d-1 (spot-checked via the source row)."""
+    rows = graph_bfs_supplier_hops(spark, sf_dir).collect()
+    dists = {r.node: r.dist for r in rows}
+    assert dists[1] == 0
+    assert all(0 <= d <= 6 for d in dists.values())
+    assert sorted(set(dists.values())) == list(range(max(dists.values()) + 1))
+
+
+def test_inverted_index_postings(spark, sf_dir):
+    rows = text_inverted_index(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        posts = r.postings.split("|")
+        assert len(posts) <= 20
+        ids = [int(p.split(":")[0]) for p in posts]
+        assert ids == sorted(ids)  # doc_id-ordered
+        assert r.doc_freq >= 2
+        tfs = sum(int(p.split(":")[1]) for p in posts)
+        if r.doc_freq <= 20:  # uncapped: postings account for all tf
+            assert tfs == r.total_tf and len(posts) == r.doc_freq
+        else:
+            assert tfs < r.total_tf
+
+
+def test_profile_matches_direct_aggregates(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    prof = {r.col: r for r in agg_profile_orders_columns(spark, sf_dir).collect()}
+    n = o.count()
+    assert prof["o_custkey"].n_rows == n
+    assert prof["o_custkey"].n_null == 0
+    assert prof["o_custkey"].n_distinct == o.select("o_custkey").distinct().count()
+    assert prof["o_orderstatus"].min_val is None
+    assert prof["o_totalprice"].max_val == pytest.approx(
+        round(o.agg(F.max("o_totalprice")).first()[0], 2)
+    )
+
+
+def test_mode_per_group_matches_counter(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    rows = o.select("o_orderstatus", "o_orderpriority").collect()
+    by_status: dict[str, Counter] = {}
+    for r in rows:
+        by_status.setdefault(r.o_orderstatus, Counter())[r.o_orderpriority] += 1
+    got = {r.o_orderstatus: (r.mode_priority, r.n)
+           for r in agg_mode_per_group(spark, sf_dir).collect()}
+    for status, cnt in by_status.items():
+        best = max(cnt.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+        # deterministic tiebreak: max count, then lexicographically smallest
+        top_n = max(cnt.values())
+        candidates = sorted(k for k, v in cnt.items() if v == top_n)
+        assert got[status] == (candidates[0], top_n)
+
+
+def test_stream_windowed_topk_shape(spark, sf_dir):
+    rows = stream_windowed_topk(spark, sf_dir).collect()
+    assert rows
+    per_win: dict[str, list] = {}
+    for r in rows:
+        per_win.setdefault(r.window_start, []).append(r)
+    for win, rs in per_win.items():
+        assert len(rs) <= 2
+        ns = [r.n for r in rs]
+        assert ns == sorted(ns, reverse=True)
