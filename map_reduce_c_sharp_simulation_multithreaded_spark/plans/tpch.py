@@ -1094,9 +1094,11 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity"), 4
     ).cast("decimal(28,4)")
     return (
-        li.join(F.broadcast(p.filter(F.col("p_name").like("%red%"))),
+        # part/supplier scale with SF — no broadcast hints (AQE picks
+        # broadcast at test scale, SMJ at 100 TB); nation is bounded
+        li.join(p.filter(F.col("p_name").like("%red%")),
                 li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
@@ -1145,7 +1147,9 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
     li, s, n = t["lineitem"], t["supplier"], t["nation"]
     pv = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier scales with SF — unhinted (AQE broadcasts at test
+        # scale); the single-nation filter is on the bounded dim
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(
             F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
             s.s_nationkey == n.n_nationkey,
