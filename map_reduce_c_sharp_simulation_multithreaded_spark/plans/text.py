@@ -685,9 +685,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) joined and window-ranked; the keyword-extraction primitive
     for corpus curation.
 
-    Scale + float shape: DF is tiny (vocabulary-sized) so its join
-    side broadcasts; the corpus-size scalar rides a broadcast cross
-    join, not a collect. Scores are rounded to 6 BEFORE the ranking
+    Scale + float shape: the DF table is vocabulary-sized — small
+    here, but web-scale corpora grow vocabularies into the hundreds of
+    millions, so the join is unhinted (AQE broadcasts while it fits,
+    shuffles when it doesn't); the corpus-size scalar rides a
+    broadcast cross join, not a collect. Scores are rounded to 6 BEFORE the ranking
     window with a term tiebreak, so a last-ulp difference between the
     two engines' ln() cannot flip a rank (the inputs to ln are exact
     small-integer ratios, identical on both sides).
@@ -703,7 +705,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("double").alias("n")
     )
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(nn))
         .select(
             "doc_id",
@@ -785,7 +787,8 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pair").desc(), F.col("w2")
     )
     return (
-        c2.join(F.broadcast(c1), "w1")
+        # c1 is vocabulary-sized — unhinted, AQE decides
+        c2.join(c1, "w1")
         .select(
             "w1",
             "w2",
@@ -877,8 +880,9 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        c2.join(F.broadcast(m1), "w1")
-        .join(F.broadcast(m2), "w2")
+        # m1/m2 are vocabulary-sized — unhinted, AQE decides
+        c2.join(m1, "w1")
+        .join(m2, "w2")
         .crossJoin(F.broadcast(nn))
         .select("w1", "w2", "n_pair", pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))

@@ -530,8 +530,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ps_supplycost").alias("min_cost"))
     )
     return (
+        # min_cost scales with part — unhinted (AQE broadcasts at
+        # test scale, shuffles at 100 TB)
         ps_eu.join(
-            F.broadcast(min_cost),
+            min_cost,
             (F.col("ps_partkey") == F.col("mc_partkey"))
             & (F.col("ps_supplycost") == F.col("min_cost")),
         )
@@ -595,8 +597,9 @@ def tpch_q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
     ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     excess = (
+        # the filtered part set scales with SF — no broadcast hint
         li.join(
-            F.broadcast(p.filter(F.col("p_name").like("%widget%"))),
+            p.filter(F.col("p_name").like("%widget%")),
             li.l_partkey == p.p_partkey,
             "left_semi",
         )
@@ -752,7 +755,8 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+        # filtered part scales with SF — unhinted
+        .join(p.filter(F.col("p_type") == "ECONOMY"),
               li.l_partkey == p.p_partkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
@@ -896,7 +900,8 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#3")),
+        # filtered part scales with SF — unhinted
+        li.join(p.filter(F.col("p_brand") == "Brand#3"),
                 li.l_partkey == p.p_partkey)
         .join(qa, F.col("ap_partkey") == li.l_partkey)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
