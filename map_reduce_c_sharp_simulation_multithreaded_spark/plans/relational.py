@@ -207,3 +207,83 @@ def having_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_lines") > 50) & (F.col("qty") > 1000.5))
     )
+
+
+@register(
+    "quality_constraint_audit",
+    oracle="""
+SELECT 'orders_fk_customer' AS check_name,
+       (SELECT COUNT(*) FROM orders) AS n_checked,
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_violations
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL
+SELECT 'orders_positive_totalprice',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders WHERE NOT (o_totalprice > 0.0))
+UNION ALL
+SELECT 'lineitem_discount_range',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem
+        WHERE NOT (l_discount >= 0.0 AND l_discount <= 0.2))
+UNION ALL
+SELECT 'documents_nonempty_text',
+       (SELECT COUNT(*) FROM documents),
+       (SELECT COUNT(*) FROM documents
+        WHERE text IS NULL OR length(text) = 0)
+""",
+    tags=("quality", "join", "aggregate", "custom-operator"),
+)
+def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style data-quality audit: referential-integrity checks
+    (left-anti joins, the scalable NOT IN for non-null keys), range
+    constraints, and non-empty checks, each reported as
+    (check, n_checked, n_violations). Row-level predicates fold into
+    each table's single scan (one count + one conditional count);
+    every FK check is one anti-join — the generalization of the
+    reference's throw-on-missing-key probe (``D/Program.cs:310``)
+    into a reporting operator instead of a crash.
+    """
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, table: DataFrame, violations: DataFrame) -> DataFrame:
+        # both sides reduce to one row; no .count() action at plan-build
+        # time (the anti-pattern: a Spark job before the returned
+        # DataFrame's own action)
+        nc = table.agg(F.count(F.lit(1)).alias("n_checked"))
+        nv = violations.agg(F.count(F.lit(1)).alias("n_violations"))
+        return nv.crossJoin(F.broadcast(nc)).select(
+            F.lit(name).alias("check_name"), "n_checked", "n_violations"
+        )
+
+    fk_oc = check(
+        "orders_fk_customer", o,
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+    )
+    fk_lo = check(
+        "lineitem_fk_orders", li,
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+    )
+    rng_tp = check(
+        "orders_positive_totalprice", o,
+        o.filter(~(F.col("o_totalprice") > 0.0)),
+    )
+    rng_disc = check(
+        "lineitem_discount_range", li,
+        li.filter(
+            ~((F.col("l_discount") >= 0.0) & (F.col("l_discount") <= 0.2))
+        ),
+    )
+    empty_doc = check(
+        "documents_nonempty_text", d,
+        d.filter(F.col("text").isNull() | (F.length("text") == 0)),
+    )
+    return fk_oc.union(fk_lo).union(rng_tp).union(rng_disc).union(empty_doc)

@@ -313,3 +313,45 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sess_id").cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ROUND(quantile_cont(o_totalprice, 0.5) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_median
+FROM orders
+""",
+    tags=("window", "percentile", "custom-operator"),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of each customer's last 4 order totals — the
+    windowed-percentile operator Spark has no primitive for (built-in
+    ``median``/``percentile`` are group aggregates; they cannot run
+    over a sliding frame). Built as collect_list over the bounded
+    frame → sort_array → midpoint interpolation, exactly DuckDB's
+    ``quantile_cont(0.5)``: state per row is the 4-element frame, so
+    the trick stays O(frame) at any scale — it would NOT be safe for
+    unbounded frames, which need a two-pass or sketch approach.
+
+    Float discipline: both engines interpolate from the same two
+    doubles; ROUND(...,4) absorbs the ulp between ``(a+b)/2`` and
+    ``a+(b-a)*0.5`` (true medians of 2-decimal prices have ≤3
+    decimals, so nothing sits on the 4-decimal rounding boundary).
+    The frame membership itself is deterministic via the
+    (o_orderdate, o_orderkey) tiebreak.
+    """
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-3, 0)
+    arr = F.sort_array(F.collect_list("o_totalprice").over(w))
+    n = F.size(arr)
+    lower = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    upper = F.element_at(arr, ((n + 2) / 2).cast("int"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round((lower + upper) / 2, 4).alias("rolling_median"),
+    )
