@@ -655,3 +655,50 @@ def graph_bfs_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bfs_hops(edges, source=1, max_hops=6)
+
+
+@register(
+    "pandas_udaf_weighted_avg",
+    oracle="""
+SELECT c_nationkey,
+       ROUND(SUM(o_totalprice * (c_acctbal + 5000.0))
+             / SUM(c_acctbal + 5000.0), 4) AS w_avg_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_nationkey
+""",
+    tags=("udf", "pandas", "udaf", "custom-operator"),
+)
+def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (true UDAF surface): per-nation
+    order value weighted by shifted account balance. One Arrow batch
+    per group feeds a scalar-returning pandas function — the UDAF
+    registration Spark exposes for custom aggregates (PandasUDFType
+    GROUPED_AGG); the semantics stay SQL-expressible so the oracle is
+    full. Weights are shifted +5000 to keep the denominator away from
+    zero on any corpus.
+
+    Numeric note: numpy sums pairwise (not sequential), but the
+    ROUND(...,4) on a ratio of magnitude ~1e5 absorbs summation-order
+    ulps on both engines.
+
+    At 100 TB: grouped-agg UDFs shuffle each group to one executor —
+    fine for bounded groups (25 nations); for high-cardinality keys
+    you'd pre-reduce with builtin partial aggs instead (the pattern
+    every other aggregate here uses).
+    """
+    pin_session(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def w_avg(price: pd.Series, weight: pd.Series) -> float:
+        return float((price * weight).sum() / weight.sum())
+
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .withColumn("w", F.col("c_acctbal") + 5000.0)
+        .groupBy("c_nationkey")
+        .agg(F.round(w_avg(F.col("o_totalprice"), F.col("w")), 4)
+             .alias("w_avg_price"))
+    )

@@ -91,7 +91,6 @@ def test_mode_per_group_matches_counter(spark, sf_dir):
     got = {r.o_orderstatus: (r.mode_priority, r.n)
            for r in agg_mode_per_group(spark, sf_dir).collect()}
     for status, cnt in by_status.items():
-        best = max(cnt.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
         # deterministic tiebreak: max count, then lexicographically smallest
         top_n = max(cnt.values())
         candidates = sorted(k for k, v in cnt.items() if v == top_n)
@@ -108,3 +107,67 @@ def test_stream_windowed_topk_shape(spark, sf_dir):
         assert len(rs) <= 2
         ns = [r.n for r in rs]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_rolling_median_small_frames(spark, sf_dir):
+    """First row of each customer = its own price; frame never exceeds
+    4 elements; median bounded by frame min/max."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.windows import (
+        window_rolling_median,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    first = {
+        r.o_custkey: (r.o_orderkey, round(r.o_totalprice, 4))
+        for r in o.orderBy("o_orderdate", "o_orderkey")
+        .dropDuplicates(["o_custkey"])
+        .collect()
+    }
+    got = {r.o_orderkey: r.rolling_median
+           for r in window_rolling_median(spark, sf_dir).collect()}
+    for ck, (ok, price) in first.items():
+        assert got[ok] == pytest.approx(price)
+
+
+def test_quality_audit_clean_corpus(spark, sf_dir):
+    """The generated corpus satisfies FK integrity and range bounds;
+    the audit must report zero violations with full n_checked."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.relational import (
+        quality_constraint_audit,
+    )
+
+    rows = {r.check_name: r for r in quality_constraint_audit(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "orders_fk_customer", "lineitem_fk_orders",
+        "orders_positive_totalprice", "lineitem_discount_range",
+        "documents_nonempty_text",
+    }
+    o_n = load_table(spark, sf_dir, "orders").count()
+    assert rows["orders_fk_customer"].n_checked == o_n
+    for r in rows.values():
+        assert r.n_violations == 0
+
+
+def test_pandas_udaf_matches_builtin(spark, sf_dir):
+    """The grouped-agg pandas UDAF equals the builtin-expression
+    weighted average (up to the shared rounding)."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.advanced import (
+        pandas_udaf_weighted_avg,
+    )
+
+    got = {r.c_nationkey: r.w_avg_price
+           for r in pandas_udaf_weighted_avg(spark, sf_dir).collect()}
+    t = load_table(spark, sf_dir, "customer").join(
+        load_table(spark, sf_dir, "orders"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).withColumn("w", F.col("c_acctbal") + 5000.0)
+    want = {
+        r.c_nationkey: round(r.num / r.den, 4)
+        for r in t.groupBy("c_nationkey")
+        .agg(F.sum(F.col("o_totalprice") * F.col("w")).alias("num"),
+             F.sum("w").alias("den"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=2e-4)
