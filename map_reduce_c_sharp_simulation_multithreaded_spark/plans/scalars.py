@@ -277,3 +277,43 @@ def scalar_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
     )
+
+
+@register(
+    "scalar_higher_order_pack",
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+       len(list_filter(embedding, x -> abs(x) >= 2.0)) > 0 AS any_big,
+       len(list_filter(embedding, x -> abs(x) >= 1e6)) = 0 AS all_small,
+       ROUND(list_aggregate(
+         list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'sum'),
+         3) AS l1_norm
+FROM embeddings
+""",
+    tags=("scalar", "array", "higher-order"),
+)
+def scalar_higher_order_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas the array pack doesn't cover:
+    ``filter`` (positive-element count), ``exists`` (any |x| ≥ 2),
+    ``forall`` (all |x| < 1e6), and an abs-fold L1 norm — all
+    codegen'd JVM expressions over the float vector, zero Python.
+    Elements cast to double before the fold so both engines sum in
+    the same precision; ROUND(,3) matches the established vector-sum
+    discipline.
+    """
+    pin_session(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.exists(emb, lambda x: F.abs(x) >= 2.0).alias("any_big"),
+        F.forall(emb, lambda x: F.abs(x) < 1e6).alias("all_small"),
+        F.round(
+            F.aggregate(
+                emb, F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+            ),
+            3,
+        ).alias("l1_norm"),
+    )
