@@ -34,6 +34,9 @@ EXTRA_BENCH = (
     "tpch_q8_market_share",
     "tpch_q21_waiting_suppliers",
     "contamination_eval_overlap",
+    # late round-2: shuffle-heavy text + bounded-frame window shapes
+    "text_inverted_index",
+    "window_rolling_median",
 )
 
 

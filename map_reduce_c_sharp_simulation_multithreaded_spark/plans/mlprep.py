@@ -287,3 +287,95 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(err, 9).alias("max_abs_err"),
     )
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=r"""
+WITH feat AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t <> '')) AS n_toks,
+         CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   t -> t <> '')) > 0
+              THEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                        t -> lower(t) IN ('the','a','and','of','to')))
+                        AS DOUBLE)
+                   / len(list_filter(string_split_regex(trim(text), '\s+'),
+                                     t -> t <> ''))
+              ELSE 0.0 END AS sw_ratio
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, lang, n_toks,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[.!?,;:]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+  FROM feat
+  WHERE n_toks >= 15 AND sw_ratio >= 0.02
+),
+dedup AS (
+  SELECT doc_id, lang, n_toks,
+         COUNT(*) OVER (PARTITION BY fp) AS n_dups,
+         MIN(doc_id) OVER (PARTITION BY fp) AS canon
+  FROM kept
+)
+SELECT doc_id, lang, CAST(n_toks AS INT) AS n_toks,
+       CAST(n_dups AS INT) AS n_dups,
+       CASE WHEN substr(md5('doc:' || doc_id), 1, 1) IN
+                 ('0','1','2','3','4','5','6','7','8','9','a','b','c')
+            THEN 'train' ELSE 'eval' END AS split
+FROM dedup
+WHERE doc_id = canon
+""",
+    tags=("mlprep", "dedup", "quality", "split", "custom-operator"),
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline as ONE composed plan: quality gate
+    (token count + stopword ratio) → normalization-fingerprint dedup
+    keeping the lowest doc_id per group → deterministic content-hash
+    train/eval split — the minimal version of what a training-data
+    pipeline runs nightly, and the proof that this engine's operators
+    compose (each stage is also exercised standalone:
+    ``text_quality_score``, ``text_fingerprint_groups``,
+    ``split_train_test_hash``).
+
+    One plan, two shuffles at scale (the fp window; everything else is
+    row-local); Catalyst pipelines the gate into the scan. The split
+    decision is a pure row hash — rerun-stable across engines and
+    cluster sizes.
+    """
+    pin_session(spark)
+    from ..operators.text import fingerprint, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_toks = F.size(toks)
+    sw = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin("the", "a", "and", "of", "to"))
+    )
+    sw_ratio = F.when(n_toks > 0, sw.cast("double") / n_toks).otherwise(0.0)
+    kept = (
+        d.withColumn("n_toks", n_toks)
+        .withColumn("sw_ratio", sw_ratio)
+        .filter((F.col("n_toks") >= 15) & (F.col("sw_ratio") >= 0.02))
+        .select("doc_id", "lang", "n_toks", fingerprint(F.col("text")).alias("fp"))
+    )
+    wfp = Window.partitionBy("fp")
+    dedup = kept.withColumn("n_dups", F.count(F.lit(1)).over(wfp)).withColumn(
+        "canon", F.min("doc_id").over(wfp)
+    )
+    split = F.when(
+        F.substring(F.md5(F.concat(F.lit("doc:"), F.col("doc_id"))), 1, 1)
+        < F.lit("d"),
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    return (
+        dedup.filter(F.col("doc_id") == F.col("canon"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_toks").cast("int").alias("n_toks"),
+            F.col("n_dups").cast("int").alias("n_dups"),
+            split.alias("split"),
+        )
+    )
