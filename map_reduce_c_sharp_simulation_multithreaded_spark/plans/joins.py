@@ -264,3 +264,43 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "join_fuzzy_levenshtein",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name AS nm FROM part)
+SELECT a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+FROM names a JOIN names b
+  ON split_part(a.nm, ' ', 2) = split_part(b.nm, ' ', 2)
+ AND a.nm < b.nm
+WHERE levenshtein(a.nm, b.nm) <= 2
+""",
+    tags=("join", "fuzzy", "entity-resolution", "custom-operator"),
+)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: near-identical part names
+    within edit distance 2, BLOCKED on the name's second token so the
+    O(n²) all-pairs comparison becomes per-block quadratic — the
+    classic record-linkage shape (block → compare → threshold). The
+    equi-join on the block key shuffles once; levenshtein runs only
+    inside blocks; `a < b` halves the symmetric pairs. At 100 TB the
+    same plan holds as long as blocks stay bounded (choose blocking
+    keys accordingly — e.g. sorted-token prefix or phonetic key).
+    """
+    pin_session(spark)
+    p = load_tables(spark, sf_dir, "part")["part"]
+    names = p.select(F.col("p_name").alias("nm")).distinct()
+    block = lambda c: F.element_at(F.split(c, " "), 2)  # noqa: E731
+    a = names.select(F.col("nm").alias("name_a"),
+                     block(F.col("nm")).alias("blk"))
+    b = names.select(F.col("nm").alias("name_b"),
+                     block(F.col("nm")).alias("blk"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
+    )

@@ -355,3 +355,47 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round((lower + upper) / 2, 4).alias("rolling_median"),
     )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+WITH rev AS (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(28,2)))
+              AS DOUBLE) AS nation_rev
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_nationkey
+)
+SELECT c_nationkey, nation_rev,
+       ROUND(nation_rev / SUM(nation_rev) OVER (), 6) AS share
+FROM rev
+""",
+    tags=("window", "ratio"),
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each nation's revenue share
+    via an unbounded empty-partition window over the aggregate — one
+    extra single-row-broadcast exchange on top of the groupBy, never a
+    driver collect. The denominator sums the already-exact decimal
+    nation revenues, so both engines divide identical doubles;
+    ROUND(,6) absorbs the final division ulp.
+    """
+    pin_session(spark)
+    from ..functions.numeric import exact_decimal_sum
+
+    t = load_table(spark, sf_dir, "customer").join(
+        load_table(spark, sf_dir, "orders"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    rev = t.groupBy("c_nationkey").agg(
+        exact_decimal_sum(F.col("o_totalprice"), 2).alias("nation_rev")
+    )
+    w = W.partitionBy()
+    return rev.select(
+        "c_nationkey",
+        "nation_rev",
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias(
+            "share"
+        ),
+    )
