@@ -171,3 +171,66 @@ def test_pandas_udaf_matches_builtin(spark, sf_dir):
     assert set(got) == set(want)
     for k in got:
         assert got[k] == pytest.approx(want[k], abs=2e-4)
+
+
+def test_curation_pipeline_invariants(spark, sf_dir):
+    """Survivors pass the gates, are fingerprint-canonical, and the
+    split is the deterministic content hash."""
+    import hashlib
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.mlprep import (
+        pipeline_curate_corpus,
+    )
+
+    rows = pipeline_curate_corpus(spark, sf_dir).collect()
+    assert rows
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) < n_docs  # gates + dedup actually dropped rows
+    for r in rows:
+        assert r.n_toks >= 15
+        assert r.n_dups >= 1
+        want = ("train"
+                if hashlib.md5(f"doc:{r.doc_id}".encode()).hexdigest()[0] < "d"
+                else "eval")
+        assert r.split == want
+
+
+def test_fuzzy_join_pairs_are_close_and_blocked(spark, sf_dir):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.joins import (
+        join_fuzzy_levenshtein,
+    )
+
+    rows = join_fuzzy_levenshtein(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert 1 <= r.dist <= 2
+        # blocked: same second token
+        assert r.name_a.split(" ")[1] == r.name_b.split(" ")[1]
+
+
+def test_higher_order_pack_consistency(spark, sf_dir):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.scalars import (
+        scalar_higher_order_pack,
+    )
+
+    emb = {r.vec_id: r.embedding
+           for r in load_table(spark, sf_dir, "embeddings").collect()}
+    for r in scalar_higher_order_pack(spark, sf_dir).collect():
+        v = emb[r.vec_id]
+        assert r.n_pos == sum(1 for x in v if x > 0)
+        assert r.any_big == any(abs(x) >= 2.0 for x in v)
+        assert r.all_small is True
+        assert r.l1_norm == pytest.approx(sum(abs(x) for x in v), abs=2e-3)
+
+
+def test_ratio_to_report_sums_to_one(spark, sf_dir):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.windows import (
+        window_ratio_to_report,
+    )
+
+    rows = window_ratio_to_report(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert 0.0 < r.share < 1.0
