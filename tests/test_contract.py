@@ -73,3 +73,16 @@ def test_stateful_totals_multibatch(spark, tmp_path):
         .collect()
     }
     assert final == expect
+
+
+def test_declared_schemas_match_corpus(spark, sf_dir):
+    """Every declared StructType matches what catalog.load_table yields
+    on the current corpus — catches silent testdata-generation drift
+    (events.ts has already shipped as nanos-long AND micros-NTZ; date
+    columns went tz → tz-naive between generations)."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark import schemas
+    from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+
+    for name in schemas.TABLE_NAMES:
+        got = load_table(spark, sf_dir, name).schema
+        assert got == schemas.TABLE_SCHEMAS[name], name
