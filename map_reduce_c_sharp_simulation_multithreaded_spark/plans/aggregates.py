@@ -560,3 +560,81 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "agg_stats_correlation",
+    oracle="""
+WITH j AS (
+  SELECT c_nationkey,
+         ROUND(o_totalprice, 2) AS x, ROUND(c_acctbal, 2) AS y
+  FROM customer JOIN orders ON c_custkey = o_custkey
+),
+s AS (
+  SELECT c_nationkey,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * y, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ROUND(x * x, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(y * y, 4) AS DECIMAL(28,4))) AS DOUBLE) AS syy
+  FROM j GROUP BY c_nationkey
+)
+SELECT c_nationkey, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+         AS intercept,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy
+FROM s
+""",
+    tags=("aggregate", "statistics"),
+)
+def agg_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — per-nation least-squares slope,
+    intercept, and Pearson correlation of order value vs account
+    balance — computed from DECIMAL-EXACT component sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) rather than the engines' own corr()/regr_*()
+    kernels: component sums are order-independent and bit-identical
+    across engines, so the derived statistics are too (both engines
+    then run the same double formula on the same inputs). This is
+    also the single-pass map-side-combinable shape you'd want at
+    100 TB — one scan, six partial aggregates, no second pass.
+    """
+    pin_session(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_nationkey",
+            F.round("o_totalprice", 2).alias("x"),
+            F.round("c_acctbal", 2).alias("y"),
+        )
+    )
+
+    def dsum(col, dec):
+        return F.sum(F.round(col, dec).cast(f"decimal(28,{dec})")).cast("double")
+
+    s = j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x"), 2).alias("sx"),
+        dsum(F.col("y"), 2).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 4).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 4).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 4).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "c_nationkey",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_xy"),
+    )
