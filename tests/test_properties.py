@@ -182,3 +182,40 @@ def test_zorder_key_is_bijective(spark, pts):
         assert deinterleave(r.z) == (r.x, r.y)
     # distinct inputs -> distinct keys
     assert len({r.z for r in rows}) == len(rows)
+
+
+# random sparse digraphs as edge lists over a small node universe
+EDGE = st.tuples(st.integers(1, 12), st.integers(1, 12)).filter(
+    lambda e: e[0] != e[1]
+)
+GRAPH = st.lists(EDGE, min_size=1, max_size=30, unique=True)
+
+
+def _py_bfs(edges: list[tuple[int, int]], src: int, cap: int) -> dict[int, int]:
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    dist = {src: 0}
+    frontier = [src]
+    for hop in range(1, cap + 1):
+        nxt = sorted(
+            {d for n in frontier for d in adj.get(n, ()) if d not in dist}
+        )
+        if not nxt:
+            break
+        for n in nxt:
+            dist[n] = hop
+        frontier = nxt
+    return dist
+
+
+@given(GRAPH)
+@SLOW
+def test_bfs_matches_python_model(spark, graph):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.advanced import (
+        bfs_hops,
+    )
+
+    edges = spark.createDataFrame(graph, "src long, dst long")
+    got = {r.node: r.dist for r in bfs_hops(edges, 1, max_hops=6).collect()}
+    assert got == _py_bfs(graph, 1, cap=6)
