@@ -287,3 +287,45 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("text").isNull() | (F.length("text") == 0)),
     )
     return fk_oc.union(fk_lo).union(rng_tp).union(rng_disc).union(empty_doc)
+
+
+@register(
+    "join_lateral_top_order",
+    oracle="""
+SELECT c_custkey, t.o_orderkey AS top_orderkey,
+       ROUND(t.o_totalprice, 2) AS top_price
+FROM customer,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 1
+) t
+""",
+    tags=("join", "lateral", "subquery"),
+)
+def join_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — each customer's single most
+    expensive order, written as the SQL a warehouse user actually
+    types. Catalyst decorrelates the per-row ORDER BY ... LIMIT 1
+    into a window/aggregate plan rather than executing it per
+    customer row, which is exactly why declaring the plan beats
+    hand-scheduling it (the reference would have needed another
+    worker loop). Price tiebreak on o_orderkey keeps the winner
+    deterministic across engines.
+    """
+    pin_session(spark)
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql("""
+        SELECT c_custkey, t.o_orderkey AS top_orderkey,
+               ROUND(t.o_totalprice, 2) AS top_price
+        FROM customer,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 1
+        ) t
+    """)
