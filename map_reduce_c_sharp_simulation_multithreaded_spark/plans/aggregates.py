@@ -638,3 +638,31 @@ def agg_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_xy"),
     )
+
+
+@register(
+    "agg_cube_grouping_id",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("aggregate", "cube", "grouping"),
+)
+def agg_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() indicators — the only way a consumer can
+    tell a subtotal row's NULL from a genuine NULL group key (the
+    practical usability gap in every bare cube/rollup result). Same
+    single-pass expand-aggregate plan as ``agg_cube``; the indicator
+    is metadata Catalyst carries through the expansion for free.
+    """
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
