@@ -234,3 +234,42 @@ def test_ratio_to_report_sums_to_one(spark, sf_dir):
     assert sum(r.share for r in rows) == pytest.approx(1.0, abs=1e-4)
     for r in rows:
         assert 0.0 < r.share < 1.0
+
+
+def test_runtime_bloom_filter_engages(spark, sf_dir):
+    """100 TB posture evidence: with broadcast off (both sides 'big'),
+    Catalyst injects a runtime bloom filter from the selective dim
+    side into the fact scan — row-level semi-join pushdown that cuts
+    shuffle input before the SortMergeJoin. Thresholds are lowered to
+    sf-test sizes; conf state is restored for the shared session."""
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set(keys[0], "true")
+        spark.conf.set(keys[1], "10MB")
+        spark.conf.set(keys[2], "1KB")
+        spark.conf.set(keys[3], "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+        j = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloom" in plan or "might_contain" in plan
+        # and the filtered result is still correct
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
