@@ -328,3 +328,66 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("obs_day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "events_longest_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INT) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS streak_len,
+         strftime(MIN(d), '%Y-%m-%d') AS streak_start
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, streak_len, streak_start
+FROM (
+  SELECT user_id, streak_len, streak_start,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY streak_len DESC, streak_start) AS rn
+  FROM streaks
+)
+WHERE rn = 1
+""",
+    tags=("events", "window", "gaps-islands"),
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days — the classic streak query (date minus row_number is constant
+    within an island). Distinct-days first, so the island key never
+    sees intra-day duplicates; earliest streak wins length ties. Two
+    window passes over the same user_id partitioning — Catalyst reuses
+    one shuffle for both.
+    """
+    pin_session(spark)
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    isl = days.withColumn(
+        "island", F.date_sub(F.col("d"), rn)
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    pick = F.row_number().over(
+        W.partitionBy("user_id").orderBy(
+            F.col("streak_len").desc(), F.col("streak_start")
+        )
+    )
+    return (
+        streaks.withColumn("rn", pick)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_len", "streak_start")
+    )

@@ -963,3 +963,88 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_freq") >= 2)
         .select("tok", "doc_freq", "total_tf", "postings")
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle=r"""
+WITH tf AS (
+  SELECT tok, COUNT(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+  ) GROUP BY tok
+),
+ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM tf
+),
+pts AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+  FROM ranked WHERE rank <= 50
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts
+)
+SELECT CAST((SELECT COUNT(*) FROM tf) AS BIGINT) AS n_vocab,
+       CAST((SELECT SUM(freq) FROM tf) AS BIGINT) AS n_tokens,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM s
+""",
+    tags=("text", "statistics", "aggregate"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics audit: vocabulary size, token count, and the
+    least-squares slope of log(freq) vs log(rank) over the top-50
+    terms — the Zipf exponent a curation pipeline tracks to detect
+    template/boilerplate contamination (natural text ≈ -1; generated
+    or deduplicated-to-death corpora drift). Slope from component
+    sums over 50 points (libm-ulp input noise is ~1e-16 relative,
+    invisible at ROUND 6); top-50 membership is deterministic via the
+    (freq DESC, tok) tiebreak.
+    """
+    pin_session(spark)
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    totals = tf.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("freq").alias("n_tokens"),
+    )
+    # top-50 via orderBy().limit() = TakeOrderedAndProject (per-partition
+    # heaps, driver merges 50 rows) — NOT a global row_number window,
+    # which would drag the whole vocabulary through one partition; the
+    # rank window then runs over just the 50 survivors
+    top50 = tf.orderBy(F.col("freq").desc(), F.col("tok")).limit(50)
+    rank = F.row_number().over(
+        W.orderBy(F.col("freq").desc(), F.col("tok"))
+    )
+    pts = (
+        top50.withColumn("rank", rank)
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    return s.crossJoin(F.broadcast(totals)).select(
+        "n_vocab", "n_tokens", slope.alias("zipf_slope")
+    )
