@@ -96,10 +96,14 @@ def _load_all_plan_modules() -> None:
 # pii, tfidf, bigram LM, countmin, histogram, contamination, span
 # dedup, simhash band pairs, int8 quant, zorder, label centroids,
 # weighted sample, directed pagerank, q4/q6/q8/q13/q15/q17/q21/q22,
-# events funnel/cohort/ttc/transitions/wau, and the late-round-2 adds
-# q9/q11, BFS hops, inverted index, decode-features oracle). That is
-# ~49 queries for a 50-slot window — fill the remainder with the
-# oldest green entries.
+# events funnel/cohort/ttc/transitions/wau, and the late-round-2 adds:
+# q9/q11, BFS hops, inverted index, decode-features oracle, profiler,
+# mode, stats-correlation, grouping-id cube, pandas UDAF, higher-order
+# pack, rolling median, ratio-to-report, fuzzy join, lateral top-1,
+# curation pipeline, constraint audit, stream topk, streaks, zipf).
+# That is ~60 candidates for the 50-slot window — prioritize the
+# late-round-2 adds (never driver-checked) plus the r1 oracle gains,
+# and rotate the remainder into round 4.
 DRIVER_WINDOW: tuple[str, ...] = (
     # repaired this round — need a green row to clear round-1 marks
     "agg_collect_sorted",
