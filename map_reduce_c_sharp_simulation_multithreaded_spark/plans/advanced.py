@@ -702,3 +702,49 @@ def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(w_avg(F.col("o_totalprice"), F.col("w")), 4)
              .alias("w_avg_price"))
     )
+
+
+@register(
+    "pysource_synthetic_agg",
+    oracle="""
+SELECT CAST(i % 7 AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(SUM(((i * 2654435761) % 1000) / 10.0), 2) AS sum_v,
+       CAST(MIN(i) AS BIGINT) AS min_id,
+       CAST(MAX(i) AS BIGINT) AS max_id
+FROM range(10000) t(i)
+GROUP BY 1
+""",
+    tags=("source", "datasource", "custom-operator"),
+)
+def pysource_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PARTITIONED Python Data Source (Spark 4
+    ``pyspark.sql.datasource``) — the pluggable-source surface, read
+    through the planner's partitions()/read() contract (8 parallel
+    splits, executor-side generators, no driver rows) and aggregated.
+    The source's deterministic hash stream lets DuckDB reproduce the
+    identical rows from ``range()``, so even the extension-API path is
+    oracle-checked. Values are exact multiples of 0.1 summed as
+    doubles; ROUND(,2) absorbs the binary-fraction accumulation noise
+    on both engines identically.
+
+    Reference parity: ``partitions()``/``read(split)`` is the
+    reference's split-files + per-worker reader
+    (``D/Program.cs:63-149,346-372``) as a formal API.
+    """
+    pin_session(spark)
+    from ..sources.python_source import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("rows", "10000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy((F.col("id") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
