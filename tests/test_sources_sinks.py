@@ -171,3 +171,31 @@ def test_bucket_pruning_reads_single_bucket(spark, sf_dir):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
         )
         spark.sql("DROP TABLE IF EXISTS bp_orders")
+
+
+def test_custom_python_sink_two_phase_commit(spark, tmp_path):
+    """Spark 4 Python Data Source writer: per-task write() messages are
+    aggregated by commit() and published atomically — totals must
+    equal the (deterministic) source stream, task count must equal
+    the source's partition count."""
+    import json
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.sources.python_source import (
+        KNUTH,
+        register_counting_sink,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    register_counting_sink(spark)
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("rows", "1000").option("partitions", "8").load()
+    )
+    out = tmp_path / "sink"
+    df.write.format("counting_sink").option("path", str(out)).mode(
+        "append"
+    ).save()
+    got = json.loads((out / "summary.json").read_text())
+    want_sum = round(sum(((i * KNUTH) % 1000) / 10.0 for i in range(1000)), 2)
+    assert got == {"n_rows": 1000, "v_sum": want_sum, "n_tasks": 8}
