@@ -618,8 +618,10 @@ edges AS (
     SELECT src, dst FROM pair UNION ALL SELECT dst, src FROM pair)
 ),
 bfs AS (
+  -- UNION (not ALL): dedup (node, dist) states per step, else the
+  -- recursion enumerates PATHS and goes exponential on dense graphs
   SELECT CAST(1 AS BIGINT) AS node, 0 AS dist
-  UNION ALL
+  UNION
   SELECT e.dst, bfs.dist + 1 FROM bfs JOIN edges e ON e.src = bfs.node
   WHERE bfs.dist < 6
 )
