@@ -64,7 +64,13 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
        COUNT(*) AS n,
-       ROUND(ROUND(SUM(value), 2) / COUNT(*), 4) AS avg_value
+       -- integer-exact average scaled by 1e4: cents = the decimal-exact
+       -- sum in integer cents, avg_e4 = (cents*100) DIV n. All-integer,
+       -- so no engine can land on a float rounding boundary (found at
+       -- sf0.1: round(sum,2)/16 = 44.01125, an exact round-4 tie that
+       -- Spark HALF_UP and DuckDB break differently)
+       CAST(ROUND(ROUND(SUM(value), 2) * 100, 0) AS BIGINT) * 100
+         // COUNT(*) AS avg_e4
 FROM (
   SELECT value,
          unnest([time_bucket(INTERVAL 5 MINUTE, ts),
@@ -80,25 +86,27 @@ def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows; the oracle unrolls the same two bucket starts per event."""
     pin_session(spark)
     ev = events_stream(spark, sf_dir)
-    # avg is computed as round(sum,2)/n: rounding the SUM first pins both
-    # engines to the identical double before the division, so a window
-    # whose count is a power of two cannot land avg exactly on a rounding
-    # boundary with opposite ulp signs (observed with AVG at sf0.01)
+    # integer-exact average: the 2-decimal window sum becomes integer
+    # cents (round-then-cast — double→long CAST truncates in Spark and
+    # rounds in DuckDB, so round first), and avg×1e4 is (cents*100) div
+    # n — all-integer, immune to the float rounding-boundary ties that
+    # round(sum,2)/n hits when n divides a power of 10 (observed at
+    # sf0.1 with n=16: an exact .00005 boundary broken differently by
+    # the two engines)
+    cents = F.round(F.round(F.sum("value"), 2) * 100, 0).cast("long")
     agg = (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes", "5 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias(
-                "avg_value"
-            ),
+            (cents * 100).alias("_c100"),
         )
     )
     out = run_to_completion(agg, spark, "complete")
     return out.select(
         F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "n",
-        "avg_value",
+        F.expr("_c100 div n").alias("avg_e4"),
     )
 
 
