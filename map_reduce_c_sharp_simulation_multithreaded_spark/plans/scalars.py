@@ -317,3 +317,42 @@ def scalar_higher_order_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("l1_norm"),
     )
+
+
+@register(
+    "scalar_try_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0.0 THEN NULL
+            ELSE ROUND(l_extendedprice / l_discount, 2) END AS price_per_disc,
+       TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+       TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS INT)
+         AS qty_as_int
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+    tags=("scalar", "ansi", "error-handling"),
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: ``try_divide`` (NULL on zero divisor
+    instead of ±Inf or an ANSI exception) and ``try_cast`` (NULL on
+    malformed input — 'R' → NULL, '5.0' → 5) — the functions that keep
+    a 100 TB job from dying at row 3 billion on one bad record. The
+    oracle models try_divide with an explicit zero guard and uses
+    DuckDB's native TRY_CAST; the float-string cast goes through an
+    explicit VARCHAR render so both engines parse the same text.
+    """
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 2
+        ).alias("price_per_disc"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        # integer render first: TRY_CAST('44.0' AS INT) parses in
+        # DuckDB but is NULL in Spark — '44' parses identically in both
+        F.col("l_quantity").cast("long").cast("string").try_cast("int")
+        .alias("qty_as_int"),
+    )

@@ -399,3 +399,37 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@register(
+    "window_distinct_count_trick",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey)
+         AS n_distinct_prio
+FROM orders
+""",
+    tags=("window", "distinct", "custom-operator"),
+)
+def window_distinct_count_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) OVER a partition — a window Spark does NOT
+    support (DISTINCT aggregates are rejected in window frames), built
+    with the classic two-window trick: dense_rank over (partition,
+    value) numbers the distinct values 1..k, and max(dense_rank) over
+    the partition attaches k to every row. The oracle side runs
+    DuckDB's NATIVE windowed distinct count, making this a true
+    differential test of the workaround. Both windows share one
+    shuffle on o_custkey.
+    """
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders")
+    dr = F.dense_rank().over(
+        W.partitionBy("o_custkey").orderBy("o_orderpriority")
+    )
+    return (
+        o.withColumn("_dr", dr)
+        .withColumn(
+            "n_distinct_prio", F.max("_dr").over(W.partitionBy("o_custkey"))
+        )
+        .select("o_orderkey", "o_custkey", "n_distinct_prio")
+    )
