@@ -211,7 +211,14 @@ def winnow_fps(text: Column, k: int = 5, window: int = 4) -> Column:
     Shared by ``plans/text.py`` (per-doc summary) and the winnowing-
     based dedup clustering in ``plans/advanced.py``; the matching
     DuckDB CTE lives in ``plans/text.py:WINNOW_FPS_CTE``.
+
+    Both engines hash the printable-ASCII projection of the text (the
+    same ``[^\\x20-\\x7e]`` strip, Java regex here / RE2 in the CTE) so
+    ``ascii``/``substr``/``length`` agree bit-for-bit regardless of
+    either engine's unicode-handling version drift. The corpus is pure
+    printable ASCII at every SF, so the strip is a no-op today.
     """
+    text = F.regexp_replace(text, r"[^\x20-\x7e]", "")
     # base-257 positional weights; literals match WINNOW_FPS_CTE
     B = [1, 257, 66049, 16974593, 4362470401][:k]
 

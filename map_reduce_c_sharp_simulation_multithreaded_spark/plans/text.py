@@ -63,20 +63,33 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT lang, source,
        COUNT(*) AS n_docs,
        SUM(n_chars) AS total_chars,
-       ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars
+       -- integer-exact scaled average (cents pattern, see
+       -- plans/streaming.py stream_sliding_avg): a ROUND(AVG(double),2)
+       -- here landed 1 ulp apart between Spark's HALF_UP and the
+       -- driver's DuckDB on some group (round-2 driver hash FAIL).
+       -- n_chars >= 0 so truncating and flooring division agree.
+       SUM(n_chars) * 100 // COUNT(*) AS avg_chars_e2
 FROM documents
 GROUP BY lang, source
 """,
     tags=("text", "aggregate"),
 )
 def text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus composition rollup by (lang, source)."""
+    """Corpus composition rollup by (lang, source).
+
+    ``avg_chars_e2`` is the mean character count scaled by 100 and
+    floor-divided — pure int64 arithmetic, bit-identical on any engine,
+    immune to the double-rounding ulp drift that failed the round-2
+    driver hash (VERDICT.md "What's wrong" #1).
+    """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+        # SQL DIV = int64 division end to end (never a double); matches
+        # DuckDB // exactly for the non-negative values here.
+        F.expr("SUM(n_chars) * 100L DIV COUNT(1)").alias("avg_chars_e2"),
     )
 
 
@@ -470,16 +483,34 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared winnowing-fingerprint CTE (mirrors operators/text.py:winnow_fps)
 # — also the edge basis of dedup_connected_components in advanced.py.
-WINNOW_FPS_CTE = r"""h AS (
-  SELECT doc_id,
-         list_transform(range(1, greatest(length(text) - 5 + 2, 1)),
-           i -> (ascii(substr(text, CAST(i AS INT), 1))
-               + ascii(substr(text, CAST(i + 1 AS INT), 1)) * 257
-               + ascii(substr(text, CAST(i + 2 AS INT), 1)) * 66049
-               + ascii(substr(text, CAST(i + 3 AS INT), 1)) * 16974593
-               + ascii(substr(text, CAST(i + 4 AS INT), 1)) * 4362470401)
-              % 1000003) AS hashes
+#
+# DuckDB-version-proofing (round-2 driver hash FAIL, VERDICT.md "What's
+# wrong" #2): the driver's DuckDB is not the local one, so the CTE avoids
+# every construct whose semantics have shifted across DuckDB releases —
+# (a) no list SLICING (`l[a:b]` bound conventions changed; single-element
+# `l[i]` 1-based indexing with NULL out-of-range has always been stable),
+# (b) `least()` only over arguments made non-NULL via coalesce (its NULL
+# handling changed in 1.1), and (c) both engines hash the identical
+# printable-ASCII projection of the text (`[^\x20-\x7e]` stripped — the
+# corpus is pure printable ASCII at every SF today, so this is a no-op
+# guard against regeneration; `ascii`/`substr`/`length` then agree
+# regardless of unicode-handling drift). 1000003 exceeds every hash
+# value (hashes are mod 1000003), so it is the identity for the window
+# minimum at truncated windows.
+WINNOW_FPS_CTE = r"""sanitized AS (
+  SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '', 'g') AS t
   FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - 5 + 2, 1)),
+           i -> (ascii(substr(t, CAST(i AS INT), 1))
+               + ascii(substr(t, CAST(i + 1 AS INT), 1)) * 257
+               + ascii(substr(t, CAST(i + 2 AS INT), 1)) * 66049
+               + ascii(substr(t, CAST(i + 3 AS INT), 1)) * 16974593
+               + ascii(substr(t, CAST(i + 4 AS INT), 1)) * 4362470401)
+              % 1000003) AS hashes
+  FROM sanitized
 ),
 w AS (
   -- 1..4 hashes still yield ONE window minimum (greatest(..., 2) keeps
@@ -489,7 +520,10 @@ w AS (
          CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
               ELSE list_distinct(list_transform(
                 range(1, greatest(len(hashes) - 4 + 2, 2)),
-                s -> list_min(hashes[CAST(s AS INT):CAST(s + 3 AS INT)])))
+                s -> least(hashes[CAST(s AS INT)],
+                           coalesce(hashes[CAST(s + 1 AS INT)], 1000003),
+                           coalesce(hashes[CAST(s + 2 AS INT)], 1000003),
+                           coalesce(hashes[CAST(s + 3 AS INT)], 1000003))))
          END AS fps
   FROM h
 )"""
