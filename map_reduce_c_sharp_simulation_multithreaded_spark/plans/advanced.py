@@ -663,8 +663,10 @@ def graph_bfs_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pandas_udaf_weighted_avg",
     oracle="""
 SELECT c_nationkey,
-       ROUND(SUM(o_totalprice * (c_acctbal + 5000.0))
-             / SUM(c_acctbal + 5000.0), 4) AS w_avg_price
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                * CAST(ROUND((c_acctbal + 5000.0) * 100) AS BIGINT)) * 100
+            // SUM(CAST(ROUND((c_acctbal + 5000.0) * 100) AS BIGINT))
+            AS BIGINT) AS w_avg_e4
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_nationkey
 """,
@@ -675,13 +677,20 @@ def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     order value weighted by shifted account balance. One Arrow batch
     per group feeds a scalar-returning pandas function — the UDAF
     registration Spark exposes for custom aggregates (PandasUDFType
-    GROUPED_AGG); the semantics stay SQL-expressible so the oracle is
-    full. Weights are shifted +5000 to keep the denominator away from
-    zero on any corpus.
+    GROUPED_AGG). Weights are shifted +5000 to keep the denominator
+    away from zero on any corpus (c_acctbal >= -1000).
 
-    Numeric note: numpy sums pairwise (not sequential), but the
-    ROUND(...,4) on a ratio of magnitude ~1e5 absorbs summation-order
-    ulps on both engines.
+    Numeric discipline: a double ratio rounded to 4 places could
+    straddle a round-4 tie between numpy's pairwise summation and the
+    oracle's sequential sums (the failure class fixed in
+    stream_sliding_avg, commit a603098). Instead both engines work in
+    exact cents: prices and weights become integer cents (their true
+    values have exactly 2 decimals; one double multiply keeps them
+    within ulps of the integer, so nearest-integer rounding is
+    unambiguous), the UDAF accumulates Python arbitrary-precision ints,
+    DuckDB accumulates HUGEINT, and both emit the floor-scaled ratio
+    ``w_avg_e4 = Σ(cp·cw)·100 // Σcw`` — bit-identical int64, immune
+    to summation order, engine version, and rounding mode.
 
     At 100 TB: grouped-agg UDFs shuffle each group to one executor —
     fine for bounded groups (25 nations); for high-cardinality keys
@@ -691,9 +700,13 @@ def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session(spark)
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("double")
-    def w_avg(price: pd.Series, weight: pd.Series) -> float:
-        return float((price * weight).sum() / weight.sum())
+    @pandas_udf("long")
+    def w_avg_e4(price: pd.Series, weight: pd.Series) -> int:
+        cp = [int(round(v)) for v in (price * 100).tolist()]
+        cw = [int(round(v)) for v in (weight * 100).tolist()]
+        num = sum(p * w for p, w in zip(cp, cw))  # exact, no overflow
+        den = sum(cw)  # > 0 by the +5000 shift
+        return (num * 100) // den
 
     t = load_tables(spark, sf_dir, "customer", "orders")
     c, o = t["customer"], t["orders"]
@@ -701,8 +714,7 @@ def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .withColumn("w", F.col("c_acctbal") + 5000.0)
         .groupBy("c_nationkey")
-        .agg(F.round(w_avg(F.col("o_totalprice"), F.col("w")), 4)
-             .alias("w_avg_price"))
+        .agg(w_avg_e4(F.col("o_totalprice"), F.col("w")).alias("w_avg_e4"))
     )
 
 

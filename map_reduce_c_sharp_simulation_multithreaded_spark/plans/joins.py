@@ -288,11 +288,20 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside blocks; `a < b` halves the symmetric pairs. At 100 TB the
     same plan holds as long as blocks stay bounded (choose blocking
     keys accordingly — e.g. sorted-token prefix or phonetic key).
+
+    Block-key dialect note: on a single-token name Spark's
+    element_at(split(nm,' '),2) yields NULL (the row would silently
+    drop out of the equi-join) while DuckDB's split_part yields '' (the
+    row joins the '' block) — coalescing Spark's key to '' makes the
+    dialects agree for any corpus, not just the current one where every
+    p_name has a space.
     """
     pin_session(spark)
     p = load_tables(spark, sf_dir, "part")["part"]
     names = p.select(F.col("p_name").alias("nm")).distinct()
-    block = lambda c: F.element_at(F.split(c, " "), 2)  # noqa: E731
+    block = lambda c: F.coalesce(  # noqa: E731
+        F.element_at(F.split(c, " "), 2), F.lit("")
+    )
     a = names.select(F.col("nm").alias("name_a"),
                      block(F.col("nm")).alias("blk"))
     b = names.select(F.col("nm").alias("name_b"),

@@ -137,8 +137,12 @@ WITH toks AS (
   FROM documents
 ),
 gr AS (
+  -- single-element tk[i] indexing, not a slice: list-slice bound
+  -- conventions have drifted across DuckDB versions, 1-based element
+  -- access has not. i <= len-12, so all 13 accesses are in range.
   SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 11),
-         i -> array_to_string(tk[CAST(i AS INT):CAST(i + 12 AS INT)], ' ')))) AS gram
+         i -> array_to_string(list_transform(range(0, 13),
+                o -> tk[CAST(i + o AS INT)]), ' ')))) AS gram
   FROM toks WHERE len(tk) >= 13
 ),
 g AS (SELECT doc_id, md5(gram) AS gh FROM gr)
@@ -165,13 +169,17 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     13-token shingle with the held-out set (here: doc_id % 20 == 7) is
     flagged, with overlap counts for triage.
 
-    Scale shape: shingles are md5-hashed before the join, so the
-    shuffle/broadcast keys are fixed-width digests instead of ~80-byte
-    strings, and the EVAL side — small by construction — is broadcast;
-    the 100 TB training side streams through one codegen'd stage with
-    no shuffle at all (the final per-doc rollup shuffles only matched
-    digests). Output is the full audit table (clean docs carry zeros),
-    not just the flagged tail.
+    Scale shape: shingles are md5-hashed before the join, so the join
+    keys are fixed-width digests instead of ~80-byte strings. The eval
+    side carries NO broadcast hint: here it is 5% of the corpus, which
+    at 100 TB would be terabytes — a mandatory broadcast is a
+    driver/executor OOM. AQE picks broadcast when the eval side is
+    actually small (real decontamination eval sets — benchmarks — are
+    MBs) and falls back to a shuffled join with a runtime bloom filter
+    pruning the training side otherwise (the path pinned by
+    tests/test_round2_ops.py::test_runtime_bloom_filter_engages).
+    Output is the full audit table (clean docs carry zeros), not just
+    the flagged tail.
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
@@ -184,7 +192,7 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tr = g.filter(F.col("doc_id") % 20 != 7)
     return (
-        tr.join(F.broadcast(ev), "gh", "left")
+        tr.join(ev, "gh", "left")
         .groupBy("doc_id")
         .agg(
             F.countDistinct(

@@ -235,6 +235,11 @@ SELECT 'documents_nonempty_text',
        (SELECT COUNT(*) FROM documents),
        (SELECT COUNT(*) FROM documents
         WHERE text IS NULL OR length(text) = 0)
+UNION ALL
+SELECT 'events_nonneg_value',
+       (SELECT COUNT(*) FROM events),
+       (SELECT COUNT(*) FROM events
+        WHERE value IS NULL OR value < 0.0)
 """,
     tags=("quality", "join", "aggregate", "custom-operator"),
 )
@@ -286,7 +291,19 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents_nonempty_text", d,
         d.filter(F.col("text").isNull() | (F.length("text") == 0)),
     )
-    return fk_oc.union(fk_lo).union(rng_tp).union(rng_disc).union(empty_doc)
+    # events.value >= 0 is load-bearing: stream_sliding_avg's integer
+    # average uses truncating DIV (Spark) vs floor // (DuckDB), which
+    # only agree for non-negative window sums. Auditing the invariant
+    # keeps a future corpus regeneration from silently breaking it.
+    ev = load_table(spark, sf_dir, "events")
+    nonneg_val = check(
+        "events_nonneg_value", ev,
+        ev.filter(F.col("value").isNull() | (F.col("value") < 0.0)),
+    )
+    return (
+        fk_oc.union(fk_lo).union(rng_tp).union(rng_disc)
+        .union(empty_doc).union(nonneg_val)
+    )
 
 
 @register(

@@ -83,7 +83,12 @@ GROUP BY 1
 )
 def stream_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10 min, slide 5 min): each event lands in two
-    windows; the oracle unrolls the same two bucket starts per event."""
+    windows; the oracle unrolls the same two bucket starts per event.
+
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors;
+    they agree only because every window's cents sum is non-negative —
+    an invariant of the corpus (events.value >= 0) now audited by
+    quality_constraint_audit's ``events_nonneg_value`` check."""
     pin_session(spark)
     ev = events_stream(spark, sf_dir)
     # integer-exact average: the 2-decimal window sum becomes integer

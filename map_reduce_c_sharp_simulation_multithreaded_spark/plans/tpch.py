@@ -1119,17 +1119,16 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH pv AS (
   SELECT l_partkey,
-         CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2)))
-              AS DOUBLE) AS value
+         SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2))) AS value_dec
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_7'
   GROUP BY l_partkey
 )
-SELECT l_partkey, value
-FROM pv CROSS JOIN (SELECT SUM(value) AS total FROM pv)
-WHERE value > 0.002 * total
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+FROM pv CROSS JOIN (SELECT CAST(SUM(value_dec) AS DOUBLE) AS total FROM pv)
+WHERE CAST(value_dec AS DOUBLE) > 0.002 * total
 """,
     tags=("tpch", "join", "aggregate", "subquery"),
 )
@@ -1141,9 +1140,12 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ps_supplycost * ps_availqty``; the shape — an aggregate reused
     both as rows and as a scalar threshold (HAVING against a global
     SUM) — is intact. The per-part aggregate is computed once and
-    self-joined against its own broadcast total, not recomputed; the
-    threshold double is derived identically on both engines so the
-    comparison can't straddle an ulp.
+    self-joined against its own broadcast total, not recomputed. Both
+    the per-part values AND the grand total stay DECIMAL until the
+    final cast, so every double either engine compares is derived from
+    the same exact decimal — a double total (order-dependent partial
+    sums) could land an ulp apart between engines and flip a part
+    sitting exactly on the 0.002 threshold.
 
     At 100 TB the pv aggregate shuffles once on l_partkey and the
     total is a single-row broadcast — no driver collect.
@@ -1160,11 +1162,15 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             s.s_nationkey == n.n_nationkey,
         )
         .groupBy("l_partkey")
-        .agg(exact_decimal_sum(F.col("l_extendedprice"), 2).alias("value"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice"), 2).cast("decimal(28,2)")
+            ).alias("value_dec")
+        )
     )
-    total = pv.agg(F.sum("value").alias("total"))
+    total = pv.agg(F.sum("value_dec").cast("double").alias("total"))
     return (
         pv.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > 0.002 * F.col("total"))
-        .select("l_partkey", "value")
+        .filter(F.col("value_dec").cast("double") > 0.002 * F.col("total"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("value"))
     )

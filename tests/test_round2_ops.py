@@ -117,10 +117,18 @@ def test_rolling_median_small_frames(spark, sf_dir):
     )
 
     o = load_table(spark, sf_dir, "orders")
+    # min_by picks the first order deterministically; orderBy +
+    # dropDuplicates would keep an ARBITRARY row per key (dropDuplicates
+    # is an aggregate — sort order is not preserved through its shuffle).
     first = {
-        r.o_custkey: (r.o_orderkey, round(r.o_totalprice, 4))
-        for r in o.orderBy("o_orderdate", "o_orderkey")
-        .dropDuplicates(["o_custkey"])
+        r.o_custkey: (r.f.o_orderkey, round(r.f.o_totalprice, 4))
+        for r in o.groupBy("o_custkey")
+        .agg(
+            F.min_by(
+                F.struct("o_orderkey", "o_totalprice"),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("f")
+        )
         .collect()
     }
     got = {r.o_orderkey: r.rolling_median
@@ -140,7 +148,7 @@ def test_quality_audit_clean_corpus(spark, sf_dir):
     assert set(rows) == {
         "orders_fk_customer", "lineitem_fk_orders",
         "orders_positive_totalprice", "lineitem_discount_range",
-        "documents_nonempty_text",
+        "documents_nonempty_text", "events_nonneg_value",
     }
     o_n = load_table(spark, sf_dir, "orders").count()
     assert rows["orders_fk_customer"].n_checked == o_n
@@ -149,28 +157,35 @@ def test_quality_audit_clean_corpus(spark, sf_dir):
 
 
 def test_pandas_udaf_matches_builtin(spark, sf_dir):
-    """The grouped-agg pandas UDAF equals the builtin-expression
-    weighted average (up to the shared rounding)."""
+    """The grouped-agg pandas UDAF's exact-cents scaled ratio matches a
+    builtin-expression recomputation EXACTLY (both sides are integer
+    arithmetic — no float tolerance needed), and approximates the naive
+    double weighted average."""
     from map_reduce_c_sharp_simulation_multithreaded_spark.plans.advanced import (
         pandas_udaf_weighted_avg,
     )
 
-    got = {r.c_nationkey: r.w_avg_price
+    got = {r.c_nationkey: r.w_avg_e4
            for r in pandas_udaf_weighted_avg(spark, sf_dir).collect()}
     t = load_table(spark, sf_dir, "customer").join(
         load_table(spark, sf_dir, "orders"),
         F.col("c_custkey") == F.col("o_custkey"),
     ).withColumn("w", F.col("c_acctbal") + 5000.0)
-    want = {
-        r.c_nationkey: round(r.num / r.den, 4)
-        for r in t.groupBy("c_nationkey")
-        .agg(F.sum(F.col("o_totalprice") * F.col("w")).alias("num"),
-             F.sum("w").alias("den"))
-        .collect()
-    }
-    assert set(got) == set(want)
+    builtin = t.groupBy("c_nationkey").agg(
+        F.expr(
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            "    * CAST(ROUND(w * 100) AS BIGINT)) * 100L"
+            " DIV SUM(CAST(ROUND(w * 100) AS BIGINT))"
+        ).alias("e4"),
+        F.sum(F.col("o_totalprice") * F.col("w")).alias("num"),
+        F.sum("w").alias("den"),
+    )
+    rows = builtin.collect()
+    want = {r.c_nationkey: r.e4 for r in rows}
+    naive = {r.c_nationkey: r.num / r.den for r in rows}
+    assert got == want
     for k in got:
-        assert got[k] == pytest.approx(want[k], abs=2e-4)
+        assert got[k] / 1e4 == pytest.approx(naive[k], abs=1e-3)
 
 
 def test_curation_pipeline_invariants(spark, sf_dir):
