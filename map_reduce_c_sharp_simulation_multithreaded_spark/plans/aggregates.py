@@ -35,9 +35,17 @@ SELECT l_returnflag, l_linestatus,
                 AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
        CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
                 AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-       ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 2) AS avg_qty,
-       ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 2) AS avg_price,
-       ROUND(ROUND(SUM(l_discount), 4) / COUNT(*), 4) AS avg_disc,
+       -- integer-exact truncated averages: decimal sum -> integer
+       -- cents -> floor-div -> /scale. ROUND(ratio) ties (group size
+       -- dividing a power of 10) can straddle engine rounding modes;
+       -- all-integer derivation cannot (values are non-negative, so
+       -- floor and truncating division agree).
+       CAST(CAST(SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(28,2))) * 100
+                 AS BIGINT) // COUNT(*) AS DOUBLE) / 100.0 AS avg_qty,
+       CAST(CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2))) * 100
+                 AS BIGINT) // COUNT(*) AS DOUBLE) / 100.0 AS avg_price,
+       CAST(CAST(SUM(CAST(ROUND(l_discount, 4) AS DECIMAL(28,4))) * 10000
+                 AS BIGINT) // COUNT(*) AS DOUBLE) / 10000.0 AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1999-12-01'
@@ -68,18 +76,24 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_decimal_sum(disc_price * (1 + F.col("l_tax")), 6).alias(
                 "sum_charge"
             ),
-            # round(sum)/n, not AVG: pins both engines to identical
-            # doubles pre-division (power-of-two group sizes otherwise
-            # hit rounding boundaries with opposite ulp signs)
-            F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 2).alias(
-                "avg_qty"
-            ),
-            F.round(
-                F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 2
+            # truncated integer-exact averages, not ROUND(sum/n): the
+            # decimal sum becomes integer cents, floor-divides by the
+            # count, and only then returns to double — a ROUND of the
+            # ratio can land exactly on a .xx5 tie (group sizes that
+            # divide a power of 10) where engine rounding modes differ
+            F.expr(
+                "CAST(CAST(SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(28,2)))"
+                " * 100 AS BIGINT) DIV COUNT(1) AS DOUBLE) / 100.0"
+            ).alias("avg_qty"),
+            F.expr(
+                "CAST(CAST(SUM(CAST(ROUND(l_extendedprice, 2)"
+                " AS DECIMAL(28,2))) * 100 AS BIGINT)"
+                " DIV COUNT(1) AS DOUBLE) / 100.0"
             ).alias("avg_price"),
-            F.round(F.round(F.sum("l_discount"), 4) / F.count(F.lit(1)), 4).alias(
-                "avg_disc"
-            ),
+            F.expr(
+                "CAST(CAST(SUM(CAST(ROUND(l_discount, 4) AS DECIMAL(28,4)))"
+                " * 10000 AS BIGINT) DIV COUNT(1) AS DOUBLE) / 10000.0"
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -247,36 +261,83 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_stats_by_brand",
     oracle="""
-SELECT p_brand,
-       ROUND(MIN(l_extendedprice), 2) AS min_price,
-       ROUND(MAX(l_extendedprice), 2) AS max_price,
-       ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 2) AS avg_price,
-       ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
-       ROUND(VAR_SAMP(l_extendedprice), 1) AS var_price,
-       COUNT(*) AS n
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY p_brand
+WITH s AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         ROUND(MIN(l_extendedprice), 2) AS min_price,
+         ROUND(MAX(l_extendedprice), 2) AS max_price,
+         CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2))) * 100
+              AS BIGINT) AS sx_c,
+         CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2)))
+              AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(l_extendedprice * l_extendedprice, 4)
+                       AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, min_price, max_price,
+       CAST(sx_c // n AS DOUBLE) / 100.0 AS avg_price,
+       CASE WHEN n > 1 THEN
+         floor(sqrt((n * sxx - sx * sx) / (n * (n - 1))) * 100) / 100.0
+       END AS sd_price,
+       CASE WHEN n > 1 THEN
+         floor((n * sxx - sx * sx) / (n * (n - 1)) * 10) / 10.0
+       END AS var_price,
+       n
+FROM s
 """,
     tags=("aggregate", "join"),
 )
 def agg_stats_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates (min/max/avg/stddev/variance) per brand."""
+    """Statistical aggregates (min/max/avg/stddev/variance) per brand.
+
+    Variance/stddev are NOT the engines' kernels (whose summation
+    algorithms drift by ulps across engines and versions, under a
+    ROUND that can tie): both engines derive them from decimal-exact
+    component sums (n, Σx, Σx² — order-independent, bit-identical)
+    through the same written double formula, then FLOOR-scale — floor
+    of the same double is the same everywhere, unlike ROUND, whose
+    decimal interpretation of a double is implementation-defined.
+    x² has exactly 4 decimals and |x²| < 2^49/1e4, so ROUND(x·x, 4)
+    recovers the exact product before the decimal sum.
+    """
     pin_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    return (
+    g = (
         li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
+            F.count(F.lit(1)).alias("n"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-            F.round(
-                F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 2
-            ).alias("avg_price"),
-            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
-            F.round(F.var_samp("l_extendedprice"), 1).alias("var_price"),
-            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2)))"
+                " * 100 AS BIGINT)"
+            ).alias("sx_c"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2)))"
+                " AS DOUBLE)"
+            ).alias("sx"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_extendedprice * l_extendedprice, 4)"
+                " AS DECIMAL(38,4))) AS DOUBLE)"
+            ).alias("sxx"),
         )
+    )
+    var_raw = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    return g.select(
+        "p_brand",
+        "min_price",
+        "max_price",
+        (F.expr("sx_c DIV n").cast("double") / 100.0).alias("avg_price"),
+        F.when(F.col("n") > 1, F.floor(F.sqrt(var_raw) * 100) / 100.0).alias(
+            "sd_price"
+        ),
+        F.when(F.col("n") > 1, F.floor(var_raw * 10) / 10.0).alias("var_price"),
+        "n",
     )
 
 
@@ -312,8 +373,15 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_median_percentile",
     oracle="""
 SELECT o_orderpriority,
-       ROUND(median(o_totalprice), 2) AS median_price,
-       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       -- scaled-integer emission: the true median is a half-cent
+       -- multiple ((a+b)/2 of 2-decimal values) and p90 a 0.001
+       -- multiple (tenth-fraction interpolation), so ROUND(x, 2) sits
+       -- EXACTLY on a .xx5 tie whenever interpolation engages — the
+       -- cross-engine rounding-mode seam. ×1000 makes the true value
+       -- an integer; nearest-int of a within-ulps double is
+       -- unambiguous under any rounding implementation.
+       CAST(ROUND(median(o_totalprice) * 1000) AS BIGINT) AS median_e3,
+       CAST(ROUND(quantile_cont(o_totalprice, 0.9) * 1000) AS BIGINT) AS p90_e3,
        COUNT(*) AS n
 FROM orders
 GROUP BY o_orderpriority
@@ -322,12 +390,16 @@ GROUP BY o_orderpriority
 )
 def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated median / p90 per group (both engines use
-    linear interpolation for continuous percentiles)."""
+    linear interpolation for continuous percentiles), emitted as
+    ×1000 integers — see the oracle comment for why a 2-decimal
+    ROUND is an exact tie here by construction."""
     pin_session(spark)
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.median("o_totalprice"), 2).alias("median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.round(F.median("o_totalprice") * 1000, 0).cast("long").alias("median_e3"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)) * 1000, 0)
+        .cast("long")
+        .alias("p90_e3"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -72,8 +72,12 @@ scored AS (
   FROM pairs
 )
 SELECT doc_a, doc_b,
-       ROUND(CASE WHEN n_union > 0 THEN CAST(n_inter AS DOUBLE) / n_union
-                  ELSE 0.0 END, 4) AS jaccard
+       -- all-integer scaled Jaccard: n_union is often a power of two,
+       -- so n_inter/n_union hits EXACT round-4 ties (e.g. 1/32 =
+       -- 0.03125) where engine rounding modes differ; integer floor
+       -- division cannot
+       CASE WHEN n_union > 0 THEN n_inter * 10000 // n_union
+            ELSE 0 END AS jaccard_e4
 FROM scored
 """,
     tags=("dedup", "ngram"),
@@ -92,12 +96,21 @@ def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
     n_inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     n_union = F.size(F.col("sa")) + F.size(F.col("sb")) - n_inter
+    # integer-scaled: n_union is frequently a power of two, making
+    # ROUND(n_inter/n_union, 4) an exact tie (0.03125 → .0312 vs
+    # .0313 depending on engine rounding mode); integer DIV cannot tie
     return pairs.select(
         "doc_a",
         "doc_b",
-        F.round(
-            F.when(n_union > 0, n_inter.cast("double") / n_union).otherwise(0.0), 4
-        ).alias("jaccard"),
+        n_inter.alias("n_inter"),
+        n_union.alias("n_union"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "CASE WHEN n_union > 0 THEN n_inter * 10000L DIV n_union"
+            " ELSE 0L END"
+        ).alias("jaccard_e4"),
     )
 
 
@@ -139,11 +152,13 @@ WITH toks AS (
   FROM documents
 ),
 sp AS (
+  -- single-element tk[i] indexing, not a slice: list-slice bound
+  -- conventions have drifted across DuckDB versions. p*10+10 <= len(tk)
+  -- for every p in range, so all accesses are in range.
   SELECT doc_id, unnest(list_transform(range(0, len(tk) // 10),
          p -> struct_pack(pos := p,
-                sh := md5(array_to_string(
-                  tk[CAST(p * 10 + 1 AS INT):CAST(p * 10 + 10 AS INT)],
-                  ' '))))) AS s
+                sh := md5(array_to_string(list_transform(range(1, 11),
+                  o -> tk[CAST(p * 10 + o AS INT)]), ' '))))) AS s
   FROM toks WHERE len(tk) >= 10
 ),
 e AS (SELECT doc_id, s.pos AS pos, s.sh AS sh FROM sp),

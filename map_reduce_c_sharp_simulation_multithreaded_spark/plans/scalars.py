@@ -323,8 +323,13 @@ def scalar_higher_order_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_try_arithmetic",
     oracle="""
 SELECT l_orderkey, l_linenumber,
+       -- floor of the identical IEEE quotient, not ROUND: x/0.08 etc.
+       -- can land exactly on a representable .xx5 (12.5x of a 2-decimal
+       -- value) where engine rounding modes differ; floor of the same
+       -- double is the same everywhere
        CASE WHEN l_discount = 0.0 THEN NULL
-            ELSE ROUND(l_extendedprice / l_discount, 2) END AS price_per_disc,
+            ELSE CAST(floor(l_extendedprice / l_discount * 100) AS BIGINT)
+       END AS price_per_disc_e2,
        TRY_CAST(l_returnflag AS INT) AS flag_as_int,
        TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS INT)
          AS qty_as_int
@@ -347,9 +352,11 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_linenumber") == 1).select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")), 2
-        ).alias("price_per_disc"),
+        # floor-e2 of the identical IEEE quotient (see oracle comment);
+        # try_divide yields NULL on zero divisor, floor propagates it
+        F.floor(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_discount")) * 100
+        ).alias("price_per_disc_e2"),
         F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
         # integer render first: TRY_CAST('44.0' AS INT) parses in
         # DuckDB but is NULL in Spark — '44' parses identically in both

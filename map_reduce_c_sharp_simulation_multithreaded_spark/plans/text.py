@@ -315,9 +315,12 @@ m AS (
          COALESCE(top.gram, '') AS top_2gram,
          CAST(COALESCE(top.c, 0) AS INT) AS top2_count,
          CAST(greatest(len(tk) - 4, 0) AS INT) AS n_5grams,
+         -- element indexing, not a slice (slice bound conventions have
+         -- drifted across DuckDB versions); i+4 <= len(tk) in range
          CAST(CASE WHEN len(tk) >= 5 THEN len(list_distinct(list_transform(
               range(1, len(tk) - 3),
-              i -> array_to_string(tk[CAST(i AS INT):CAST(i + 4 AS INT)], ' '))))
+              i -> array_to_string(list_transform(range(0, 5),
+                     o -> tk[CAST(i + o AS INT)]), ' '))))
               ELSE 0 END AS INT) AS n_distinct_5grams
   FROM toks t LEFT JOIN top ON top.doc_id = t.doc_id
 )
