@@ -37,6 +37,9 @@ EXTRA_BENCH = (
     # late round-2: shuffle-heavy text + bounded-frame window shapes
     "text_inverted_index",
     "window_rolling_median",
+    # round-3: the two families previously without bench representation
+    "graph_pagerank_suppliers",
+    "events_funnel_view_click_purchase",
 )
 
 

@@ -27,19 +27,46 @@ from ..operators.joins import strict_inner_join
 from ..schemas import DONATIONS_CSV, DONORS_CSV
 
 
-def read_donors(spark: SparkSession, path: str) -> DataFrame:
+def _asciify(df: DataFrame) -> DataFrame:
+    """.NET ``Encoding.ASCII`` decode semantics: every byte >= 0x80
+    becomes ``'?'`` (one '?' PER BYTE — 'é' in UTF-8 is two bytes and
+    decodes to "??"). Byte-faithful because callers decode the file as
+    ISO-8859-1 (1 byte ↔ 1 char) before this per-char replacement."""
+    out = df
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "string":
+            out = out.withColumn(
+                f.name, F.regexp_replace(F.col(f.name), r"[^\x00-\x7F]", "?")
+            )
+    return out
+
+
+def read_donors(
+    spark: SparkSession, path: str, ascii_mode: bool = False
+) -> DataFrame:
     """Donors CSV (5 positional columns, only ID + State consumed).
 
     ``path="-"`` reads stdin, the reference's console-pipe mode
     (``inputFile == null`` → ``Console.OpenStandardInput()``,
     ``D/Program.cs:520-523``).
+
+    ``ascii_mode=True`` reproduces the reference's hard-coded
+    ``Encoding.ASCII`` readers (``D/Program.cs:65,114`` — the author's
+    own ``//TODO: Encoding``): the file is decoded byte-per-char
+    (ISO-8859-1) and every non-ASCII byte becomes ``'?'``, exactly the
+    .NET ASCII-decoder replacement. Default is UTF-8, the non-bug
+    behavior.
     """
     reader = spark.read.schema(DONORS_CSV).options(
         header=True, quote="", sep=","
     )
+    if ascii_mode:
+        reader = reader.option("encoding", "ISO-8859-1")
     if path == "-":
-        return reader.csv(_stdin_lines(spark))
-    return reader.csv(path)
+        df = reader.csv(_stdin_lines(spark))
+    else:
+        df = reader.csv(path)
+    return _asciify(df) if ascii_mode else df
 
 
 def _stdin_lines(spark: SparkSession):
@@ -52,14 +79,21 @@ def _stdin_lines(spark: SparkSession):
     )
 
 
-def read_donations(spark: SparkSession, path: str) -> DataFrame:
+def read_donations(
+    spark: SparkSession, path: str, ascii_mode: bool = False
+) -> DataFrame:
     """Donations CSV; Donation Amount parses permissively (bad/empty →
-    NULL → coalesced to 0.0 downstream, matching ReadNextDouble)."""
-    return (
-        spark.read.schema(DONATIONS_CSV)
-        .options(header=True, quote="", sep=",", mode="PERMISSIVE")
-        .csv(path)
+    NULL → coalesced to 0.0 downstream, matching ReadNextDouble).
+    ``ascii_mode`` as in :func:`read_donors` (string columns only; a
+    mangled numeric field parses to NULL → 0.0, same end state as the
+    reference's failed double.Parse path)."""
+    reader = spark.read.schema(DONATIONS_CSV).options(
+        header=True, quote="", sep=",", mode="PERMISSIVE"
     )
+    if ascii_mode:
+        reader = reader.option("encoding", "ISO-8859-1")
+    df = reader.csv(path)
+    return _asciify(df) if ascii_mode else df
 
 
 def dedup_donors_last_wins(donors: DataFrame) -> DataFrame:

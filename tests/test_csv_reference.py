@@ -187,3 +187,33 @@ def test_stdin_console_pipe_mode(spark, monkeypatch):
     monkeypatch.setattr("sys.stdin", io.StringIO(csv))
     rows = {(r["Donor ID"], r["Donor State"]) for r in read_donors(spark, "-").collect()}
     assert rows == {("d1", "Illinois"), ("d2", "Oregon")}
+
+
+def test_ascii_encoding_bug_compat_mode(spark, tmp_path):
+    """ascii_mode reproduces the reference's hard-coded Encoding.ASCII
+    readers (D/Program.cs:65,114): every non-ASCII BYTE decodes to '?',
+    so a 2-byte UTF-8 'é' becomes '??'. Default mode keeps UTF-8."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.sources.csv_reference import (
+        read_donors,
+    )
+
+    path = str(tmp_path / "donors_utf8.csv")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("Donor ID,Donor City,Donor State,Donor Is Teacher,Donor Zip\n")
+        f.write("d1,Montréal,Québec,No,H2X\n")
+        f.write("d2,Portland,Oregon,Yes,97201\n")
+
+    ascii_rows = {
+        (r["Donor ID"], r["Donor City"], r["Donor State"])
+        for r in read_donors(spark, path, ascii_mode=True).collect()
+    }
+    assert ascii_rows == {
+        ("d1", "Montr??al", "Qu??bec"),  # one '?' per UTF-8 byte
+        ("d2", "Portland", "Oregon"),
+    }
+
+    utf8_rows = {
+        (r["Donor ID"], r["Donor State"])
+        for r in read_donors(spark, path).collect()
+    }
+    assert utf8_rows == {("d1", "Québec"), ("d2", "Oregon")}
