@@ -28,28 +28,37 @@ from .registry import register
 @register(
     "agg_pricing_summary",
     oracle="""
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         COUNT(*) AS count_order,
+         SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(28,2))) AS qty_dec,
+         SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2))) AS price_dec,
+         SUM(CAST(ROUND(l_discount, 4) AS DECIMAL(28,4))) AS disc_dec,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+                  AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax),
+                        6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+  GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
-                AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
-                AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
-       -- integer-exact truncated averages: decimal sum -> integer
-       -- cents -> floor-div -> /scale. ROUND(ratio) ties (group size
-       -- dividing a power of 10) can straddle engine rounding modes;
-       -- all-integer derivation cannot (values are non-negative, so
-       -- floor and truncating division agree).
-       CAST(CAST(SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(28,2))) * 100
-                 AS BIGINT) // COUNT(*) AS DOUBLE) / 100.0 AS avg_qty,
-       CAST(CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2))) * 100
-                 AS BIGINT) // COUNT(*) AS DOUBLE) / 100.0 AS avg_price,
-       CAST(CAST(SUM(CAST(ROUND(l_discount, 4) AS DECIMAL(28,4))) * 10000
-                 AS BIGINT) // COUNT(*) AS DOUBLE) / 10000.0 AS avg_disc,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1999-12-01'
-GROUP BY l_returnflag, l_linestatus
+       CAST(qty_dec AS DOUBLE) AS sum_qty,
+       CAST(price_dec AS DOUBLE) AS sum_base_price,
+       sum_disc_price, sum_charge,
+       -- integer-exact truncated averages from the SAME decimal sums:
+       -- decimal -> integer cents -> floor-div -> /scale. ROUND(ratio)
+       -- ties (group size dividing a power of 10) can straddle engine
+       -- rounding modes; all-integer derivation cannot (values are
+       -- non-negative, so floor and truncating division agree).
+       CAST(CAST(qty_dec * 100 AS BIGINT) // count_order AS DOUBLE)
+         / 100.0 AS avg_qty,
+       CAST(CAST(price_dec * 100 AS BIGINT) // count_order AS DOUBLE)
+         / 100.0 AS avg_price,
+       CAST(CAST(disc_dec * 10000 AS BIGINT) // count_order AS DOUBLE)
+         / 10000.0 AS avg_disc,
+       count_order
+FROM s
 """,
     tags=("aggregate", "filter"),
     headline=True,
@@ -64,38 +73,52 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    g = (
         li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            # ONE decimal sum per measure; every output below derives
+            # from these six buffers (sum, truncated average) — exact,
+            # order-independent, and no ROUND of any ratio (which can
+            # land on a .xx5 tie where engine rounding modes differ)
+            F.count(F.lit(1)).alias("count_order"),
+            F.expr(
+                "SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(28,2)))"
+            ).alias("qty_dec"),
+            F.expr(
+                "SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2)))"
+            ).alias("price_dec"),
+            F.expr(
+                "SUM(CAST(ROUND(l_discount, 4) AS DECIMAL(28,4)))"
+            ).alias("disc_dec"),
             # 4- and 6-decimal product terms: exact decimal sums (see
             # functions/numeric.py — ROUND(SUM,2) ties at .005)
             exact_decimal_sum(disc_price, 4).alias("sum_disc_price"),
             exact_decimal_sum(disc_price * (1 + F.col("l_tax")), 6).alias(
                 "sum_charge"
             ),
-            # truncated integer-exact averages, not ROUND(sum/n): the
-            # decimal sum becomes integer cents, floor-divides by the
-            # count, and only then returns to double — a ROUND of the
-            # ratio can land exactly on a .xx5 tie (group sizes that
-            # divide a power of 10) where engine rounding modes differ
-            F.expr(
-                "CAST(CAST(SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(28,2)))"
-                " * 100 AS BIGINT) DIV COUNT(1) AS DOUBLE) / 100.0"
-            ).alias("avg_qty"),
-            F.expr(
-                "CAST(CAST(SUM(CAST(ROUND(l_extendedprice, 2)"
-                " AS DECIMAL(28,2))) * 100 AS BIGINT)"
-                " DIV COUNT(1) AS DOUBLE) / 100.0"
-            ).alias("avg_price"),
-            F.expr(
-                "CAST(CAST(SUM(CAST(ROUND(l_discount, 4) AS DECIMAL(28,4)))"
-                " * 10000 AS BIGINT) DIV COUNT(1) AS DOUBLE) / 10000.0"
-            ).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("qty_dec").cast("double").alias("sum_qty"),
+        F.col("price_dec").cast("double").alias("sum_base_price"),
+        "sum_disc_price",
+        "sum_charge",
+        F.expr(
+            "CAST(CAST(qty_dec * 100 AS BIGINT) DIV count_order AS DOUBLE)"
+            " / 100.0"
+        ).alias("avg_qty"),
+        F.expr(
+            "CAST(CAST(price_dec * 100 AS BIGINT) DIV count_order AS DOUBLE)"
+            " / 100.0"
+        ).alias("avg_price"),
+        F.expr(
+            "CAST(CAST(disc_dec * 10000 AS BIGINT) DIV count_order AS DOUBLE)"
+            " / 10000.0"
+        ).alias("avg_disc"),
+        "count_order",
     )
 
 
