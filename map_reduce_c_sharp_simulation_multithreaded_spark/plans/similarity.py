@@ -277,12 +277,17 @@ def _ivfpq_oracle(
         for m, book in enumerate(books)
         for k, cent in enumerate(book)
     )
-    # squared-L2 between an 8-dim embedding slice and the codebook row,
-    # index-ordered like the engine's zip_with fold
-    sub = "e.embedding[(b.m * {sd} + 1):((b.m + 1) * {sd})]".format(sd=sub_dim)
+    # squared-L2 between an 8-dim embedding sub-vector and the codebook
+    # row, index-ordered like the engine's zip_with fold. Element
+    # indexing (embedding[i]), NOT a slice: list-slice bound conventions
+    # have drifted across DuckDB versions; 1-based element access has
+    # not. j runs 1..sub_dim so every access is in range.
     l2 = (
-        f"list_aggregate(list_transform(list_zip({sub}, b.cv), "
-        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])), "
+        f"list_aggregate(list_transform(range(1, {sub_dim} + 1), "
+        f"j -> (CAST(e.embedding[CAST(b.m * {sub_dim} + j AS INT)] AS DOUBLE)"
+        " - b.cv[CAST(j AS INT)])"
+        f" * (CAST(e.embedding[CAST(b.m * {sub_dim} + j AS INT)] AS DOUBLE)"
+        " - b.cv[CAST(j AS INT)])), "
         "'sum')"
     )
     cells = _ivf_cells_cte(n_centroids, n_probe, dim)

@@ -57,11 +57,15 @@ def test_collect_sorted_array(spark, sf_dir):
 
 def test_driver_window_is_oracle_backed():
     """Every slot in the driver's 50-entry verification window must be
-    an oracle-backed query — a rows-only entry there wastes a slot."""
+    an oracle-backed query — a rows-only entry there wastes a slot.
+    Round-3 exception (VERDICT.md next-round #5): the two
+    rows-only-by-design dedup entries are deliberately re-queued once
+    so the driver records their status against current code."""
     qs = registry.all_queries()
     window = list(qs)[:50]
     assert window == list(registry.DRIVER_WINDOW)
-    assert all(qs[n].oracle is not None for n in window)
+    rows_only = {n for n in window if qs[n].oracle is None}
+    assert rows_only == {"dedup_minhash_lsh", "dedup_simhash_signatures"}
 
 
 def test_winnowing_short_docs(spark, tmp_path):
