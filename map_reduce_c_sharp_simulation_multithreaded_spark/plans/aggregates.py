@@ -31,9 +31,16 @@ from .registry import register
 WITH s AS (
   SELECT l_returnflag, l_linestatus,
          COUNT(*) AS count_order,
-         SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(28,2))) AS qty_dec,
-         SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2))) AS price_dec,
-         SUM(CAST(ROUND(l_discount, 4) AS DECIMAL(28,4))) AS disc_dec,
+         -- integer cent sums, NOT decimal: same exactness (each term
+         -- recovers the exact 2/4-decimal value before summation; the
+         -- int64 sum is order-independent) at double-sum speed. Bound:
+         -- price cents < 2^25, so even 10^11 rows/group stays < 2^63.
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty_c,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_c,
+         CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT)
+           AS disc_e4,
          CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
                   AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
          CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax),
@@ -43,20 +50,17 @@ WITH s AS (
   GROUP BY l_returnflag, l_linestatus
 )
 SELECT l_returnflag, l_linestatus,
-       CAST(qty_dec AS DOUBLE) AS sum_qty,
-       CAST(price_dec AS DOUBLE) AS sum_base_price,
+       CAST(qty_c AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(price_c AS DOUBLE) / 100.0 AS sum_base_price,
        sum_disc_price, sum_charge,
-       -- integer-exact truncated averages from the SAME decimal sums:
-       -- decimal -> integer cents -> floor-div -> /scale. ROUND(ratio)
-       -- ties (group size dividing a power of 10) can straddle engine
-       -- rounding modes; all-integer derivation cannot (values are
-       -- non-negative, so floor and truncating division agree).
-       CAST(CAST(qty_dec * 100 AS BIGINT) // count_order AS DOUBLE)
-         / 100.0 AS avg_qty,
-       CAST(CAST(price_dec * 100 AS BIGINT) // count_order AS DOUBLE)
-         / 100.0 AS avg_price,
-       CAST(CAST(disc_dec * 10000 AS BIGINT) // count_order AS DOUBLE)
-         / 10000.0 AS avg_disc,
+       -- integer-exact truncated averages from the SAME cent sums:
+       -- floor-div then /scale. ROUND(ratio) ties (group size dividing
+       -- a power of 10) can straddle engine rounding modes; all-integer
+       -- derivation cannot (values are non-negative, so floor and
+       -- truncating division agree).
+       CAST(qty_c // count_order AS DOUBLE) / 100.0 AS avg_qty,
+       CAST(price_c // count_order AS DOUBLE) / 100.0 AS avg_price,
+       CAST(disc_e4 // count_order AS DOUBLE) / 10000.0 AS avg_disc,
        count_order
 FROM s
 """,
@@ -77,20 +81,22 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # ONE decimal sum per measure; every output below derives
-            # from these six buffers (sum, truncated average) — exact,
-            # order-independent, and no ROUND of any ratio (which can
-            # land on a .xx5 tie where engine rounding modes differ)
+            # ONE integer cent sum per measure; every output below
+            # derives from these six buffers (sum, truncated average) —
+            # exact (each term recovers its true 2/4-decimal value
+            # before the order-independent int64 sum), as fast as a
+            # double sum, and no ROUND of any ratio (which can land on
+            # a .xx5 tie where engine rounding modes differ)
             F.count(F.lit(1)).alias("count_order"),
             F.expr(
-                "SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(28,2)))"
-            ).alias("qty_dec"),
+                "SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))"
+            ).alias("qty_c"),
             F.expr(
-                "SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(28,2)))"
-            ).alias("price_dec"),
+                "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+            ).alias("price_c"),
             F.expr(
-                "SUM(CAST(ROUND(l_discount, 4) AS DECIMAL(28,4)))"
-            ).alias("disc_dec"),
+                "SUM(CAST(ROUND(l_discount * 10000) AS BIGINT))"
+            ).alias("disc_e4"),
             # 4- and 6-decimal product terms: exact decimal sums (see
             # functions/numeric.py — ROUND(SUM,2) ties at .005)
             exact_decimal_sum(disc_price, 4).alias("sum_disc_price"),
@@ -102,21 +108,18 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "l_returnflag",
         "l_linestatus",
-        F.col("qty_dec").cast("double").alias("sum_qty"),
-        F.col("price_dec").cast("double").alias("sum_base_price"),
+        (F.col("qty_c").cast("double") / 100.0).alias("sum_qty"),
+        (F.col("price_c").cast("double") / 100.0).alias("sum_base_price"),
         "sum_disc_price",
         "sum_charge",
         F.expr(
-            "CAST(CAST(qty_dec * 100 AS BIGINT) DIV count_order AS DOUBLE)"
-            " / 100.0"
+            "CAST(qty_c DIV count_order AS DOUBLE) / 100.0"
         ).alias("avg_qty"),
         F.expr(
-            "CAST(CAST(price_dec * 100 AS BIGINT) DIV count_order AS DOUBLE)"
-            " / 100.0"
+            "CAST(price_c DIV count_order AS DOUBLE) / 100.0"
         ).alias("avg_price"),
         F.expr(
-            "CAST(CAST(disc_dec * 10000 AS BIGINT) DIV count_order AS DOUBLE)"
-            " / 10000.0"
+            "CAST(disc_e4 DIV count_order AS DOUBLE) / 10000.0"
         ).alias("avg_disc"),
         "count_order",
     )
