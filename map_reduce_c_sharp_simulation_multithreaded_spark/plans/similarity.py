@@ -3,7 +3,11 @@
 Brute-force cosine top-k and threshold pairs carry DuckDB oracles (the
 dot product is re-expressed relationally with double casts, similarity
 rounded BEFORE ranking on both sides so ulp noise cannot flip ranks).
-The hyperplane-LSH ANN path is rows-only + recall-tested in pytest.
+Every ANN variant with deterministic literal parameters (hyperplane
+LSH, IVF, IVF-PQ, PQ-rerank, bucket histogram) carries a full oracle
+that re-derives the identical candidate sets in SQL; only the k-means-
+TRAINED codebook variant stays rows-only (training is not
+SQL-expressible), recall-tested in pytest.
 """
 
 from __future__ import annotations
@@ -117,6 +121,60 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _plane_literal_sql(row: list[float]) -> str:
     """A hyperplane as a DuckDB DOUBLE[] literal (repr round-trips)."""
     return "[" + ", ".join(repr(v) for v in row) + "]::DOUBLE[]"
+
+
+def _lsh_ann_oracle(
+    n_planes: int = 6, dim: int = 64, probe_hamming: int = 2, k: int = 5
+) -> str:
+    """Full oracle for multi-probe LSH ANN: the sha256-derived planes
+    are literals, so DuckDB recomputes the identical sign-bit buckets
+    (index-ordered product-sum fold, same as the bucket-histogram
+    oracle), enumerates the same probe masks (all bit flips of weight
+    <= probe_hamming), joins buckets, and reranks by the same rounded
+    cosine. Nothing in the candidate generation is engine-private."""
+    from ..operators.similarity import _deterministic_planes
+
+    terms = []
+    for p, row in enumerate(_deterministic_planes(n_planes, dim)):
+        dot = _DOT.format(a="embedding", b=_plane_literal_sql(row))
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(terms)
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << p for p in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << p) | (1 << q2)
+            for p in range(n_planes)
+            for q2 in range(p + 1, n_planes)
+        ]
+    mask_list = ", ".join(str(m) for m in masks)
+    cos = _cos_sql("p.qv", "c.embedding")
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 20
+),
+probes AS (
+  SELECT query_id, qv, xor(bucket, m) AS bucket
+  FROM q CROSS JOIN (SELECT unnest([{mask_list}]) AS m)
+),
+scored AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+         ROUND({cos}, 6) AS sim
+  FROM probes p JOIN b c ON c.bucket = p.bucket AND c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+         ) AS INT) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= {k}
+"""
 
 
 def _lsh_bucket_oracle(n_planes: int = 12, dim: int = 64) -> str:
@@ -240,13 +298,18 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_lsh_ann_topk",
-    oracle=None,  # approximate; recall vs brute force pinned in pytest
+    oracle=_lsh_ann_oracle(),
     tags=("similarity", "lsh", "topk", "custom-operator"),
 )
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via multi-probe LSH bucket join + exact rerank — the
     scale path replacing the brute-force cross join (measured ~54%
-    recall at hamming-2 probing on this near-random corpus)."""
+    recall at hamming-2 probing on this near-random corpus).
+
+    Round 3: gained a FULL oracle (previously rows-only) — the planes
+    are sha256-derived literals, so the candidate generation is fully
+    reproducible in SQL; see :func:`_lsh_ann_oracle`. Recall vs brute
+    force stays pinned in pytest."""
     pin_session(spark)
     e = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(
