@@ -103,7 +103,8 @@ def _load_all_plan_modules() -> None:
 # quantize_embeddings_int8, join_lateral_top_order,
 # scalar_higher_order_pack, sample_deterministic_count,
 # sample_stratified_by_lang, sample_weighted_priority, sim_lsh_ann_topk
-# (rows-only), sim_ivf_trained_topk (rows-only), embed_label_centroids,
+# (full oracle since round 3), sim_ivf_trained_topk (rows-only),
+# embed_label_centroids,
 # stream_windowed_topk, window_ratio_to_report,
 # window_distinct_count_trick, dedup_simhash_band_pairs (rows-only).
 DRIVER_WINDOW: tuple[str, ...] = (
