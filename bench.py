@@ -40,6 +40,10 @@ EXTRA_BENCH = (
     # round-3: the two families previously without bench representation
     "graph_pagerank_suppliers",
     "events_funnel_view_click_purchase",
+    # round-4 (VERDICT.md r3 #6): the last two §2.4 families without a
+    # timed number — two-stage ANN retrieval and multimodal decode
+    "sim_ivfpq_rerank_topk",
+    "multimodal_decode_features",
 )
 
 

@@ -21,6 +21,40 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+def _dsql(v: float) -> str:
+    """Shortest-roundtrip double literal for Spark SQL (the D suffix —
+    an unsuffixed 0.1 parses as DECIMAL)."""
+    return repr(float(v)).upper() + "D"
+
+
+def _array_lit(values) -> Column:
+    """A (possibly nested) double-array literal built as ONE SQL string
+    parsed JVM-side.
+
+    The naive form — ``F.array(*[F.lit(v) ...])`` per row, per code,
+    per plane — costs one py4j round-trip per scalar; for the PQ
+    codebooks (8×16×8 doubles) plus the per-code unrolled fold
+    expressions that was 9-15 s of DRIVER-side plan construction per
+    query build and a giant tree that blew past whole-stage codegen
+    limits (measured round 4; the bench showed sim_ivfpq_rerank_topk
+    at 11 s warm for 2 000×20 vectors — all constant overhead). One
+    ``F.expr`` string is a single round-trip, and the data-driven
+    lambdas below keep the generated code small and loopy."""
+
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        return _dsql(v)
+
+    return F.expr(render(values))
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Sequential double fold (deterministic order, same as the
+    unrolled form it replaced — and as every generated oracle)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two float arrays, accumulated in doubles
     (sequential fold → deterministic)."""
@@ -102,18 +136,32 @@ def _deterministic_planes(n_planes: int, dim: int) -> list[list[float]]:
 def hyperplane_bucket(
     vec: Column, n_planes: int = 12, dim: int = 64
 ) -> Column:
-    """Random-hyperplane LSH bucket id (int in [0, 2^n_planes))."""
+    """Random-hyperplane LSH bucket id (int in [0, 2^n_planes)).
+
+    Data-driven form: the planes ride as ONE array literal and a
+    transform computes every projection; bit p contributes 2^p when the
+    projection is non-negative — value-identical to the unrolled
+    ``sum(when(proj_p >= 0, 1 << p))`` it replaced (same per-plane fold
+    order, same >= 0 threshold, same int sum)."""
     planes = _deterministic_planes(n_planes, dim)
-    bucket = F.lit(0)
-    for p, row in enumerate(planes):
-        plane = F.array(*[F.lit(v) for v in row])
-        proj = F.aggregate(
-            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    projs = F.transform(
+        _array_lit(planes),
+        lambda pl: _fold_sum(
+            F.zip_with(vec, pl, lambda x, y: x.cast("double") * y)
+        ),
+    )
+    powers = F.expr(
+        "array(" + ",".join(str(1 << p) for p in range(n_planes)) + ")"
+    )
+    return F.aggregate(
+        F.zip_with(
+            projs,
+            powers,
+            lambda pr, pw: F.when(pr >= 0, pw).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
 
 
 def _deterministic_centroids(n_centroids: int, dim: int) -> list[list[float]]:
@@ -135,17 +183,18 @@ def _deterministic_centroids(n_centroids: int, dim: int) -> list[list[float]]:
 
 
 def centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of <vec, centroid_c> projections, one per centroid."""
+    """Array of <vec, centroid_c> projections, one per centroid.
 
-    def proj(row: list[float]) -> Column:
-        cent = F.array(*[F.lit(v) for v in row])
-        return F.aggregate(
-            F.zip_with(vec, cent, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    return F.array(*[proj(row) for row in centroids])
+    One codebook literal + a transform — value-identical to the
+    unrolled per-centroid folds it replaced (same element order, same
+    sequential double accumulation), but built in O(1) py4j calls and
+    executed as a loop instead of 16 inlined folds."""
+    return F.transform(
+        _array_lit(centroids),
+        lambda cent: _fold_sum(
+            F.zip_with(vec, cent, lambda x, y: x.cast("double") * y)
+        ),
+    )
 
 
 def train_kmeans_codebook(
@@ -397,44 +446,60 @@ def _pq_codebooks(
     return books
 
 
-def _sub_l2(sub: Column, cent: list[float]) -> Column:
-    """Squared L2 distance between a sub-vector and a centroid literal,
+def _sub_l2(sub: Column, cent: Column) -> Column:
+    """Squared L2 distance between a sub-vector and a centroid array,
     index-ordered (both engines fold the same sequence)."""
-    lit = F.array(*[F.lit(v) for v in cent])
-    return F.aggregate(
+    return _fold_sum(
         F.zip_with(
             sub,
-            lit,
+            cent,
             lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        )
+    )
+
+
+def _sub_dists(vec: Column, books_lit: Column, m: Column, sub_dim: int) -> Column:
+    """Per-code squared distances of sub-vector ``m`` against its book:
+    ``array<double>`` of length k_codes."""
+    sub = F.slice(vec, m * sub_dim + 1, F.lit(sub_dim))
+    return F.transform(
+        F.element_at(books_lit, m + 1), lambda cent: _sub_l2(sub, cent)
     )
 
 
 def pq_encode(vec: Column, books: list[list[list[float]]]) -> Column:
     """PQ code array (one argmin code per subspace, first-min tiebreak
-    — matches the oracle's ORDER BY dist, k)."""
+    — matches the oracle's ORDER BY dist, k).
+
+    The codebooks are ONE nested-array literal; codes come from a
+    transform over the subspace index. Value-identical to the unrolled
+    8×16 fold expressions this replaced (same slice, same fold order,
+    same array_position-on-array_min first-occurrence tiebreak) but
+    O(1) py4j calls and loopy generated code — the unrolled form cost
+    ~10 s of driver-side plan build per query (round-4 bench)."""
     sub_dim = len(books[0][0])
-    codes = []
-    for m, book in enumerate(books):
-        sub = F.slice(vec, m * sub_dim + 1, sub_dim)
-        dists = F.array(*[_sub_l2(sub, cent) for cent in book])
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return F.array(*codes)
+    books_lit = _array_lit(books)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(books) - 1)),
+        lambda m: (
+            F.array_position(
+                _sub_dists(vec, books_lit, m, sub_dim),
+                F.array_min(_sub_dists(vec, books_lit, m, sub_dim)),
+            )
+            - 1
+        ).cast("int"),
+    )
 
 
 def pq_adc_tables(vec: Column, books: list[list[list[float]]]) -> Column:
     """Asymmetric-distance lookup tables for a query vector:
     array<array<double>> — tables[m][k] = ||query_sub_m - books[m][k]||²."""
     sub_dim = len(books[0][0])
-    tabs = []
-    for m, book in enumerate(books):
-        sub = F.slice(vec, m * sub_dim + 1, sub_dim)
-        tabs.append(F.array(*[_sub_l2(sub, cent) for cent in book]))
-    return F.array(*tabs)
+    books_lit = _array_lit(books)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(books) - 1)),
+        lambda m: _sub_dists(vec, books_lit, m, sub_dim),
+    )
 
 
 def ivfpq_topk(

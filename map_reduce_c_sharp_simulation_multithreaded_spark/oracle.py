@@ -51,10 +51,19 @@ def oracle_result(
 def _norm_value(v: Any) -> Any:
     if isinstance(v, bool):
         return v
+    # Type-tag numerics: Python's 123 == 123.0, so an int-vs-float skew
+    # between engines (e.g. a DuckDB HUGEINT fetched as float64) passed
+    # values_match here while flipping the driver's stringified hash —
+    # the exact mechanism behind the round-2/round-3 "passes local,
+    # fails driver" text-query streak (VERDICT.md r3 "What's wrong" #2).
+    # repr() for floats is the shortest round-trip form, so 4711.0 and
+    # 4711 can never compare equal again.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, datetime.date):
@@ -74,6 +83,13 @@ def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
     )
 
 
+def _untag_float(v: Any) -> Any:
+    """Unwrap a ("f", repr) tag back to the float for approx compare."""
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "f":
+        return float(v[1])
+    return v
+
+
 def _approx_equal(a: list[tuple], b: list[tuple], rel: float = 1e-9) -> bool:
     if len(a) != len(b):
         return False
@@ -81,6 +97,7 @@ def _approx_equal(a: list[tuple], b: list[tuple], rel: float = 1e-9) -> bool:
         if len(ra) != len(rb):
             return False
         for va, vb in zip(ra, rb):
+            va, vb = _untag_float(va), _untag_float(vb)
             if isinstance(va, float) and isinstance(vb, float):
                 if not math.isclose(va, vb, rel_tol=rel, abs_tol=1e-9):
                     return False

@@ -303,11 +303,16 @@ WITH s AS (
 )
 SELECT p_brand, min_price, max_price,
        CAST(sx_c // n AS DOUBLE) / 100.0 AS avg_price,
+       -- greatest(.., 0): cancellation can push var_raw slightly
+       -- negative on a (near-)constant group; Spark's floor(sqrt(neg))
+       -- and DuckDB's disagree on NaN handling, so clamp before the
+       -- sqrt on BOTH sides (ADVICE.md r3)
        CASE WHEN n > 1 THEN
-         floor(sqrt((n * sxx - sx * sx) / (n * (n - 1))) * 100) / 100.0
+         floor(sqrt(greatest((n * sxx - sx * sx) / (n * (n - 1)), 0))
+               * 100) / 100.0
        END AS sd_price,
        CASE WHEN n > 1 THEN
-         floor((n * sxx - sx * sx) / (n * (n - 1)) * 10) / 10.0
+         floor(greatest((n * sxx - sx * sx) / (n * (n - 1)), 0) * 10) / 10.0
        END AS var_price,
        n
 FROM s
@@ -351,8 +356,14 @@ def agg_stats_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sxx"),
         )
     )
-    var_raw = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
-        F.col("n") * (F.col("n") - 1)
+    # greatest(.., 0): cancellation can push the formula slightly
+    # negative on a (near-)constant group; without the clamp Spark's
+    # floor(sqrt(negative)) and DuckDB's handle the NaN differently
+    # (ADVICE.md r3). Mirrors the identical clamp in the oracle SQL.
+    var_raw = F.greatest(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / (F.col("n") * (F.col("n") - 1)),
+        F.lit(0.0),
     )
     return g.select(
         "p_brand",

@@ -84,94 +84,82 @@ def _load_all_plan_modules() -> None:
 # evidence, rotated each round until every oracle-backed query has had
 # a green driver row.
 #
-# Round-3 window (50), per VERDICT.md "Next round" #1/#2/#5: the two
-# repaired round-2 hash-FAILs, the three r01 no_oracle errors whose
-# oracles landed in round 2, the two rows-only-by-design entries
-# re-queued so the driver records their status against current code,
-# every events/graph/ANN/curation query, the 18 TPC-H shapes still
-# lacking driver evidence, and the queries whose oracles changed this
-# round (exact-integer/version-proof restructurings) so their driver
-# evidence matches current code. Cumulative r01∪r02 greens stay parked
-# after the window.
-#
-# Round-4 rotation queue (still without driver evidence after this
-# window): text_pii_redaction, sketch_countmin_terms, text_tfidf_topk,
-# text_bigram_lm, text_pmi_collocations, text_inverted_index,
-# text_zipf_slope, graph_pagerank_directed, agg_histogram_totalprice,
-# agg_profile_orders_columns, agg_mode_per_group,
-# agg_stats_correlation, agg_cube_grouping_id, layout_zorder_tiles,
-# quantize_embeddings_int8, join_lateral_top_order,
-# scalar_higher_order_pack, sample_deterministic_count,
-# sample_stratified_by_lang, sample_weighted_priority, sim_lsh_ann_topk
-# (full oracle since round 3), sim_ivf_trained_topk (rows-only),
-# embed_label_centroids,
-# stream_windowed_topk, window_ratio_to_report,
-# window_distinct_count_trick, dedup_simhash_band_pairs (rows-only).
+# Round-4 window (50), per VERDICT.md r3 "Next round" #1/#3/#7: the
+# two text queries whose oracle HUGEINT columns are now CAST to BIGINT
+# (the mechanically-identified root cause of the two-round driver hash
+# FAIL) lead the window; then the 27 never-driver-verified queries
+# (sim_lsh_ann_topk promoted to the front per #7 so its new full
+# oracle's debut can't hide behind the queue); then agg_stats_by_brand,
+# whose oracle gained the var_raw clamp this round (ADVICE.md r3);
+# the remaining 20 slots re-confirm the rows-only pair against current
+# code plus the nine bench-headline queries, the two new bench extras,
+# and high-value §2.4/TPC-H greens whose evidence is oldest. After
+# this window, every one of the 163 registered queries has driver
+# evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-2 driver hash-FAILs, oracles version-proofed this round
+    # repaired two-round hash-FAILs: oracle HUGEINT -> BIGINT casts
     "text_lang_rollup",
     "text_winnowing_fingerprints",
-    # r01 'no_oracle' errors whose full oracles landed in round 2
-    "dedup_connected_components",
-    "graph_pagerank_suppliers",
-    "multimodal_decode_features",
-    # rows-only by design — re-queued so the driver records their
-    # status against current code (VERDICT.md next-round #5)
+    # driver debut of the full multi-probe LSH oracle (stretch item #7)
+    "sim_lsh_ann_topk",
+    # --- the 27-query evidence gap (minus sim_lsh_ann_topk above) ---
+    # text analysis
+    "text_pii_redaction",
+    "sketch_countmin_terms",
+    "text_tfidf_topk",
+    "text_bigram_lm",
+    "text_pmi_collocations",
+    "text_inverted_index",
+    "text_zipf_slope",
+    # aggregates
+    "agg_histogram_totalprice",
+    "agg_profile_orders_columns",
+    "agg_mode_per_group",
+    "agg_stats_correlation",
+    "agg_cube_grouping_id",
+    # graph / layout / embeddings
+    "graph_pagerank_directed",
+    "layout_zorder_tiles",
+    "quantize_embeddings_int8",
+    "embed_label_centroids",
+    # joins / scalars / sampling
+    "join_lateral_top_order",
+    "scalar_higher_order_pack",
+    "sample_deterministic_count",
+    "sample_stratified_by_lang",
+    "sample_weighted_priority",
+    # ANN / dedup rows-only-by-design entries
+    "sim_ivf_trained_topk",
+    "dedup_simhash_band_pairs",
+    # streaming / windows
+    "stream_windowed_topk",
+    "window_ratio_to_report",
+    "window_distinct_count_trick",
+    # oracle changed this round (var_raw clamp, ADVICE.md r3)
+    "agg_stats_by_brand",
+    # --- re-confirmation fill (20): rows-only pair + bench headliners
+    # + new bench extras + oldest high-value greens ---
     "dedup_minhash_lsh",
     "dedup_simhash_signatures",
-    # event analytics (plans/events.py) — zero driver evidence
-    "events_funnel_view_click_purchase",
-    "events_cohort_retention",
-    "events_time_to_convert",
-    "events_transition_matrix",
-    "events_rolling_wau",
-    "events_longest_streak",
-    # graph
-    "graph_bfs_supplier_hops",
-    # ANN similarity (oracle-backed set)
-    "sim_ivf_ann_topk",
-    "sim_ivfpq_topk",
-    "sim_ivfpq_rerank_topk",
-    "sim_lsh_bucket_histogram",
-    # curation / UDAF / custom source / contamination (un-hinted)
-    "pipeline_curate_corpus",
-    "pandas_udaf_weighted_avg",
-    "pysource_synthetic_agg",
-    "contamination_eval_overlap",
-    # TPC-H shapes still lacking driver evidence (q1≈agg_pricing_summary
-    # and q3/q7/q18 are green from r01/r02)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # queries whose oracles were restructured this round (exact-integer
-    # / version-proof forms) — re-verified so driver evidence matches
-    # current code
     "agg_pricing_summary",
-    "agg_stats_by_brand",
-    "agg_median_percentile",
-    "dedup_ngram_jaccard_adjacent",
-    "scalar_try_arithmetic",
-    "dedup_span_windows",
-    "text_gopher_quality",
-    "quality_constraint_audit",
-    "join_fuzzy_levenshtein",
-    # never-verified window op
-    "window_rolling_median",
+    "flagship_revenue_by_nation",
+    "join_broadcast_region_revenue",
+    "parity_donations_by_state",
+    "sim_cosine_topk",
+    "text_term_frequency",
+    "tpch_q3_shipping_priority",
+    "window_topk_per_customer",
+    "sim_ivfpq_rerank_topk",
+    "multimodal_decode_features",
+    "contamination_eval_overlap",
+    "pipeline_curate_corpus",
+    "events_funnel_view_click_purchase",
+    "graph_pagerank_suppliers",
+    "dedup_connected_components",
+    "tpch_q7_nation_volume",
+    "tpch_q18_large_orders",
+    # oracle changed this round (+0.0 zero-sign normalization)
+    "scalar_array_pack",
 )
 
 

@@ -183,8 +183,12 @@ def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS dim,
        embedding[1] AS first_val,
-       ROUND(list_aggregate(embedding, 'sum'), 3) AS vsum,
-       ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS vmax,
+       -- + 0.0 normalizes the IEEE zero sign: rounding a tiny negative
+       -- sum yields -0.0 on one engine and +0.0 on the other (caught by
+       -- the r4 type-tagged comparator; a stringifying driver hash
+       -- distinguishes "-0.0" from "0.0")
+       ROUND(list_aggregate(embedding, 'sum'), 3) + 0.0 AS vsum,
+       ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) + 0.0 AS vmax,
        list_contains(embedding, 0.0) AS has_zero
 FROM embeddings
 """,
@@ -200,10 +204,14 @@ def scalar_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size(emb).alias("dim"),
         F.element_at(emb, 1).alias("first_val"),
-        F.round(
-            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x), 3
+        # + 0.0 on both sides: normalize -0.0 vs +0.0 (see oracle note)
+        (
+            F.round(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x), 3)
+            + F.lit(0.0)
         ).alias("vsum"),
-        F.round(F.array_max(emb).cast("double"), 4).alias("vmax"),
+        (F.round(F.array_max(emb).cast("double"), 4) + F.lit(0.0)).alias(
+            "vmax"
+        ),
         F.array_contains(emb, F.lit(0.0)).alias("has_zero"),
     )
 

@@ -62,13 +62,18 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       -- CAST: DuckDB types integer SUM as HUGEINT (int128); its
+       -- pandas/Arrow fetch path materializes HUGEINT as float64, so a
+       -- stringifying driver hash sees 4711.0 vs Spark's 4711 even when
+       -- rows and schema names match (round-2 AND round-3 driver hash
+       -- FAIL; VERDICT.md r3 "What's wrong" #1).
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        -- integer-exact scaled average (cents pattern, see
        -- plans/streaming.py stream_sliding_avg): a ROUND(AVG(double),2)
        -- here landed 1 ulp apart between Spark's HALF_UP and the
        -- driver's DuckDB on some group (round-2 driver hash FAIL).
        -- n_chars >= 0 so truncating and flooring division agree.
-       SUM(n_chars) * 100 // COUNT(*) AS avg_chars_e2
+       CAST(SUM(n_chars) * 100 // COUNT(*) AS BIGINT) AS avg_chars_e2
 FROM documents
 GROUP BY lang, source
 """,
@@ -538,8 +543,12 @@ SELECT doc_id,
        list_min(fps) AS fp_min,
        -- empty-doc convention: Spark's aggregate() over an empty array
        -- returns the zero accumulator, DuckDB's list_aggregate returns
-       -- NULL — coalesce to Spark's 0 (fp_min stays NULL on both)
-       COALESCE(list_aggregate(fps, 'sum') % 1000000007, 0) AS fp_check
+       -- NULL — coalesce to Spark's 0 (fp_min stays NULL on both).
+       -- CAST: list_aggregate('sum') over BIGINT[] yields HUGEINT,
+       -- which DuckDB's pandas/Arrow fetch turns into float64 and flips
+       -- the driver's stringified hash (VERDICT.md r3 "What's wrong" #1)
+       CAST(COALESCE(list_aggregate(fps, 'sum') % 1000000007, 0)
+            AS BIGINT) AS fp_check
 FROM w
 """
 

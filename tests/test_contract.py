@@ -34,6 +34,41 @@ def test_oracle_keys_subset_of_queries():
         assert isinstance(sql, str) and sql.strip()
 
 
+def test_oracle_type_lint(sf_dir):
+    """DESCRIBE every oracle; no output column may be HUGEINT/unsigned.
+
+    DuckDB's pandas/Arrow fetch paths materialize HUGEINT as float64,
+    so a stringifying driver hash sees 4711.0 vs Spark's 4711 and flips
+    even when rows and schema names match — the root cause of the
+    round-2/round-3 text_lang_rollup + text_winnowing_fingerprints
+    driver hash FAILs (VERDICT.md r3 "What's wrong" #1/#2)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from verify_local import lint_oracle_types
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark import oracle as ora
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
+
+    con = ora.duckdb_connect(sf_dir)
+    bad = lint_oracle_types(con, registry.all_queries())
+    assert bad == [], f"driver-hash-unsafe oracle output types: {bad}"
+
+
+def test_comparator_type_tags_numbers():
+    """int-vs-float skew must FAIL values_match locally (it flips the
+    driver's stringified hash), even though Python's 123 == 123.0."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.oracle import compare
+
+    res = compare(["a"], [(4711,)], ["a"], [(4711.0,)])
+    assert not res["values_match"]
+    res = compare(["a"], [(4711,)], ["a"], [(4711,)])
+    assert res["ok"]
+    # floats still compare exactly by shortest-roundtrip repr
+    res = compare(["a"], [(0.1,)], ["a"], [(0.1,)])
+    assert res["ok"]
+
+
 def test_stateful_totals_multibatch(spark, tmp_path):
     """The update-mode sink dedup must survive a multi-micro-batch
     replay (ADVICE r01: round 1 silently depended on the whole corpus

@@ -172,9 +172,14 @@ def test_pandas_udaf_matches_builtin(spark, sf_dir):
         F.col("c_custkey") == F.col("o_custkey"),
     ).withColumn("w", F.col("c_acctbal") + 5000.0)
     builtin = t.groupBy("c_nationkey").agg(
+        # DECIMAL(38,0) accumulator: a BIGINT SUM(cp*cw)*100 silently
+        # wraps (non-ANSI) around sf1+ while the UDAF's Python ints and
+        # the oracle's HUGEINT do not — the test would report a false
+        # mismatch at large SF (ADVICE.md r3).
         F.expr(
-            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
-            "    * CAST(ROUND(w * 100) AS BIGINT)) * 100L"
+            "SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            "         * CAST(ROUND(w * 100) AS BIGINT)"
+            "     AS DECIMAL(38,0))) * 100"
             " DIV SUM(CAST(ROUND(w * 100) AS BIGINT))"
         ).alias("e4"),
         F.sum(F.col("o_totalprice") * F.col("w")).alias("num"),

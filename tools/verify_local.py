@@ -20,19 +20,63 @@ from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
 from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark
 
 
+# Oracle output types that DuckDB's pandas/Arrow fetch paths materialize
+# as float64 (or that otherwise stringify differently from Spark's LONG),
+# flipping the driver's value hash even when the local comparator saw
+# equal numbers. HUGEINT was the root cause of the two-round
+# text_lang_rollup / text_winnowing_fingerprints driver hash FAIL
+# (VERDICT.md r3 "What's wrong" #1/#2).
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT",
+                        "UINTEGER", "UBIGINT")
+
+
+def lint_oracle_types(con, qs) -> list[str]:
+    """DESCRIBE every oracle; flag columns with driver-hash-unsafe types.
+
+    Returns a list of "query.column: TYPE" violation strings.
+    """
+    bad = []
+    for name, q in sorted(qs.items()):
+        if q.oracle is None:
+            continue
+        try:
+            rows = con.execute(f"DESCRIBE {q.oracle}").fetchall()
+        except Exception as exc:  # describe failure is itself a finding
+            bad.append(f"{name}: DESCRIBE failed: {exc}")
+            continue
+        for col, ctype, *_ in rows:
+            base = ctype.split("(")[0].strip().upper()
+            if base in _BANNED_ORACLE_TYPES:
+                bad.append(f"{name}.{col}: {ctype}")
+    return bad
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--query", action="append", default=None)
+    ap.add_argument("--lint-only", action="store_true",
+                    help="run only the oracle DESCRIBE type lint")
     args = ap.parse_args()
 
-    spark = get_spark("verify_local")
     con = ora.duckdb_connect(args.sf)
     qs = registry.all_queries()
     if args.query:
         qs = {n: q for n, q in qs.items() if n in set(args.query)}
 
-    failures = []
+    lint = lint_oracle_types(con, qs)
+    if lint:
+        print("ORACLE TYPE LINT FAILURES (cast these to BIGINT/DOUBLE):")
+        for v in lint:
+            print(f"    {v}")
+        if args.lint_only:
+            return 1
+    elif args.lint_only:
+        print(f"oracle type lint: {len(qs)} queries clean")
+        return 0
+
+    spark = get_spark("verify_local")
+    failures = list(lint)
     for name, q in sorted(qs.items()):
         t0 = time.time()
         try:
@@ -58,7 +102,9 @@ def main() -> int:
             print(f"{name:45s} ERROR      ({time.time()-t0:5.1f}s)")
             traceback.print_exc()
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    n_query_failures = len([f for f in failures if f in qs])
+    print(f"\n{len(qs) - n_query_failures}/{len(qs)} passed"
+          + (f"; {len(lint)} oracle-type lint violations" if lint else ""))
     return 1 if failures else 0
 
 
