@@ -250,3 +250,99 @@ def winnow_fps(text: Column, k: int = 5, window: int = 4) -> Column:
         return F.when(n_h > 0, fps).otherwise(F.array().cast("array<bigint>"))
 
     return F.element_at(F.transform(F.array(hashes), winnow), 1)
+
+
+def bpe_initial_words(docs, text_col: str = "text"):
+    """Word-frequency table with char-level symbol sequences — the BPE
+    training working set.
+
+    BPE never iterates over the corpus: it iterates over the DISTINCT
+    word table weighted by frequency (the standard formulation, and the
+    100 TB story — one corpus-sized shuffle up front, then every merge
+    round touches vocab-sized data only). Symbols start as single
+    characters plus a terminal ``</w>`` marker so merges can't cross
+    word boundaries.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = F.concat(
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        F.array(F.lit("</w>")),
+    )
+    return words.select("word", "freq", syms.alias("syms"))
+
+
+# Greedy left-to-right application of ONE merge (s1, s2) to a symbol
+# array, as a sequential fold: if the accumulator's last element is s1
+# and the incoming symbol is s2, replace the last element with s1||s2,
+# else append. The fold IS exact greedy BPE: a merge product is always
+# strictly longer than s1, so it can never be re-consumed as the left
+# half of an overlapping match ("aaa" + (a,a) -> ["aa","a"]).
+# try_element_at: NULL (not an ANSI error) on the empty accumulator.
+_BPE_APPLY = """
+aggregate(
+  syms,
+  cast(array() as array<string>),
+  (acc, x) -> CASE
+    WHEN try_element_at(acc, -1) = s1 AND x = s2
+      THEN concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2)))
+    ELSE concat(acc, array(x))
+  END)
+"""
+
+# Adjacent symbol pairs with positions; the size guard matters because
+# Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty.
+_BPE_PAIRS = """
+CASE WHEN size(syms) >= 2
+  THEN transform(sequence(1, size(syms) - 1),
+       i -> struct(element_at(syms, i) AS s1, element_at(syms, i + 1) AS s2))
+  ELSE cast(array() as array<struct<s1:string,s2:string>>)
+END
+"""
+
+
+def bpe_merge_rounds(words, n_rounds: int = 3):
+    """``n_rounds`` of distributed BPE merge induction over a
+    (word, freq, syms) table; returns the learned merge table
+    (merge_rank, left_sym, right_sym, pair_count).
+
+    Each round: count adjacent symbol pairs weighted by word frequency
+    (one vocab-sized shuffle), pick the argmax pair with a
+    (count DESC, pair ASC) tiebreak as a 1-row DataFrame, broadcast it
+    back, and rewrite every word's symbols with the greedy fold — the
+    winning pair never visits the driver, mirroring the k-means
+    codebook discipline (``operators/similarity.py``). At production
+    scale each round's ``words`` frame would be checkpointed to
+    truncate lineage, exactly like the pagerank iterations.
+    """
+    merges = None
+    wf = words
+    for r in range(1, n_rounds + 1):
+        pairs = wf.select(
+            "freq", F.explode(F.expr(_BPE_PAIRS)).alias("p")
+        ).select("freq", "p.s1", "p.s2")
+        best = (
+            pairs.groupBy("s1", "s2")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "s1", "s2")
+            .limit(1)
+        )
+        m = best.select(
+            F.lit(r).alias("merge_rank"),
+            F.col("s1").alias("left_sym"),
+            F.col("s2").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        merges = m if merges is None else merges.unionByName(m)
+        wf = (
+            wf.crossJoin(F.broadcast(best.select("s1", "s2")))
+            .select("word", "freq", F.expr(_BPE_APPLY).alias("syms"))
+        )
+    return merges

@@ -69,6 +69,7 @@ def _load_all_plan_modules() -> None:
         scd,
         setops,
         similarity,
+        sinks,
         streaming,
         text,
         tpch,
@@ -91,11 +92,12 @@ def _load_all_plan_modules() -> None:
 # (sim_lsh_ann_topk promoted to the front per #7 so its new full
 # oracle's debut can't hide behind the queue); then agg_stats_by_brand,
 # whose oracle gained the var_raw clamp this round (ADVICE.md r3);
-# the remaining 20 slots re-confirm the rows-only pair against current
+# the remaining slots re-confirm the rows-only pair against current
 # code plus the nine bench-headline queries, the two new bench extras,
-# and high-value §2.4/TPC-H greens whose evidence is oldest. After
-# this window, every one of the 163 registered queries has driver
-# evidence.
+# high-value §2.4/TPC-H greens whose evidence is oldest, and the three
+# queries ADDED this round (SemDeDup, BPE merges, partitioned sink) so
+# new surface debuts with driver evidence in the same round it lands.
+# After this window, every registered query has driver evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
     # repaired two-round hash-FAILs: oracle HUGEINT -> BIGINT casts
     "text_lang_rollup",
@@ -155,9 +157,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_curate_corpus",
     "events_funnel_view_click_purchase",
     "graph_pagerank_suppliers",
-    "dedup_connected_components",
-    "tpch_q7_nation_volume",
-    "tpch_q18_large_orders",
+    # new this round: driver debut in the same round the surface lands
+    "dedup_semantic_clusters",
+    "text_bpe_merges",
+    "sink_partitioned_roundtrip",
     # oracle changed this round (+0.0 zero-sign normalization)
     "scalar_array_pack",
 )

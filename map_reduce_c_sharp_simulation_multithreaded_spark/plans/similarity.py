@@ -506,6 +506,106 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_vecs"))
 
 
+def _semantic_dedup_oracle(
+    n_centroids: int = 16, dim: int = 64, threshold: float = 0.35
+) -> str:
+    """SemDeDup oracle: the same sha256-derived centroid literals
+    re-derive cell assignment (argmax projection, first-max tiebreak),
+    then the within-cell lower-id near-neighbor test uses the identical
+    rounded cosine, so the kept/dropped verdict matches bit-for-bit."""
+    from ..operators.similarity import _deterministic_centroids
+
+    rows = ", ".join(
+        f"({c}, {_plane_literal_sql(row)})"
+        for c, row in enumerate(_deterministic_centroids(n_centroids, dim))
+    )
+    dot = _DOT.format(a="e.embedding", b="c.cv")
+    cos = _cos_sql("ea.embedding", "eb.embedding")
+    return f"""
+WITH cents(cell, cv) AS (VALUES {rows}),
+scores AS (
+  SELECT e.vec_id, c.cell, {dot} AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cell ASC) AS rn
+    FROM scores) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a
+  JOIN assigned b ON b.cell = a.cell AND b.vec_id < a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE ROUND({cos}, 6) >= {threshold}
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_semantic_dedup_oracle(),
+    tags=("dedup", "similarity", "custom-operator"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped embedding-cosine
+    near-duplicate removal — assign every vector to its argmax-centroid
+    cell, then inside each cell drop any vector with a lower-id
+    neighbor at cosine ≥ 0.35 (keep-first). Emits the per-vector
+    verdict (vec_id, cell, kept).
+
+    This is the 100 TB shape for embedding-space dedup: the pairwise
+    cosine runs only WITHIN a cell (an equi join on the cell id), so
+    cost is Σ|cell|² instead of N² — the same coarse-quantizer pruning
+    the IVF index uses for search, reused for curation. Centroids are
+    sha256-derived literals here; production would swap in the trained
+    k-means codebook (:func:`train_kmeans_codebook`) without changing
+    the plan. Similarity is rounded to 6 before thresholding on both
+    engines so association-order ulps can't flip a verdict.
+    """
+    pin_session(spark)
+    from ..operators.similarity import _deterministic_centroids, centroid_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _deterministic_centroids(16, 64)
+    scores = centroid_scores(F.col("embedding"), cents)
+    assigned = (
+        F.array_position(scores, F.array_max(scores)).cast("int") - 1
+    )
+    e = emb.select("vec_id", "embedding", assigned.alias("cell"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), "cell", F.col("embedding").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("embedding").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.35)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        e.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("_d").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("kept"),
+        )
+    )
+
+
 def _ivfpq_rerank_oracle(k: int = 5, k_prime: int = 20) -> str:
     """Rerank oracle: the IVF-PQ shortlist (same generated SQL, k')
     nested as a derived table, then exact rounded cosine over the

@@ -1094,3 +1094,93 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.crossJoin(F.broadcast(totals)).select(
         "n_vocab", "n_tokens", slope.alias("zipf_slope")
     )
+
+
+def _bpe_oracle(n_rounds: int = 3) -> str:
+    """Generated oracle for BPE merge induction: each round is a CTE
+    block re-deriving pair counts, the argmax pair, the greedy match
+    positions (islands keep even offsets within each run of
+    consecutive matches — value-identical to the engine's fold), and
+    the rebuilt symbol table. DuckDB's range() is end-EXCLUSIVE where
+    Spark's sequence() is inclusive; bounds below account for it."""
+    ctes = ["""w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         list_transform(range(1, len(word) + 1),
+                        i -> substring(word, CAST(i AS INT), 1))
+           || ['</w>'] AS syms
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+  GROUP BY word
+)"""]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        ctes.append(f"""p{r} AS (
+  SELECT syms[CAST(i AS INT)] AS s1, syms[CAST(i + 1 AS INT)] AS s2,
+         SUM(freq) AS cnt
+  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM w{p})
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT s1, s2, cnt FROM p{r} ORDER BY cnt DESC, s1, s2 LIMIT 1),
+m{r} AS (
+  SELECT t.word, t.i
+  FROM (SELECT word, syms, unnest(range(1, len(syms))) AS i FROM w{p}) t, b{r} b
+  WHERE t.syms[CAST(t.i AS INT)] = b.s1
+    AND t.syms[CAST(t.i + 1 AS INT)] = b.s2
+),
+k{r} AS (
+  SELECT word, i FROM (
+    SELECT word, i, MIN(i) OVER (PARTITION BY word, grp) AS i0
+    FROM (SELECT word, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+          FROM m{r})
+  ) WHERE (i - i0) % 2 = 0
+),
+w{r} AS (
+  SELECT word, freq, list(newsym ORDER BY i) AS syms
+  FROM (
+    SELECT t.word, t.freq, t.i,
+           CASE WHEN k1.i IS NOT NULL THEN b.s1 || b.s2
+                ELSE t.syms[CAST(t.i AS INT)] END AS newsym,
+           k0.i AS dropped
+    FROM (SELECT word, freq, syms, unnest(range(1, len(syms) + 1)) AS i
+          FROM w{p}) t
+    CROSS JOIN b{r} b
+    LEFT JOIN k{r} k1 ON k1.word = t.word AND k1.i = t.i
+    LEFT JOIN k{r} k0 ON k0.word = t.word AND k0.i = t.i - 1
+  ) WHERE dropped IS NULL
+  GROUP BY word, freq
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, s1 AS left_sym, s2 AS right_sym,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@register(
+    "text_bpe_merges",
+    oracle=_bpe_oracle(3),
+    tags=("text", "bpe", "iterative", "custom-operator"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016),
+    3 merge rounds: build the word-frequency table once from the
+    corpus, then per round count adjacent symbol pairs weighted by
+    word frequency, pick the most frequent pair (count DESC, pair ASC
+    tiebreak), and greedily rewrite every word's symbol sequence.
+    Emits the learned merge table (merge_rank, left_sym, right_sym,
+    pair_count).
+
+    The 100 TB posture is the classic one: the corpus is touched
+    exactly once (word counting); every merge round runs on the
+    DISTINCT-word table — vocab-sized, orders of magnitude smaller —
+    and the winning pair travels as a broadcast 1-row DataFrame, never
+    through the driver. The oracle replays all three rounds in SQL
+    with an islands formulation of the same greedy matching.
+    """
+    pin_session(spark)
+    from ..operators.text import bpe_initial_words, bpe_merge_rounds
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merge_rounds(bpe_initial_words(d, "text"), n_rounds=3)

@@ -81,3 +81,114 @@ def test_zero_sign_normalized(spark):
         "SELECT ROUND(CAST(-0.0004 AS DOUBLE), 3) + 0.0"
     ).fetchone()
     assert repr(dv) == "0.0"
+
+
+# ---------- round-4 new operators ----------
+
+
+def _write_docs(spark, out_dir: str, texts: list[str]) -> None:
+    rows = [
+        (i, t, "en", "test", len(t)) for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(rows, schemas.TABLE_SCHEMAS["documents"]).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/documents.parquet")
+
+
+def test_bpe_merges_hand_computed(spark, tmp_path):
+    """Planted micro-corpus with a hand-computed greedy merge sequence,
+    including the overlap case ("aaa" under pair (a,a) merges left-to-
+    right into [aa, a]) and a round-3 single-symbol word (no pairs)."""
+    out = str(tmp_path / "bpe")
+    # words: aa x3, ab x2, aaa x1
+    _write_docs(spark, out, ["aa aa aa", "ab ab", "aaa"])
+    q = registry.all_queries()["text_bpe_merges"]
+    rows = {r["merge_rank"]: r for r in q.fn(spark, out).collect()}
+    # round 1: (a,a) count 5 beats (a,</w>) count 4
+    assert (rows[1]["left_sym"], rows[1]["right_sym"], rows[1]["pair_count"]) == (
+        "a", "a", 5,
+    )
+    # round 2: "aa" -> [aa,</w>] x3 makes (aa,</w>) the winner;
+    # "aaa" contributed [aa, a, </w>] — the greedy (not maximal) split
+    assert (rows[2]["left_sym"], rows[2]["right_sym"], rows[2]["pair_count"]) == (
+        "aa", "</w>", 3,
+    )
+    # round 3: (a,b) count 2 wins on the (count DESC, pair ASC) tiebreak
+    assert (rows[3]["left_sym"], rows[3]["right_sym"], rows[3]["pair_count"]) == (
+        "a", "b", 2,
+    )
+
+
+def test_bpe_merges_matches_oracle_on_planted_corpus(spark, tmp_path):
+    """Cross-engine: the fold-based Spark rewrite and the SQL islands
+    formulation agree on the planted corpus (beyond the driver corpus)."""
+    out = str(tmp_path / "bpe_x")
+    _write_docs(
+        spark, out,
+        ["the cat sat on the mat", "the cat ate", "banana bandana", "aaa aa a"],
+    )
+    q = registry.all_queries()["text_bpe_merges"]
+    scols, srows = ora.spark_result(q.fn(spark, out))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{out}/documents.parquet/*.parquet')"
+    )
+    ocols, orows = ora.oracle_result(con, q.oracle)
+    res = ora.compare(scols, srows, ocols, orows)
+    assert res["ok"], res
+
+
+def _write_embeddings(spark, out_dir: str, vecs: dict[int, list[float]]) -> None:
+    rows = [(vid, [float(x) for x in v], 0) for vid, v in vecs.items()]
+    spark.createDataFrame(rows, schemas.TABLE_SCHEMAS["embeddings"]).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/embeddings.parquet")
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark, tmp_path):
+    """An exact duplicate vector lands in the same cell as its twin
+    (identical argmax) and is dropped; the lowest id survives; an
+    orthogonal-ish distinct vector is kept."""
+    out = str(tmp_path / "semdedup")
+    base = [1.0] + [0.0] * 63
+    near = [1.0, 0.05] + [0.0] * 62  # cosine ~0.999 with base
+    other = [0.0] * 32 + [1.0] + [0.0] * 31
+    _write_embeddings(spark, out, {10: base, 20: list(base), 30: near, 40: other})
+    q = registry.all_queries()["dedup_semantic_clusters"]
+    got = {r["vec_id"]: r for r in q.fn(spark, out).collect()}
+    assert set(got) == {10, 20, 30, 40}
+    assert got[10]["kept"] == 1          # lowest id in its dup group
+    assert got[20]["kept"] == 0          # exact twin of 10
+    assert got[30]["kept"] == 0          # near-dup of 10, same cell
+    assert got[40]["kept"] == 1          # no lower-id neighbor
+    assert got[10]["cell"] == got[20]["cell"] == got[30]["cell"]
+
+
+def test_sink_partitioned_roundtrip_prunes_partitions(spark, sf_dir):
+    """The read-back scan must carry the lang predicate as a
+    PartitionFilter (directory pruning — the write layout pays for the
+    read), and the round trip must preserve the aggregate."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.sinks import (
+        partitioned_roundtrip_dir,
+        sink_partitioned_roundtrip,
+    )
+
+    df = sink_partitioned_roundtrip(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    # the scan must NOT read lang as a data column (it's a directory key)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines and all("ReadSchema" not in ln or "lang" not in
+                              ln.split("ReadSchema")[1] for ln in scan_lines)
+    got = {r["lang"]: (r["n_docs"], r["total_chars"]) for r in df.collect()}
+    from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c"))
+    )
+    want = {r["lang"]: (r["n"], r["c"]) for r in src.collect()}
+    assert got == want
