@@ -94,10 +94,11 @@ def _load_all_plan_modules() -> None:
 # whose oracle gained the var_raw clamp this round (ADVICE.md r3);
 # the remaining slots re-confirm the rows-only pair against current
 # code plus the nine bench-headline queries, the two new bench extras,
-# high-value §2.4/TPC-H greens whose evidence is oldest, and the three
-# queries ADDED this round (SemDeDup, BPE merges, partitioned sink) so
-# new surface debuts with driver evidence in the same round it lands.
-# After this window, every registered query has driver evidence.
+# high-value §2.4/TPC-H greens whose evidence is oldest, and the five
+# queries ADDED this round (SemDeDup, BPE merges, partitioned sink,
+# JSON roundtrip, bucketed co-located join) so new surface debuts with
+# driver evidence in the same round it lands. After this window, every
+# registered query has driver evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
     # repaired two-round hash-FAILs: oracle HUGEINT -> BIGINT casts
     "text_lang_rollup",
@@ -153,14 +154,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_topk_per_customer",
     "sim_ivfpq_rerank_topk",
     "multimodal_decode_features",
-    "contamination_eval_overlap",
-    "pipeline_curate_corpus",
     "events_funnel_view_click_purchase",
     "graph_pagerank_suppliers",
     # new this round: driver debut in the same round the surface lands
     "dedup_semantic_clusters",
     "text_bpe_merges",
     "sink_partitioned_roundtrip",
+    "source_json_roundtrip",
+    "join_bucketed_colocated",
     # oracle changed this round (+0.0 zero-sign normalization)
     "scalar_array_pack",
 )

@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import schemas
 from ..catalog import load_table
 from ..session import pin_session
 from .registry import register
@@ -63,4 +64,107 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       MIN(o_orderdate) AS first_date,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 100 = 0
+GROUP BY o_orderpriority
+""",
+    tags=("source", "sink", "json"),
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-explicit read-back: write a 1%-of-orders
+    slice as JSON, read it back through the declared StructType (never
+    schema inference — at 100 TB an inference pass is a full extra
+    scan, and a sampled inference can silently widen or narrow types),
+    and aggregate per priority. Differentially checked against the
+    parquet source, covering date and double round-trips through JSON
+    text. The reference knows only CSV (``D/Program.cs:475-504``);
+    this is the second interchange format a user migrating from it
+    gets for free from the engine."""
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(tempfile.gettempdir(), f"mrss_sink_json_{tag}")
+    o.write.mode("overwrite").json(out)
+    back = spark.read.schema(schemas.TABLE_SCHEMAS["orders"]).json(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderdate").alias("first_date"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("join", "sink", "bucketing", "layout"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: write customer and orders
+    ``bucketBy(8, custkey)`` into a scratch database, then sort-merge
+    join the bucketed tables — with matching bucket counts on the join
+    key, the join needs NO Exchange on either input (asserted in
+    ``tests/test_round4_ops.py``).
+
+    This is the 100 TB repeated-join story the reference hand-built
+    with its co-partitioned split files (``D/Program.cs:63-149``): pay
+    the partitioning once at write time, then every future join on the
+    key is shuffle-free. The merge hint pins SMJ so the plan exercises
+    the bucketed path even where AQE would broadcast at test scale;
+    the database rides in an explicit /tmp LOCATION so the query is
+    independent of the session's warehouse directory."""
+    pin_session(spark)
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    db = f"mrcs_bkt_{tag}"
+    loc = os.path.join(tempfile.gettempdir(), f"mrss_bucket_wh_{tag}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    # a fresh in-memory catalog doesn't know about table dirs a PREVIOUS
+    # process left under loc, and saveAsTable refuses to adopt an
+    # existing managed-table location — drop both catalog entry and dir
+    import shutil
+
+    for t in ("customer_b", "orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        shutil.rmtree(os.path.join(loc, t), ignore_errors=True)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).saveAsTable(f"{db}.customer_b")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).saveAsTable(f"{db}.orders_b")
+    bc = spark.table(f"{db}.customer_b").hint("merge")
+    bo = spark.table(f"{db}.orders_b")
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
     )

@@ -192,3 +192,48 @@ def test_sink_partitioned_roundtrip_prunes_partitions(spark, sf_dir):
     )
     want = {r["lang"]: (r["n"], r["c"]) for r in src.collect()}
     assert got == want
+
+
+def test_bucketed_colocated_join_has_no_exchange_on_inputs(spark, sf_dir):
+    """The registered bucketed-join query must sort-merge join the two
+    bucketed tables without re-shuffling either input — the whole point
+    of paying for bucketing at write time."""
+    q = registry.all_queries()["join_bucketed_colocated"]
+    df = q.fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning(o_custkey" not in join_part
+    assert "Exchange hashpartitioning(c_custkey" not in join_part
+    # bucket pruning metadata present on both scans
+    assert plan.count("SelectedBucketsCount") >= 2 or "Bucketed: true" in plan
+
+
+def test_json_roundtrip_preserves_dates_and_money(spark, sf_dir):
+    """Date and double columns survive the JSON text round trip with a
+    schema-explicit read (no inference)."""
+    q = registry.all_queries()["source_json_roundtrip"]
+    got = {r["o_orderpriority"]: r for r in q.fn(spark, sf_dir).collect()}
+    from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+
+    want = {
+        r["o_orderpriority"]: r
+        for r in (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 100 == 0)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.min("o_orderdate").alias("first_date"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "total_cents"
+                ),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert (got[k]["n_orders"], got[k]["first_date"], got[k]["total_cents"]) == (
+            want[k]["n_orders"], want[k]["first_date"], want[k]["total_cents"],
+        )
