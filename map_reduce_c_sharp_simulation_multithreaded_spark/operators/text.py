@@ -308,10 +308,12 @@ END
 """
 
 
-def bpe_merge_rounds(words, n_rounds: int = 3):
+def bpe_merge_rounds(words, n_rounds: int = 3, return_words: bool = False):
     """``n_rounds`` of distributed BPE merge induction over a
     (word, freq, syms) table; returns the learned merge table
-    (merge_rank, left_sym, right_sym, pair_count).
+    (merge_rank, left_sym, right_sym, pair_count) — or, with
+    ``return_words``, the post-merge (word, freq, syms) table (the
+    "apply" half: the tokenized vocabulary after training).
 
     Each round: count adjacent symbol pairs weighted by word frequency
     (one vocab-sized shuffle), pick the argmax pair with a
@@ -345,4 +347,4 @@ def bpe_merge_rounds(words, n_rounds: int = 3):
             wf.crossJoin(F.broadcast(best.select("s1", "s2")))
             .select("word", "freq", F.expr(_BPE_APPLY).alias("syms"))
         )
-    return merges
+    return wf if return_words else merges

@@ -154,11 +154,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_topk_per_customer",
     "sim_ivfpq_rerank_topk",
     "multimodal_decode_features",
-    "events_funnel_view_click_purchase",
     "graph_pagerank_suppliers",
     # new this round: driver debut in the same round the surface lands
     "dedup_semantic_clusters",
     "text_bpe_merges",
+    "text_bpe_vocab_apply",
     "sink_partitioned_roundtrip",
     "source_json_roundtrip",
     "join_bucketed_colocated",

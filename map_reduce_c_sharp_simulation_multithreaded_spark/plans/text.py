@@ -1184,3 +1184,58 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_merge_rounds(bpe_initial_words(d, "text"), n_rounds=3)
+
+
+def _bpe_vocab_oracle(n_rounds: int = 3, top_k: int = 20) -> str:
+    """The apply-side oracle: reuse the merge-round CTE chain (the
+    final words CTE IS the tokenized vocabulary) and rank the post-
+    merge symbol frequencies."""
+    chain = _bpe_oracle(n_rounds)
+    # strip the merge-table SELECTs; keep the WITH chain
+    with_part = chain.split("\nSELECT 1 AS merge_rank", 1)[0]
+    return f"""{with_part}
+SELECT sym, cnt, CAST(rank AS INT) AS rank FROM (
+  SELECT sym, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, sym) AS rank
+  FROM (
+    SELECT s AS sym, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM (SELECT freq, unnest(syms) AS s FROM w{n_rounds})
+    GROUP BY s
+  )
+) WHERE rank <= {top_k}
+"""
+
+
+@register(
+    "text_bpe_vocab_apply",
+    oracle=_bpe_vocab_oracle(3, 20),
+    tags=("text", "bpe", "iterative", "custom-operator"),
+)
+def text_bpe_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of BPE: after the same 3 training merges as
+    ``text_bpe_merges``, re-tokenize the corpus vocabulary with the
+    learned merges and emit the top-20 symbol frequencies (count DESC,
+    symbol ASC) — the corpus token histogram a tokenizer build would
+    ship.
+
+    Same scale posture as training: corpus touched once for the word-
+    frequency table, merges applied to vocab-sized data, final
+    frequency rollup is one explode + two-phase agg. The oracle reuses
+    the merge-round CTE chain; its final words CTE IS the applied
+    vocabulary."""
+    pin_session(spark)
+    from ..operators.text import bpe_initial_words, bpe_merge_rounds
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = bpe_merge_rounds(bpe_initial_words(d, "text"), 3, return_words=True)
+    freqs = (
+        wf.select("freq", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "sym")
+    return (
+        freqs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("sym", "cnt", "rank")
+    )
