@@ -68,20 +68,32 @@ def minhash_signatures(
     pipeline philosophy — partition once, compute locally — taken to
     its limit).
     """
-    def perm(a: int, b: int):
-        # factory so the transform lambda stays single-arg (PySpark
-        # derives higher-order-function arity from the signature)
-        return lambda h: F.pmod(
-            F.pmod(h, F.lit(_MERSENNE)) * a + b, F.lit(_MERSENNE)
-        )
-
-    cols = [F.col(id_col), F.col("sh_set")]
-    for i in range(num_hashes):
-        a, b = 2 * i + 1, 104729 * (i + 1)  # odd multiplier, spread offset
-        cols.append(
-            F.array_min(F.transform("sh_set", perm(a, b))).alias(f"mh_{i}")
-        )
-    return shingle_sets.select(*cols)
+    # ONE data-driven expression instead of num_hashes unrolled columns:
+    # the (a_i, b_i) permutation constants ride as two array literals and
+    # a nested transform computes every signature position — same values
+    # (a_i = 2i+1 odd multiplier, b_i = 104729(i+1) spread offset), but
+    # O(1) py4j round-trips and loopy generated code (the similarity.py
+    # codebook discipline; the 32-column form cost ~0.4 s of driver-side
+    # plan build per query at sf0.1)
+    a_lit = F.expr(
+        "array(" + ",".join(str(2 * i + 1) + "L" for i in range(num_hashes)) + ")"
+    )
+    b_lit = F.expr(
+        "array("
+        + ",".join(str(104729 * (i + 1)) + "L" for i in range(num_hashes))
+        + ")"
+    )
+    sig = F.zip_with(
+        a_lit,
+        b_lit,
+        lambda a, b: F.array_min(
+            F.transform(
+                "sh_set",
+                lambda h: F.pmod(F.pmod(h, F.lit(_MERSENNE)) * a + b, F.lit(_MERSENNE)),
+            )
+        ),
+    )
+    return shingle_sets.select(F.col(id_col), F.col("sh_set"), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -93,14 +105,17 @@ def lsh_candidate_pairs(
     pair; the join key is (band_id, hash of the band slice) so bucket
     size — not n² — bounds the work.
     """
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*cols).alias("bh"))
-        )
+    # band b = xxhash64 of its contiguous signature slice — data-driven
+    # over the sig array (see minhash_signatures)
+    bands_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
+        ),
+    )
     banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+        F.col(id_col), F.explode(bands_expr).alias("band")
     ).select(id_col, "band.band_id", "band.bh")
     left = banded.alias("l")
     right = banded.alias("r")

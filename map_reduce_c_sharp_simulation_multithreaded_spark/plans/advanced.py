@@ -407,7 +407,13 @@ def pagerank(
                 ),
             )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+            # eager=False: the logical plan is truncated immediately
+            # (bounding re-optimization growth) but the checkpoint RDD
+            # materializes inside the final action instead of as its
+            # own job per round — measured 0.6 s warm / 13 s cold off
+            # graph_pagerank_suppliers at sf0.1. BFS/CC keep eager
+            # checkpoints: their loops probe each round's result anyway.
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

@@ -144,15 +144,16 @@ gr AS (
          i -> array_to_string(list_transform(range(0, 13),
                 o -> tk[CAST(i + o AS INT)]), ' ')))) AS gram
   FROM toks WHERE len(tk) >= 13
-),
-g AS (SELECT doc_id, md5(gram) AS gh FROM gr)
+)
+-- the engine joins on xxhash64(gram) (8-byte shuffle keys); the
+-- oracle counts the raw grams — identical counts, independent path
 SELECT t.doc_id,
-       CAST(COUNT(DISTINCT CASE WHEN e.doc_id IS NOT NULL THEN t.gh END)
+       CAST(COUNT(DISTINCT CASE WHEN e.doc_id IS NOT NULL THEN t.gram END)
             AS BIGINT) AS n_shared_13grams,
        CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs_hit,
        COUNT(DISTINCT e.doc_id) > 0 AS contaminated
-FROM g t
-LEFT JOIN (SELECT * FROM g WHERE doc_id % 20 = 7) e ON e.gh = t.gh
+FROM gr t
+LEFT JOIN (SELECT * FROM gr WHERE doc_id % 20 = 7) e ON e.gram = t.gram
 WHERE t.doc_id % 20 <> 7
 GROUP BY t.doc_id
 """
@@ -169,8 +170,11 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     13-token shingle with the held-out set (here: doc_id % 20 == 7) is
     flagged, with overlap counts for triage.
 
-    Scale shape: shingles are md5-hashed before the join, so the join
-    keys are fixed-width digests instead of ~80-byte strings. The eval
+    Scale shape: shingles are xxhash64'd before the join, so the join
+    keys are 8-byte longs instead of ~80-byte strings (4× narrower in
+    the shuffle than the md5-hex digests this replaced, and no string
+    hashing in the hot loop); the oracle counts the raw grams instead —
+    an independent path to the same counts. The eval
     side carries NO broadcast hint: here it is 5% of the corpus, which
     at 100 TB would be terabytes — a mandatory broadcast is a
     driver/executor OOM. AQE picks broadcast when the eval side is
@@ -185,7 +189,7 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams = F.array_distinct(word_shingles(tokens(F.col("text")), 13))
     g = d.select("doc_id", F.explode(grams).alias("gram")).select(
-        "doc_id", F.md5("gram").alias("gh")
+        "doc_id", F.xxhash64("gram").alias("gh")
     )
     ev = g.filter(F.col("doc_id") % 20 == 7).select(
         F.col("doc_id").alias("eval_id"), "gh"

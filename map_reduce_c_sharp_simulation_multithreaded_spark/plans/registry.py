@@ -149,7 +149,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_broadcast_region_revenue",
     "parity_donations_by_state",
     "sim_cosine_topk",
-    "text_term_frequency",
+    # oracle changed this round (raw-gram counts; engine joins on
+    # xxhash64) — re-queued per the same-round rule
+    "contamination_eval_overlap",
     "tpch_q3_shipping_priority",
     "window_topk_per_customer",
     "sim_ivfpq_rerank_topk",
