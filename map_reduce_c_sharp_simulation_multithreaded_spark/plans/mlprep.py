@@ -391,3 +391,133 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             split.alias("split"),
         )
     )
+
+
+def _pca_oracle(n_iter: int = 2, dim: int = 64) -> str:
+    """Power-iteration oracle: v0 is the exact literal 1/8 vector; each
+    round's per-row dot is the index-ordered list fold ROUNDed to 6,
+    per-position contributions are quantized to integers before the
+    (order-free) SUM, and the norm folds the 64 per-position sums in
+    position order — every float step is either per-row-deterministic
+    or integer, so both engines produce bit-identical loadings."""
+    v0 = "[" + ", ".join(["0.125"] * dim) + "]::DOUBLE[]"
+    # the iteration vector crosses rounds as a 1-row list CTE
+    ctes = [
+        "e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb "
+        "FROM embeddings)",
+        f"v0(l) AS (SELECT {v0})",
+    ]
+    for r in range(1, n_iter + 1):
+        ctes.append(f"""d{r} AS (
+  SELECT e.vec_id, e.emb,
+         ROUND(list_aggregate(list_transform(list_zip(e.emb, v.l),
+               p -> p[1] * p[2]), 'sum'), 6) AS dot
+  FROM e CROSS JOIN v{r-1} v
+),
+w{r} AS (
+  SELECT i.i AS pos,
+         CAST(SUM(CAST(ROUND(d.emb[CAST(i.i AS INT)] * d.dot * 1000000.0)
+                       AS BIGINT)) AS BIGINT) AS w
+  FROM d{r} d CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) i
+  GROUP BY i.i
+),
+v{r}(l) AS (
+  SELECT list_transform(
+           list(CAST(w AS DOUBLE) ORDER BY pos),
+           x -> x / sqrt(list_aggregate(
+                  list_transform(list(CAST(w AS DOUBLE) ORDER BY pos),
+                                 y -> y * y), 'sum')))
+  FROM w{r}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(pos AS INT) AS pos, ROUND(loading, 6) AS loading
+FROM (
+  SELECT unnest(range(1, {dim + 1})) AS pos,
+         unnest((SELECT l FROM v{n_iter})) AS loading
+)
+"""
+    )
+
+
+@register(
+    "embed_pca_power_iteration",
+    oracle=_pca_oracle(2, 64),
+    tags=("mlprep", "similarity", "iterative", "custom-operator"),
+)
+def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by two
+    distributed power iterations over the (uncentered) second-moment
+    matrix: w = Σ_rows x·(xᵀv), v ← w/‖w‖ — the spectral primitive
+    under PCA whitening, ABBA-style outlier pruning, and low-rank
+    compression of embedding tables. Emits the 64 loadings of v₂.
+
+    Scale shape: the matrix Σxxᵀ is never materialized — each round is
+    one corpus scan (per-row dot against the broadcast 64-float
+    vector) plus a 64-group integer aggregation; only the 64-value
+    vector crosses rounds (the k-means-codebook discipline, here kept
+    fully in-plan via a 1-row crossJoin instead of a driver collect).
+    Cross-engine determinism: per-row dots fold index-ordered and
+    round to 6; per-position contribution sums are quantized to
+    integers (order-free across 1000 executors); the final normalize
+    folds 64 values in position order.
+    """
+    pin_session(spark)
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    v = F.expr("array(" + ", ".join(["0.125D"] * dim) + ")")
+    vrow = emb.sparkSession.range(1).select(v.alias("l"))
+    for _ in range(2):
+        d = emb.crossJoin(F.broadcast(vrow)).select(
+            "emb",
+            F.round(
+                F.aggregate(
+                    F.zip_with("emb", "l", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+                6,
+            ).alias("dot"),
+        )
+        w = (
+            d.select(F.posexplode("emb").alias("pos0", "x"), "dot")
+            .select(
+                (F.col("pos0") + 1).alias("pos"),
+                F.round(F.col("x") * F.col("dot") * 1000000.0)
+                .cast("bigint")
+                .alias("q"),
+            )
+            .groupBy("pos")
+            .agg(F.sum("q").alias("w"))
+        )
+        arr = w.agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", F.col("w").cast("double").alias("wd")))
+                ),
+                lambda s: s["wd"],
+            ).alias("wa")
+        )
+        vrow = arr.select(
+            F.transform(
+                "wa",
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        F.transform("wa", lambda y: y * y),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    )
+                ),
+            ).alias("l")
+        )
+    return vrow.select(F.posexplode("l").alias("pos0", "v")).select(
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.round("v", 6).alias("loading"),
+    )

@@ -146,7 +146,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_simhash_signatures",
     "agg_pricing_summary",
     "flagship_revenue_by_nation",
-    "join_broadcast_region_revenue",
+    "embed_pca_power_iteration",
     "parity_donations_by_state",
     "sim_cosine_topk",
     # oracle changed this round (raw-gram counts; engine joins on

@@ -237,3 +237,23 @@ def test_json_roundtrip_preserves_dates_and_money(spark, sf_dir):
         assert (got[k]["n_orders"], got[k]["first_date"], got[k]["total_cents"]) == (
             want[k]["n_orders"], want[k]["first_date"], want[k]["total_cents"],
         )
+
+
+def test_pca_power_iteration_finds_planted_direction(spark, tmp_path):
+    """A corpus with dominant variance along axis 6 (1-based) must put
+    its largest |loading| there, and the loadings must be unit-norm."""
+    out = str(tmp_path / "pca")
+    vecs = {}
+    for i in range(40):
+        v = [0.01 * ((i * 7 + j) % 5 - 2) for j in range(64)]  # small noise
+        v[5] = 10.0 if i % 2 == 0 else -10.0  # dominant +/- axis 6
+        vecs[i] = v
+    _write_embeddings(spark, out, vecs)
+    q = registry.all_queries()["embed_pca_power_iteration"]
+    rows = q.fn(spark, out).collect()
+    assert len(rows) == 64
+    by_pos = {r["pos"]: r["loading"] for r in rows}
+    top = max(by_pos, key=lambda p: abs(by_pos[p]))
+    assert top == 6
+    norm = sum(v * v for v in by_pos.values()) ** 0.5
+    assert norm == pytest.approx(1.0, abs=1e-4)
