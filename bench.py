@@ -44,6 +44,13 @@ EXTRA_BENCH = (
     # timed number — two-stage ANN retrieval and multimodal decode
     "sim_ivfpq_rerank_topk",
     "multimodal_decode_features",
+    # round-4 new surface: every family added this round gets a timed
+    # number in the same round it lands
+    "dedup_semantic_clusters",
+    "text_bpe_merges",
+    "embed_pca_power_iteration",
+    "join_bucketed_colocated",
+    "sink_partitioned_roundtrip",
 )
 
 

@@ -520,7 +520,8 @@ def _semantic_dedup_oracle(
         for c, row in enumerate(_deterministic_centroids(n_centroids, dim))
     )
     dot = _DOT.format(a="e.embedding", b="c.cv")
-    cos = _cos_sql("ea.embedding", "eb.embedding")
+    norm = _NORM.format(a="e.embedding")
+    pair_dot = _DOT.format(a="ua.uv", b="ub.uv")
     return f"""
 WITH cents(cell, cv) AS (VALUES {rows}),
 scores AS (
@@ -534,13 +535,21 @@ assigned AS (
                               ORDER BY s DESC, cell ASC) AS rn
     FROM scores) WHERE rn = 1
 ),
+-- unit-normalize ONCE per vector (same op order as the engine), so
+-- the within-cell pairwise test is a single dot fold
+unit AS (
+  SELECT e.vec_id,
+         list_transform(e.embedding,
+           x -> CAST(x AS DOUBLE) / {norm}) AS uv
+  FROM embeddings e
+),
 dropped AS (
   SELECT DISTINCT a.vec_id
   FROM assigned a
   JOIN assigned b ON b.cell = a.cell AND b.vec_id < a.vec_id
-  JOIN embeddings ea ON ea.vec_id = a.vec_id
-  JOIN embeddings eb ON eb.vec_id = b.vec_id
-  WHERE ROUND({cos}, 6) >= {threshold}
+  JOIN unit ua ON ua.vec_id = a.vec_id
+  JOIN unit ub ON ub.vec_id = b.vec_id
+  WHERE ROUND({pair_dot}, 6) >= {threshold}
 )
 SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
@@ -570,7 +579,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines so association-order ulps can't flip a verdict.
     """
     pin_session(spark)
-    from ..operators.similarity import _deterministic_centroids, centroid_scores
+    from ..operators.similarity import (
+        _deterministic_centroids,
+        centroid_scores,
+        dot,
+        l2_norm,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _deterministic_centroids(16, 64)
@@ -578,17 +592,28 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         F.array_position(scores, F.array_max(scores)).cast("int") - 1
     )
-    e = emb.select("vec_id", "embedding", assigned.alias("cell"))
-    a = e.select(
-        F.col("vec_id").alias("id_a"), "cell", F.col("embedding").alias("va")
+    # unit-normalize ONCE per vector (bound to its own column first —
+    # a norm referenced inside transform() re-evaluates per element),
+    # so every within-cell pair costs a single dot fold instead of
+    # dot + two norms; at 100 TB the unit vectors would be materialized
+    # at write time
+    e = (
+        emb.select("vec_id", "embedding", assigned.alias("cell"))
+        .withColumn("_n", l2_norm(F.col("embedding")))
+        .select(
+            "vec_id",
+            "cell",
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("_n")
+            ).alias("uv"),
+        )
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), "cell", F.col("embedding").alias("vb")
-    )
+    a = e.select(F.col("vec_id").alias("id_a"), "cell", F.col("uv").alias("ua"))
+    b = e.select(F.col("vec_id").alias("id_b"), "cell", F.col("uv").alias("ub"))
     dropped = (
         a.join(b, "cell")
         .filter(F.col("id_b") < F.col("id_a"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.35)
+        .filter(F.round(dot(F.col("ua"), F.col("ub")), 6) >= 0.35)
         .select(F.col("id_a").alias("vec_id"))
         .distinct()
         .withColumn("_d", F.lit(1))
