@@ -147,7 +147,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_pricing_summary",
     "flagship_revenue_by_nation",
     "embed_pca_power_iteration",
-    "parity_donations_by_state",
+    "quality_perplexity_filter",
     "sim_cosine_topk",
     # oracle changed this round (raw-gram counts; engine joins on
     # xxhash64) — re-queued per the same-round rule

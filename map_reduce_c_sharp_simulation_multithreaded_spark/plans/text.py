@@ -1239,3 +1239,88 @@ def text_bpe_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("sym", "cnt", "rank")
     )
+
+
+_PPLX_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         i -> struct_pack(w1 := tk[CAST(i AS INT)],
+                          w2 := tk[CAST(i + 1 AS INT)]))) AS s
+  FROM toks WHERE len(tk) >= 2
+),
+db AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM g),
+c2 AS (SELECT w1, w2, COUNT(*) AS n_pair FROM db GROUP BY w1, w2),
+m1 AS (SELECT w1, COUNT(*) AS n_head FROM db GROUP BY w1),
+q AS (
+  SELECT d.doc_id,
+         CAST(ROUND(ln(CAST(c2.n_pair AS DOUBLE) / m1.n_head) * 10000.0)
+              AS BIGINT) AS lq
+  FROM db d
+  JOIN c2 ON c2.w1 = d.w1 AND c2.w2 = d.w2
+  JOIN m1 ON m1.w1 = d.w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST((-SUM(lq)) // COUNT(*) AS BIGINT) AS avg_nll_e4,
+       CASE WHEN (-SUM(lq)) // COUNT(*) <= 34000 THEN 1 ELSE 0 END AS kept
+FROM q GROUP BY doc_id
+"""
+
+
+@register(
+    "quality_perplexity_filter",
+    oracle=_PPLX_ORACLE,
+    tags=("text", "quality", "mlprep", "custom-operator"),
+)
+def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate: score every document by its
+    average bigram negative log-likelihood under the corpus's own
+    bigram MLE model (p = n_pair/n_head), keep docs whose avg NLL sits
+    at/below 3.4 nats (ppl ≈ 30) — the perplexity-filter shape used to
+    rank web text against a clean-corpus LM, here with the corpus
+    itself standing in for the KenLM model.
+
+    Determinism at 1000 executors: each bigram's ln(p) is quantized to
+    integer 1e-4 nats PER ROW (the only float op, rounded while still
+    per-row deterministic), so the per-doc aggregation is an integer
+    sum — order-free — and the average is an integer floor division.
+    Scale shape: the LM (c2/m1) is vocab²-bounded and joins the
+    doc-bigram stream on (w1, w2); every doc bigram exists in the
+    corpus LM by construction, so the join is lossless and p is never
+    zero."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens(F.lower(F.col("text")))
+    t = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
+    pairs = F.expr(
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
+    )
+    db = t.select("doc_id", F.explode(pairs).alias("s")).select(
+        "doc_id", "s.w1", "s.w2"
+    )
+    c2 = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    m1 = db.groupBy("w1").agg(F.count(F.lit(1)).alias("n_head"))
+    lq = (
+        F.round(
+            F.log(F.col("n_pair").cast("double") / F.col("n_head")) * 10000.0
+        )
+        .cast("bigint")
+        .alias("lq")
+    )
+    scored = db.join(c2, ["w1", "w2"]).join(m1, "w1").select("doc_id", lq)
+    # -SUM(lq) is positive (lq <= 0), so DuckDB's floor // and Spark's
+    # truncating DIV agree
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("-SUM(lq) DIV COUNT(*)").alias("avg_nll_e4"),
+        F.expr(
+            "CASE WHEN -SUM(lq) DIV COUNT(*) <= 34000 THEN 1 ELSE 0 END"
+        ).alias("kept"),
+    )

@@ -257,3 +257,22 @@ def test_pca_power_iteration_finds_planted_direction(spark, tmp_path):
     assert top == 6
     norm = sum(v * v for v in by_pos.values()) ** 0.5
     assert norm == pytest.approx(1.0, abs=1e-4)
+
+
+def test_perplexity_filter_separates_predictable_from_rare(spark, tmp_path):
+    """Under a corpus LM where 'the'→{cat,dog} splits 50/50 and 'the
+    rat' appears once, the rare continuation scores ln(101) nats and
+    is dropped; the common ones score ln(101/50) and are kept."""
+    import math
+
+    out = str(tmp_path / "pplx")
+    texts = ["the cat"] * 50 + ["the dog"] * 50 + ["the rat"]
+    _write_docs(spark, out, texts)
+    q = registry.all_queries()["quality_perplexity_filter"]
+    rows = {r["doc_id"]: r for r in q.fn(spark, out).collect()}
+    assert len(rows) == 101
+    cat = rows[0]          # a "the cat" doc
+    rat = rows[100]        # the "the rat" doc
+    assert cat["avg_nll_e4"] == round(math.log(101 / 50) * 10000)  # 7032
+    assert rat["avg_nll_e4"] == round(math.log(101) * 10000)       # 46151
+    assert cat["kept"] == 1 and rat["kept"] == 0
