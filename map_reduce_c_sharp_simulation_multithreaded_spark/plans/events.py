@@ -391,3 +391,66 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_len", "streak_start")
     )
+
+
+_ROLLUP_ORACLE = """
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(COALESCE(value, 0.0) * 100) AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "events_rollup_cascade",
+    oracle=_ROLLUP_ORACLE,
+    tags=("events", "aggregate", "rollup", "custom-operator"),
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: raw events roll
+    up to minute grain, hours roll up FROM the minute aggregate, days
+    FROM the hourly — the raw table is scanned exactly once and each
+    coarser grain reads only the previous (already tiny) grain.
+
+    That reuse is the 100 TB point: a day of 100 TB clickstream has
+    ~1440 minute rows per key — re-scanning raw events per grain
+    (the naive GROUP BY per dashboard zoom level) costs three full
+    scans where this cascade costs one plus two trivial aggregations;
+    materialized, it is the TimescaleDB/Druid rollup hierarchy. The
+    oracle aggregates raw→day DIRECTLY, proving the cascade is
+    lossless (counts and integer cents are associative). Integer
+    microsecond ids throughout (module discipline); DIV chains agree
+    with a direct day DIV because all epochs are positive.
+    """
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "events")
+    cents = (
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    base = ev.select(
+        F.expr("unix_micros(ts) DIV 60000000").alias("min_id"), cents
+    )
+    minute = base.groupBy("min_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    )
+    hourly = (
+        minute.withColumn("hour_id", F.expr("min_id DIV 60"))
+        .groupBy("hour_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+    return (
+        hourly.withColumn("day_id", F.expr("hour_id DIV 24"))
+        .groupBy("day_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )

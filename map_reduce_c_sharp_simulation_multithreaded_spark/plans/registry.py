@@ -153,7 +153,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # xxhash64) — re-queued per the same-round rule
     "contamination_eval_overlap",
     "tpch_q3_shipping_priority",
-    "window_topk_per_customer",
+    "events_rollup_cascade",
     "sim_ivfpq_rerank_topk",
     "multimodal_decode_features",
     "graph_pagerank_suppliers",
