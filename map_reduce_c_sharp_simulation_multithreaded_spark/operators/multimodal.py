@@ -117,3 +117,67 @@ def arrow_doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     return df.select("doc_id", text_col).mapInArrow(run, ARROW_STATS_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, out_w int, out_h int"
+)
+
+
+def resize_plan(df: DataFrame) -> DataFrame:
+    """Fake-decode + fit-in-a-64-box integer resize plan per payload —
+    the thumbnail/preprocess shape: decode dims, compute the target
+    size with pure integer math (floor-scaled by the longer edge,
+    clamped to ≥1), emit the plan. The actual pixel resample would run
+    here too (PIL.Image.resize), import-gated like ``_real_decode``;
+    the plan itself is deterministic digest arithmetic, so it carries
+    a full oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "channels", "out_w", "out_h")}
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, c = _fake_decode(bytes(p))
+                m = max(w, h)
+                out["doc_id"].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["out_w"].append(max(1, (w * 64) // m))
+                out["out_h"].append(max(1, (h * 64) // m))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_md5 string, n_chars long"
+
+
+def frame_sample(
+    df: DataFrame, frame_chars: int = 256, every: int = 4
+) -> DataFrame:
+    """Frame sampling over a simulated video payload: chunk the decoded
+    payload into fixed-width frames, keep every ``every``-th (the
+    keyframe-sampling shape for video curation), emit one row per
+    sampled frame — the 1→N fan-out mapInPandas batch shape. Frame
+    digests are md5 over the exact char slice, so an independent
+    engine re-derives them from the same slicing rule."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": [], "n_chars": []}
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                text = bytes(p).decode("utf-8")
+                n_frames = (len(text) + frame_chars - 1) // frame_chars
+                for fi in range(0, n_frames, every):
+                    fr = text[fi * frame_chars:(fi + 1) * frame_chars]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(fi)
+                    out["frame_md5"].append(
+                        hashlib.md5(fr.encode("utf-8")).hexdigest()
+                    )
+                    out["n_chars"].append(len(fr))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)

@@ -94,3 +94,68 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = attach_binary_payload(d, "text", "doc_id")
     return extract_features(with_payload)
+
+
+@register(
+    "multimodal_resize_plan",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 128 + 1 AS w,
+         CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 128 + 1 AS h,
+         CAST('0x' || substr(sha256(text), 5, 2) AS INT) % 3 + 1 AS c
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(c AS INT) AS channels,
+       CAST(GREATEST(1, (w * 64) // GREATEST(w, h)) AS INT) AS out_w,
+       CAST(GREATEST(1, (h * 64) // GREATEST(w, h)) AS INT) AS out_h
+FROM dims
+""",
+    tags=("multimodal", "mapInPandas", "custom-operator"),
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail-resize planning over binary payloads: fake-decode the
+    dimensions, fit them in a 64-box with integer floor scaling by the
+    longer edge (clamped ≥1). All integer math on digest-derived dims,
+    so DuckDB re-derives the exact plan from the hex digest; the
+    pixel-level resample is the import-gated step, the PLAN is the
+    tested contract (positive operands, so DuckDB's flooring // and
+    Python's // agree)."""
+    pin_session(spark)
+    from ..operators.multimodal import resize_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    return resize_plan(attach_binary_payload(d, "text", "doc_id"))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, (length(text) + 255) // 256)) AS fi
+  FROM documents
+)
+SELECT doc_id,
+       CAST(fi AS BIGINT) AS frame_idx,
+       md5(substr(text, CAST(fi * 256 + 1 AS INT), 256)) AS frame_md5,
+       CAST(length(substr(text, CAST(fi * 256 + 1 AS INT), 256))
+            AS BIGINT) AS n_chars
+FROM f WHERE fi % 4 = 0
+""",
+    tags=("multimodal", "mapInPandas", "custom-operator"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe sampling over simulated video payloads: fixed
+    256-char frames, every 4th kept, one output row per sampled frame
+    (the 1→N fan-out mapInPandas shape video curation needs). The
+    frame digest is md5 over the exact char slice — both engines hash
+    the same utf-8 bytes of the same substring, so the oracle covers
+    the fan-out, the sampling stride, and the ragged tail frame."""
+    pin_session(spark)
+    from ..operators.multimodal import frame_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_binary_payload(d, "text", "doc_id"))

@@ -94,11 +94,13 @@ def _load_all_plan_modules() -> None:
 # whose oracle gained the var_raw clamp this round (ADVICE.md r3);
 # the remaining slots re-confirm the rows-only pair against current
 # code plus the nine bench-headline queries, the two new bench extras,
-# high-value §2.4/TPC-H greens whose evidence is oldest, and the five
-# queries ADDED this round (SemDeDup, BPE merges, partitioned sink,
-# JSON roundtrip, bucketed co-located join) so new surface debuts with
-# driver evidence in the same round it lands. After this window, every
-# registered query has driver evidence.
+# high-value §2.4/TPC-H greens whose evidence is oldest, and the
+# ELEVEN queries ADDED this round (SemDeDup, BPE merges + vocab
+# apply, partitioned sink, JSON roundtrip, bucketed co-located join,
+# PCA power iteration, perplexity filter, rollup cascade, resize
+# plan, frame sampling) so new surface debuts with driver evidence in
+# the same round it lands. After this window, every registered query
+# has driver evidence.
 DRIVER_WINDOW: tuple[str, ...] = (
     # repaired two-round hash-FAILs: oracle HUGEINT -> BIGINT casts
     "text_lang_rollup",
@@ -148,14 +150,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_revenue_by_nation",
     "embed_pca_power_iteration",
     "quality_perplexity_filter",
-    "sim_cosine_topk",
+    "multimodal_frame_sample",
     # oracle changed this round (raw-gram counts; engine joins on
     # xxhash64) — re-queued per the same-round rule
     "contamination_eval_overlap",
     "tpch_q3_shipping_priority",
     "events_rollup_cascade",
     "sim_ivfpq_rerank_topk",
-    "multimodal_decode_features",
+    "multimodal_resize_plan",
     "graph_pagerank_suppliers",
     # new this round: driver debut in the same round the surface lands
     "dedup_semantic_clusters",
