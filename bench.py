@@ -66,22 +66,25 @@ def main() -> int:
     headline = sorted(registry.headline_queries())
     assert not (set(EXTRA_BENCH) & set(headline))
 
-    # three runs per query: first pays JIT/page-cache warmup, min is the
-    # steady-state number (what a long-running cluster job would see);
-    # cold times are reported alongside for honesty
+    # four INTERLEAVED passes over the whole set: each query is sampled
+    # at four well-separated points in time, so a host-level contention
+    # burst (observed: identical code swinging 5.9s -> 8.1s between
+    # runs on this VM) cannot depress every sample of a query the way
+    # back-to-back repeats can. First pass pays JIT/page-cache warmup
+    # (reported as cold); min across passes is the steady-state number
+    # a long-running cluster job would see.
     def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
-        times: dict[str, float] = {}
-        cold: dict[str, float] = {}
-        for name in names:
-            runs = []
-            for _ in range(3):
+        runs: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(4):
+            for name in names:
                 t0 = time.perf_counter()
-                rows = all_q[name].fn(spark, sf_dir).collect()
-                runs.append(time.perf_counter() - t0)
-            cold[name] = round(runs[0], 3)
-            times[name] = round(min(runs), 3)
-            print(f"# {name}: {times[name]}s warm / {cold[name]}s cold "
-                  f"({len(rows)} rows)", file=sys.stderr)
+                all_q[name].fn(spark, sf_dir).collect()
+                runs[name].append(time.perf_counter() - t0)
+        times = {n: round(min(r), 3) for n, r in runs.items()}
+        cold = {n: round(r[0], 3) for n, r in runs.items()}
+        for name in names:
+            print(f"# {name}: {times[name]}s warm / {cold[name]}s cold",
+                  file=sys.stderr)
         return times, cold
 
     times, cold = run_set(headline)
