@@ -101,6 +101,12 @@ def _load_all_plan_modules() -> None:
 # plan, frame sampling) so new surface debuts with driver evidence in
 # the same round it lands. After this window, every registered query
 # has driver evidence.
+#
+# Round-5 queue note: if this window lands green, NO query lacks
+# driver evidence — rotate round 5 onto (a) any query whose oracle or
+# plan changes in round 5 (same-round rule), (b) re-confirmation of
+# the oldest greens (the r01-only rows: parity_*, join variants,
+# scalar packs), and (c) driver debuts for any round-5 additions.
 DRIVER_WINDOW: tuple[str, ...] = (
     # repaired two-round hash-FAILs: oracle HUGEINT -> BIGINT casts
     "text_lang_rollup",
