@@ -276,3 +276,15 @@ def test_perplexity_filter_separates_predictable_from_rare(spark, tmp_path):
     assert cat["avg_nll_e4"] == round(math.log(101 / 50) * 10000)  # 7032
     assert rat["avg_nll_e4"] == round(math.log(101) * 10000)       # 46151
     assert cat["kept"] == 1 and rat["kept"] == 0
+
+
+def test_sink_queries_are_rerun_idempotent(spark, sf_dir):
+    """The driver may run a query repeatedly (and across processes
+    whose catalogs forgot the scratch tables): both side-effecting
+    queries must return identical results on an immediate re-run."""
+    for name in ("sink_partitioned_roundtrip", "join_bucketed_colocated",
+                 "source_json_roundtrip"):
+        q = registry.all_queries()[name]
+        first = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+        second = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
+        assert first == second, name
