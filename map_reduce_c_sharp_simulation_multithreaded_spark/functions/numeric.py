@@ -44,11 +44,12 @@ def exact_decimal_sum(term: Column, decimals: int) -> Column:
     decimal-typed SUM: Spark's sum over precision-28 decimals runs on
     the BigDecimal slow path (~15× the cost of a long sum; measured
     1.0 s of TPC-H Q1's 1.5 s at sf0.1), while long sums stay inside
-    whole-stage codegen. The recombined integer is bit-exact, so
-    ``double(total)/10^d`` is the correctly-rounded double of the true
-    rational sum — identical to what the decimal formulation produces,
-    which is why the DuckDB twin below keeps the decimal form (a
-    genuinely independent formulation for the differential harness).
+    whole-stage codegen. The recombined integer is bit-exact;
+    ``double(total)/10^d`` then mirrors DuckDB's decimal→double cast
+    bit-for-bit at EVERY magnitude (see the return-expression
+    comment), which is why the DuckDB twin below keeps the decimal
+    form — a genuinely independent formulation that still lands on
+    identical doubles, 2^53-crossing totals included.
 
     The ``(v - v % B)/B`` double division is exact (numerator is a
     multiple of B below 2^53) and the ``%`` remainder truncates toward
@@ -63,6 +64,16 @@ def exact_decimal_sum(term: Column, decimals: int) -> Column:
         F.sum(hi).cast("decimal(38,0)") * F.lit(_SPLIT_BASE)
         + F.sum(lo).cast("decimal(38,0)")
     )
+    # double(total) THEN divide — deliberately the same two-step
+    # rounding DuckDB's own DECIMAL(28,d)→DOUBLE cast performs
+    # (int128 storage → correctly-rounded double → divide by 10^d),
+    # on the SAME integer (DuckDB's internal rep of the decimal sum
+    # IS this scaled total). Past 2^53 scaled units the two-step
+    # result can differ 1 ulp from the correctly-rounded rational,
+    # but it differs IDENTICALLY on both engines — dividing in
+    # DECIMAL here instead would be closer to the true value yet
+    # 1 ulp OFF the oracle (verified at total = 2^53 + 1; pinned in
+    # tests/test_round4_properties.py).
     return (total.cast("double") / F.lit(scale))
 
 

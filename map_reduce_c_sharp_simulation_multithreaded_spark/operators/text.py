@@ -325,7 +325,13 @@ def bpe_merge_rounds(words, n_rounds: int = 3, return_words: bool = False):
     truncate lineage, exactly like the pagerank iterations.
     """
     merges = None
-    wf = words
+    # cache the corpus-derived word table: every round's pair count AND
+    # rewrite branch re-derives wf's lineage, which uncached doubles
+    # the documents scans per round (~2^rounds scans total — PLANS.md
+    # showed 8 corpus scans for 3 rounds). Cached, the corpus is
+    # touched once and each round reads vocab-sized data, as the
+    # docstring promises. Same persist discipline as minhash.
+    wf = words.cache()
     for r in range(1, n_rounds + 1):
         pairs = wf.select(
             "freq", F.explode(F.expr(_BPE_PAIRS)).alias("p")
@@ -346,5 +352,6 @@ def bpe_merge_rounds(words, n_rounds: int = 3, return_words: bool = False):
         wf = (
             wf.crossJoin(F.broadcast(best.select("s1", "s2")))
             .select("word", "freq", F.expr(_BPE_APPLY).alias("syms"))
+            .cache()  # each round feeds the NEXT round's two branches
         )
     return wf if return_words else merges

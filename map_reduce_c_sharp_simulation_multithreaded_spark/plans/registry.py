@@ -95,18 +95,21 @@ def _load_all_plan_modules() -> None:
 # the remaining slots re-confirm the rows-only pair against current
 # code plus the nine bench-headline queries, the two new bench extras,
 # high-value §2.4/TPC-H greens whose evidence is oldest, and the
-# ELEVEN queries ADDED this round (SemDeDup, BPE merges + vocab
+# TWELVE queries ADDED this round (SemDeDup, BPE merges + vocab
 # apply, partitioned sink, JSON roundtrip, bucketed co-located join,
 # PCA power iteration, perplexity filter, rollup cascade, resize
-# plan, frame sampling) so new surface debuts with driver evidence in
-# the same round it lands. After this window, every registered query
-# has driver evidence.
+# plan, frame sampling, incremental dedup index) so new surface
+# debuts with driver evidence in the same round it lands. After this
+# window, every registered query has driver evidence.
 #
 # Round-5 queue note: if this window lands green, NO query lacks
 # driver evidence — rotate round 5 onto (a) any query whose oracle or
-# plan changes in round 5 (same-round rule), (b) re-confirmation of
-# the oldest greens (the r01-only rows: parity_*, join variants,
-# scalar packs), and (c) driver debuts for any round-5 additions.
+# plan changes in round 5 (same-round rule), (b) sim_ivfpq_rerank_topk
+# (bumped from this window for the incremental-index debut; its r03
+# green predates the 310862b vector-helper rebuild), (c)
+# re-confirmation of the oldest greens (the r01-only rows: parity_*,
+# join variants, scalar packs), and (d) driver debuts for any round-5
+# additions.
 DRIVER_WINDOW: tuple[str, ...] = (
     # repaired two-round hash-FAILs: oracle HUGEINT -> BIGINT casts
     "text_lang_rollup",
@@ -162,7 +165,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "contamination_eval_overlap",
     "tpch_q3_shipping_priority",
     "events_rollup_cascade",
-    "sim_ivfpq_rerank_topk",
+    "dedup_incremental_index",
     "multimodal_resize_plan",
     "graph_pagerank_suppliers",
     # new this round: driver debut in the same round the surface lands

@@ -1302,9 +1302,12 @@ def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(tk) - 1), "
         "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"
     )
+    # cached: the tokenization+explode stream feeds THREE branches
+    # (c2, m1, and the scored probe join) — uncached it re-tokenizes
+    # the corpus per branch (same reasoning as dedup_semantic_clusters)
     db = t.select("doc_id", F.explode(pairs).alias("s")).select(
         "doc_id", "s.w1", "s.w2"
-    )
+    ).cache()
     c2 = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     m1 = db.groupBy("w1").agg(F.count(F.lit(1)).alias("n_head"))
     lq = (

@@ -62,8 +62,8 @@ def test_driver_window_is_oracle_backed():
     rows-only-by-design entries ride this window — sim_ivf_trained_topk
     and dedup_simhash_band_pairs have never had ANY driver record, and
     the minhash/simhash pair is re-confirmed against current code — so
-    that after this round every one of the 163 queries carries driver
-    evidence."""
+    that after this round every registered query (175 as of round 4)
+    carries driver evidence."""
     qs = registry.all_queries()
     window = list(qs)[:50]
     assert window == list(registry.DRIVER_WINDOW)

@@ -75,3 +75,29 @@ def test_bpe_fold_matches_greedy_reference(spark, syms, s1, s2):
     )
     (got,) = df.select(F.expr(_BPE_APPLY).alias("m")).collect()[0]
     assert list(got) == _greedy_merge(syms, s1, s2), (syms, s1, s2, got)
+
+
+def test_split_sum_tracks_oracle_beyond_2_53(spark):
+    """Scaled total = 2^53 + 1 — the first integer where
+    double(T)/1e6 (two-step rounding) differs from the correctly
+    rounded rational T/1e6. DuckDB's DECIMAL(28,6)→DOUBLE cast
+    double-rounds exactly like that (int128 → double → divide), so
+    the engine must do the SAME — a decimal-division 'fix' here would
+    be closer to the true value yet 1 ulp OFF the oracle and flip the
+    driver hash. This pins the deliberate two-step choice."""
+    import duckdb
+    from decimal import Decimal
+
+    rows = [(4503599627.370496,), (4503599627.370497,)]
+    df = spark.createDataFrame(rows, "v double")
+    (got,) = df.agg(exact_decimal_sum(F.col("v"), 6).alias("s")).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    (want,) = con.execute(
+        f"SELECT {exact_decimal_sum_sql('v', 6)} FROM t"
+    ).fetchone()
+    assert got == want  # the invariant that matters: engine == oracle
+    # document the shared 1-ulp deviation from the exact rational
+    exact = float(Decimal(2**53 + 1) / Decimal(10**6))
+    assert got == float(float(2**53 + 1) / 1e6) and got != exact
