@@ -32,11 +32,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in _registry.all_queries().items()}
 
 
+# The driver's correctness gate runs at sf0.01; data-dependent oracle
+# callables (trained-codebook literals) are materialized against it.
+DRIVER_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted where the op is
-    genuinely non-SQL-expressible; driver records a rows-only check)."""
-    return {
-        name: q.oracle
-        for name, q in _registry.all_queries().items()
-        if q.oracle is not None
-    }
+    genuinely non-SQL-expressible; driver records a rows-only check).
+
+    Callable oracles are resolved here against the driver's gate scale;
+    a failing generator degrades that query to rows-only instead of
+    breaking every oracle."""
+    out: dict[str, str] = {}
+    for name, q in _registry.all_queries().items():
+        try:
+            sql = _registry.resolve_oracle(q.oracle, DRIVER_ORACLE_SF_DIR)
+        except Exception:
+            sql = None
+        if sql is not None:
+            out[name] = sql
+    return out

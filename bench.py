@@ -51,6 +51,11 @@ EXTRA_BENCH = (
     "embed_pca_power_iteration",
     "join_bucketed_colocated",
     "sink_partitioned_roundtrip",
+    # round-5: surface that changed this round gets a timed number —
+    # the trained-IVF query (now the replayable-training path) and the
+    # incremental-dedup probe (now bucketed-index SMJ)
+    "sim_ivf_trained_topk",
+    "dedup_incremental_index",
 )
 
 
@@ -90,15 +95,24 @@ def main() -> int:
     times, cold = run_set(headline)
     extra_times, extra_cold = run_set(sorted(EXTRA_BENCH))
 
+    # Full breakdown (cold + extras) goes to STDERR: round 4's single
+    # stdout line grew past the driver's ~2 KB tail capture and came
+    # back "parsed": null (VERDICT.md r4 "What's wrong" #1). The driver
+    # parses the LAST stdout line, so stdout carries only the compact
+    # headline summary (~400 chars) and nothing after it.
+    detail = {
+        "cold_queries": cold,
+        "extra_total": round(sum(extra_times.values()), 3),
+        "extra_queries": extra_times,
+        "extra_cold_queries": extra_cold,
+    }
+    print("DETAIL " + json.dumps(detail), file=sys.stderr)
+
     out = {
         "metric": "headline_query_wall_sec",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
-        "cold_queries": cold,
-        "extra_total": round(sum(extra_times.values()), 3),
-        "extra_queries": extra_times,
-        "extra_cold_queries": extra_cold,
         "sf": sf,
     }
     print(json.dumps(out))

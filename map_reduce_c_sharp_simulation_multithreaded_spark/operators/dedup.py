@@ -23,6 +23,34 @@ from .text import tokens, word_shingles
 _MERSENNE = (1 << 31) - 1
 
 
+def md5hash60(col: Column) -> Column:
+    """Engine-replayable 60-bit hash: first 15 md5 hex chars as a long.
+
+    The ORACLE-MODE hash family (VERDICT.md r4 "What's missing" #1):
+    ``xxhash64`` stays the production default — faster and 64-bit — but
+    no non-Spark engine recomputes it, so queries that want a DuckDB
+    differential oracle swap in this family. DuckDB replays it exactly
+    as ``('0x' || substr(md5(x), 1, 15))::BIGINT``; 15 hex chars = 60
+    bits keeps the value positive in a signed 64-bit long on both
+    engines. Both engines hash the same utf-8 bytes, so values agree
+    bit-for-bit.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _token_hash(col: Column, hash_mode: str) -> Column:
+    if hash_mode == "md5":
+        return md5hash60(col)
+    assert hash_mode == "xxhash64", hash_mode
+    return F.xxhash64(col)
+
+
+def _sig_bits(hash_mode: str) -> int:
+    """Signature width per hash family: 64 production bits, 60 in
+    oracle mode (md5-derived hashes carry 60 usable bits)."""
+    return 60 if hash_mode == "md5" else 64
+
+
 def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the lowest-id row per exact text; adds ``n_copies``.
 
@@ -41,7 +69,8 @@ def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFra
 
 
 def doc_shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc DISTINCT shingle-hash SET as an array column.
 
@@ -49,9 +78,11 @@ def doc_shingle_sets(
     zero shuffles. Docs too short for a single shingle are dropped
     (they cannot be shingle-near-dups, and at scale they would
     otherwise all collide into one degenerate LSH bucket).
+    ``hash_mode="md5"`` selects the engine-replayable 60-bit family
+    (see :func:`md5hash60`) so the whole pipeline gets a DuckDB oracle.
     """
     sh = word_shingles(tokens(F.col(text_col)), k)
-    hashes = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
+    hashes = F.array_distinct(F.transform(sh, lambda s: _token_hash(s, hash_mode)))
     return df.select(F.col(id_col), hashes.alias("sh_set")).filter(
         F.size("sh_set") > 0
     )
@@ -97,21 +128,32 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int = 8, rows: int = 4
+    signatures: DataFrame, id_col: str, bands: int = 8, rows: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Band the signature and self-join per (band, band_hash) bucket.
 
     Docs agreeing on all ``rows`` values of any band become a candidate
     pair; the join key is (band_id, hash of the band slice) so bucket
-    size — not n² — bounds the work.
+    size — not n² — bounds the work. In oracle mode the band key is the
+    comma-joined slice itself (exact, engine-replayable); production
+    hashes the slice with xxhash64 so shuffle keys stay 8 bytes.
     """
-    # band b = xxhash64 of its contiguous signature slice — data-driven
+
+    def band_key(slice_col: Column) -> Column:
+        if hash_mode == "md5":
+            return F.concat_ws(
+                ",", F.transform(slice_col, lambda v: v.cast("string"))
+            )
+        return F.xxhash64(slice_col)
+
+    # band b's key over its contiguous signature slice — data-driven
     # over the sig array (see minhash_signatures)
     bands_expr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.alias("band_id"),
-            F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
+            band_key(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
         ),
     )
     banded = signatures.select(
@@ -134,26 +176,42 @@ def lsh_candidate_pairs(
 
 
 def exact_jaccard(
-    pairs: DataFrame, shingle_sets: DataFrame, id_col: str
+    pairs: DataFrame, shingle_sets: DataFrame, id_col: str,
+    scaled: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification step).
 
     Two equi joins pull each side's shingle-hash ARRAY onto the pair
     row, then intersection/union are per-row array expressions — no
     per-shingle shuffle, work proportional to candidate pairs only.
+
+    ``scaled=True`` emits integer ``jaccard_e4 = n_inter*10000 DIV
+    n_union`` instead of a rounded double: n_union is frequently a
+    power of two, so ROUND(n_inter/n_union, 4) lands on exact .5 ties
+    (1/32 = 0.03125) where engine rounding modes diverge — integer
+    floor division cannot tie (the dedup_ngram_jaccard_adjacent
+    lesson, applied here for the oracle-backed query).
     """
     sa = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("_sa"))
     sb = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("_sb"))
     n_inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     n_union = F.size("_sa") + F.size("_sb") - n_inter
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    if scaled:
+        return joined.select(
             "id_a",
             "id_b",
-            F.round(n_inter.cast("double") / n_union, 4).alias("jaccard"),
+            n_inter.alias("n_inter"),
+            n_union.alias("n_union"),
+        ).select(
+            "id_a",
+            "id_b",
+            F.expr("n_inter * 10000L DIV n_union").alias("jaccard_e4"),
         )
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(n_inter.cast("double") / n_union, 4).alias("jaccard"),
     )
 
 
@@ -165,6 +223,8 @@ def minhash_lsh_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_mode: str = "xxhash64",
+    scaled: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH buckets →
     candidate pairs → exact-Jaccard verify → threshold filter.
@@ -180,24 +240,36 @@ def minhash_lsh_dedup_pairs(
     branch dominated runtime before caching. At cluster scale the same
     persist would go to MEMORY_AND_DISK serialized.
     """
-    sets_df = doc_shingle_sets(df, id_col, text_col, shingle_k).cache()
+    sets_df = doc_shingle_sets(df, id_col, text_col, shingle_k, hash_mode).cache()
     sig = minhash_signatures(sets_df.select(id_col, "sh_set"), id_col, num_hashes)
     sig = sig.drop("sh_set").cache()
-    cand = lsh_candidate_pairs(sig, id_col, bands, num_hashes // bands)
-    return exact_jaccard(cand, sets_df, id_col).filter(
-        F.col("jaccard") >= threshold
+    cand = lsh_candidate_pairs(
+        sig, id_col, bands, num_hashes // bands, hash_mode
     )
+    verified = exact_jaccard(cand, sets_df, id_col, scaled=scaled)
+    if scaled:
+        # floor(10000·j) >= 10000·t  <=>  j >= t when 10000·t is integer
+        return verified.filter(
+            F.col("jaccard_e4") >= int(round(threshold * 10000))
+        )
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, majority vote per bit.
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """SimHash per doc: per-token hash, majority vote per bit.
 
-    One explode + one 64-way aggregation (sums of ±1 per bit), then the
-    sign bits reassemble into a long — two shuffles total, no UDFs.
+    One explode + one n_bits-way aggregation (sums of ±1 per bit), then
+    the sign bits reassemble into a long — two shuffles total, no UDFs.
+    Production signatures are 64-bit xxhash64; ``hash_mode="md5"``
+    switches to the 60-bit engine-replayable family (:func:`md5hash60`)
+    so the signature query carries a full DuckDB oracle.
     """
+    n_bits = _sig_bits(hash_mode)
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
-    ).select(id_col, F.xxhash64("_t").alias("_h"))
+    ).select(id_col, _token_hash(F.col("_t"), hash_mode).alias("_h"))
     bit_sums = tok.groupBy(id_col).agg(
         *[
             F.sum(
@@ -208,11 +280,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     1,
                 ).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         # bit 63 of a signed long is the sign bit: its set-value is -2^63
         bit_val = (1 << i) if i < 63 else -(1 << 63)
         sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
@@ -232,6 +304,7 @@ def simhash_band_pairs(
     text_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate PAIRS via pigeonhole banding: split the
     64-bit signature into ``n_bands`` equal bands; two signatures
@@ -247,8 +320,8 @@ def simhash_band_pairs(
     under AQE like any hot join key.
     """
     assert n_bands > max_hamming, "pigeonhole needs bands > max_hamming"
-    width = 64 // n_bands
-    sig = simhash64(df, id_col, text_col)
+    width = _sig_bits(hash_mode) // n_bands
+    sig = simhash64(df, id_col, text_col, hash_mode)
     bands = sig.select(
         F.col(id_col),
         F.col("simhash"),

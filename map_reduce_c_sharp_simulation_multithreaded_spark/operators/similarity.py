@@ -197,12 +197,32 @@ def centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+def _renormalize_cells(
+    prev: list[list[float]], acc: list[list[float]], touched: list[bool]
+) -> list[list[float]]:
+    """Codebook update step shared by the distributed trainer and the
+    pure-Python oracle replay: unit-normalize each touched cell's sum
+    vector; empty cells keep their previous centroid. One shared
+    function so both paths apply bit-identical driver-side arithmetic.
+    """
+    new_cents = []
+    for c in range(len(prev)):
+        if not touched[c]:
+            new_cents.append(prev[c])
+            continue
+        norm = sum(v * v for v in acc[c]) ** 0.5 or 1.0
+        new_cents.append([v / norm for v in acc[c]])
+    return new_cents
+
+
 def train_kmeans_codebook(
     df: DataFrame,
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_iter: int = 5,
     dim: int = 64,
+    id_col: str | None = None,
+    sum_quantize: float | None = None,
 ) -> list[list[float]]:
     """Spherical k-means (Lloyd) codebook for the IVF coarse quantizer.
 
@@ -218,21 +238,39 @@ def train_kmeans_codebook(
     md5(vec-bytes) digests (stable across runs/partitionings); argmax
     assignment and double-precision sums are order-free; empty cells
     keep their previous centroid.
+
+    REPLAYABLE mode (both params set): ``id_col`` switches the seed key
+    to md5("seed:" || id) — a pure function of the row id that any
+    engine recomputes, unlike Spark's to_json double rendering — and
+    ``sum_quantize`` snaps each per-(cell, position) sum to that grid
+    (e.g. 1e-6) so partial-aggregation merge order cannot leak ulp
+    drift into the codebook. With both set, training is a deterministic
+    function of the (id, vector) multiset, and
+    :func:`replay_kmeans_codebook` reproduces it bit-for-bit outside
+    Spark — which is what lets the trained-IVF query carry a generated
+    DuckDB oracle (grid-boundary caveat: a sum landing within ulps of a
+    half-grid point could round apart; same accepted risk as the
+    quantized-NLL oracle in plans/text.py).
     """
     # bind the norm to its own column BEFORE the per-position lambda —
     # an aggregate referenced inside transform() re-evaluates per
     # position (the O(dim^2) trap)
+    base_cols = [F.col(vec_col).alias("_v")] + (
+        [F.col(id_col).alias("_id")] if id_col is not None else []
+    )
     vecs = (
-        df.select(F.col(vec_col).alias("_v"))
+        df.select(*base_cols)
         .withColumn("_n", F.greatest(l2_norm(F.col("_v")), F.lit(1e-12)))
-        .select(
-            F.transform(
-                "_v", lambda x: x.cast("double") / F.col("_n")
-            ).alias("_uv")
+        .withColumn(
+            "_uv", F.transform("_v", lambda x: x.cast("double") / F.col("_n"))
         )
+        .select(*(["_uv"] + (["_id"] if id_col is not None else [])))
         .cache()
     )
-    seed_key = F.md5(F.to_json(F.struct(F.col("_uv"))).cast("binary"))
+    if id_col is not None:
+        seed_key = F.md5(F.concat(F.lit("seed:"), F.col("_id").cast("string")))
+    else:
+        seed_key = F.md5(F.to_json(F.struct(F.col("_uv"))).cast("binary"))
     seeds = [
         r["_uv"]
         for r in vecs.select("_uv", seed_key.alias("_k"))
@@ -255,17 +293,75 @@ def train_kmeans_codebook(
         acc = [[0.0] * dim for _ in range(n_centroids)]
         touched = [False] * n_centroids
         for r in sums:
-            acc[r["_cell"]][r["pos"]] = r["s"]
+            s = r["s"]
+            if sum_quantize:
+                s = round(s / sum_quantize) * sum_quantize
+            acc[r["_cell"]][r["pos"]] = s
             touched[r["_cell"]] = True
-        new_cents = []
-        for c in range(n_centroids):
-            if not touched[c]:
-                new_cents.append(cents[c])
-                continue
-            norm = sum(v * v for v in acc[c]) ** 0.5 or 1.0
-            new_cents.append([v / norm for v in acc[c]])
-        cents = new_cents
+        cents = _renormalize_cells(cents, acc, touched)
     vecs.unpersist()
+    return cents
+
+
+def replay_kmeans_codebook(
+    rows: list[tuple],
+    n_centroids: int = 8,
+    n_iter: int = 3,
+    sum_quantize: float = 1e-6,
+) -> list[list[float]]:
+    """Pure-Python replay of :func:`train_kmeans_codebook` in replayable
+    mode (``id_col`` + ``sum_quantize``), used to GENERATE the trained-
+    IVF DuckDB oracle without a SparkSession: re-derive the codebook
+    from the raw (id, vector) rows, then render it as SQL literals.
+
+    Mirrors the engine step for step with matching float semantics:
+    sequential index-ordered folds (Spark's zip_with/aggregate),
+    ``math.sqrt`` (correctly rounded, same as JVM Math.sqrt), first-max
+    argmax (Spark's array_position-on-array_max), the same grid snap,
+    and the SHARED :func:`_renormalize_cells` update. Sum order differs
+    from Spark's partial aggregation, which is exactly what the grid
+    snap absorbs.
+    """
+    import hashlib
+    import math
+
+    uvs = []
+    for vid, vec in rows:
+        acc = 0.0
+        for x in vec:
+            x = float(x)
+            acc = acc + x * x
+        n = max(math.sqrt(acc), 1e-12)
+        uvs.append((vid, [float(x) / n for x in vec]))
+    seeds = sorted(
+        uvs, key=lambda r: hashlib.md5(f"seed:{r[0]}".encode()).hexdigest()
+    )[:n_centroids]
+    cents = [list(map(float, s[1])) for s in seeds]
+    if not cents:
+        return []
+    dim = len(cents[0])
+    for _ in range(n_iter):
+        acc = [[0.0] * dim for _ in range(n_centroids)]
+        touched = [False] * n_centroids
+        for _vid, uv in uvs:
+            best, bi = None, 0
+            for c in range(n_centroids):
+                s = 0.0
+                cen = cents[c]
+                for d in range(dim):
+                    s = s + uv[d] * cen[d]
+                if best is None or s > best:
+                    best, bi = s, c
+            cell = acc[bi]
+            for d in range(dim):
+                cell[d] += uv[d]
+            touched[bi] = True
+        if sum_quantize:
+            acc = [
+                [round(v / sum_quantize) * sum_quantize for v in row]
+                for row in acc
+            ]
+        cents = _renormalize_cells(cents, acc, touched)
     return cents
 
 

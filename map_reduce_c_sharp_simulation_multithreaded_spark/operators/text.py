@@ -325,13 +325,17 @@ def bpe_merge_rounds(words, n_rounds: int = 3, return_words: bool = False):
     truncate lineage, exactly like the pagerank iterations.
     """
     merges = None
-    # cache the corpus-derived word table: every round's pair count AND
-    # rewrite branch re-derives wf's lineage, which uncached doubles
+    # lazy localCheckpoint, NOT cache(): every round's pair count AND
+    # rewrite branch re-derives wf's lineage, which unshared doubles
     # the documents scans per round (~2^rounds scans total — PLANS.md
-    # showed 8 corpus scans for 3 rounds). Cached, the corpus is
-    # touched once and each round reads vocab-sized data, as the
-    # docstring promises. Same persist discipline as minhash.
-    wf = words.cache()
+    # showed 8 corpus scans for 3 rounds). The checkpoint blocks give
+    # the same branch sharing (corpus touched once, each round reads
+    # vocab-sized data) but are reference-tracked: ContextCleaner frees
+    # every round's blocks when the result frame is dropped, where the
+    # previous per-round cache() chain pinned initial + n_rounds copies
+    # until executor eviction (ADVICE.md r4). Same discipline as the
+    # pagerank rounds (plans/advanced.py).
+    wf = words.localCheckpoint(eager=False)
     for r in range(1, n_rounds + 1):
         pairs = wf.select(
             "freq", F.explode(F.expr(_BPE_PAIRS)).alias("p")
@@ -352,6 +356,8 @@ def bpe_merge_rounds(words, n_rounds: int = 3, return_words: bool = False):
         wf = (
             wf.crossJoin(F.broadcast(best.select("s1", "s2")))
             .select("word", "freq", F.expr(_BPE_APPLY).alias("syms"))
-            .cache()  # each round feeds the NEXT round's two branches
+            # each round feeds the NEXT round's two branches; see the
+            # localCheckpoint-vs-cache note above
+            .localCheckpoint(eager=False)
         )
     return wf if return_words else merges

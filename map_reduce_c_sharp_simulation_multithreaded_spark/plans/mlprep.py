@@ -188,6 +188,16 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
     grams = F.array_distinct(word_shingles(tokens(F.col("text")), 13))
+    # Collision bound (ADVICE.md r4): joining on a single 64-bit digest
+    # means two DISTINCT 13-grams collide with birthday probability
+    # ~n²/2^65 — at 10^10 distinct grams (the 100 TB regime) that's an
+    # expected ~3 spurious gram matches corpus-wide, each flagging one
+    # training doc with a 1-gram overlap (a false positive, never a
+    # miss — the
+    # audit errs toward quarantine). Decontamination tolerates that
+    # asymmetry; a pipeline needing exactness swaps in a 128-bit key
+    # (two independent xxhash64 seeds), doubling shuffle-key width:
+    #   F.struct(F.xxhash64("gram"), F.xxhash64(F.lit(1), F.col("gram")))
     g = d.select("doc_id", F.explode(grams).alias("gram")).select(
         "doc_id", F.xxhash64("gram").alias("gh")
     )

@@ -11,6 +11,11 @@ too, ``D/Program.cs:162,315``) cannot flip the hash.
 Queries with ``oracle=None`` are genuinely non-SQL-expressible
 (stateful streaming, probabilistic LSH) and get the driver's weaker
 rows-only check plus dedicated pytest coverage.
+
+``oracle`` may also be a CALLABLE ``(sf_dir: str) -> str`` for oracles
+whose SQL depends on the data (e.g. a trained-codebook ANN query: the
+codebook floats are re-derived at oracle time and rendered as
+literals). ``resolve_oracle`` turns either form into a plain string.
 """
 
 from __future__ import annotations
@@ -21,6 +26,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+OracleSpec = "str | Callable[[str], str] | None"
 
 _REGISTRY: dict[str, "Query"] = {}
 
@@ -29,14 +35,21 @@ _REGISTRY: dict[str, "Query"] = {}
 class Query:
     name: str
     fn: QueryFn
-    oracle: str | None = None
+    oracle: str | Callable[[str], str] | None = None
     tags: tuple[str, ...] = field(default_factory=tuple)
     headline: bool = False  # included in bench.py's timed set
 
 
+def resolve_oracle(
+    oracle: str | Callable[[str], str] | None, sf_dir: str
+) -> str | None:
+    """Materialize an oracle spec into SQL (callables get ``sf_dir``)."""
+    return oracle(sf_dir) if callable(oracle) else oracle
+
+
 def register(
     name: str,
-    oracle: str | None = None,
+    oracle: str | Callable[[str], str] | None = None,
     tags: tuple[str, ...] = (),
     headline: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
@@ -85,98 +98,77 @@ def _load_all_plan_modules() -> None:
 # evidence, rotated each round until every oracle-backed query has had
 # a green driver row.
 #
-# Round-4 window (50), per VERDICT.md r3 "Next round" #1/#3/#7: the
-# two text queries whose oracle HUGEINT columns are now CAST to BIGINT
-# (the mechanically-identified root cause of the two-round driver hash
-# FAIL) lead the window; then the 27 never-driver-verified queries
-# (sim_lsh_ann_topk promoted to the front per #7 so its new full
-# oracle's debut can't hide behind the queue); then agg_stats_by_brand,
-# whose oracle gained the var_raw clamp this round (ADVICE.md r3);
-# the remaining slots re-confirm the rows-only pair against current
-# code plus the nine bench-headline queries, the two new bench extras,
-# high-value §2.4/TPC-H greens whose evidence is oldest, and the
-# TWELVE queries ADDED this round (SemDeDup, BPE merges + vocab
-# apply, partitioned sink, JSON roundtrip, bucketed co-located join,
-# PCA power iteration, perplexity filter, rollup cascade, resize
-# plan, frame sampling, incremental dedup index) so new surface
-# debuts with driver evidence in the same round it lands. After this
-# window, every registered query has driver evidence.
-#
-# Round-5 queue note: if this window lands green, NO query lacks
-# driver evidence — rotate round 5 onto (a) any query whose oracle or
-# plan changes in round 5 (same-round rule), (b) sim_ivfpq_rerank_topk
-# (bumped from this window for the incremental-index debut; its r03
-# green predates the 310862b vector-helper rebuild), (c)
-# re-confirmation of the oldest greens (the r01-only rows: parity_*,
-# join variants, scalar packs), and (d) driver debuts for any round-5
-# additions.
+# Round-5 window (50), per VERDICT.md r4 "Next round" #2-#5 and the
+# round-4 queue note: the four queries that GAINED full oracles this
+# round lead (MinHash/SimHash under the md5-derived oracle-mode hash
+# family; trained-IVF under the generated replay oracle) — with these
+# green, 175/175 registered queries are oracle-backed with driver
+# evidence. Then sim_ivfpq_rerank_topk (its r03 green predates the
+# 310862b vector-helper rebuild), the six queries whose plan changed
+# this round (per-process sink scratch paths, ADVICE r4; BPE
+# localCheckpoint swap), the THIRTY-SEVEN r01-only greens whose
+# evidence is now four rounds old (parity block, join-variant block,
+# filter/scalar packs, agg shapes, pandas/UDTF ops), and two
+# bench-headline r02 greens that swung >20% warm in r04
+# (re-confirmation that the plans are unchanged).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # repaired two-round hash-FAILs: oracle HUGEINT -> BIGINT casts
-    "text_lang_rollup",
-    "text_winnowing_fingerprints",
-    # driver debut of the full multi-probe LSH oracle (stretch item #7)
-    "sim_lsh_ann_topk",
-    # --- the 27-query evidence gap (minus sim_lsh_ann_topk above) ---
-    # text analysis
-    "text_pii_redaction",
-    "sketch_countmin_terms",
-    "text_tfidf_topk",
-    "text_bigram_lm",
-    "text_pmi_collocations",
-    "text_inverted_index",
-    "text_zipf_slope",
-    # aggregates
-    "agg_histogram_totalprice",
-    "agg_profile_orders_columns",
-    "agg_mode_per_group",
-    "agg_stats_correlation",
-    "agg_cube_grouping_id",
-    # graph / layout / embeddings
-    "graph_pagerank_directed",
-    "layout_zorder_tiles",
-    "quantize_embeddings_int8",
-    "embed_label_centroids",
-    # joins / scalars / sampling
-    "join_lateral_top_order",
-    "scalar_higher_order_pack",
-    "sample_deterministic_count",
-    "sample_stratified_by_lang",
-    "sample_weighted_priority",
-    # ANN / dedup rows-only-by-design entries
-    "sim_ivf_trained_topk",
-    "dedup_simhash_band_pairs",
-    # streaming / windows
-    "stream_windowed_topk",
-    "window_ratio_to_report",
-    "window_distinct_count_trick",
-    # oracle changed this round (var_raw clamp, ADVICE.md r3)
-    "agg_stats_by_brand",
-    # --- re-confirmation fill (20): rows-only pair + bench headliners
-    # + new bench extras + oldest high-value greens ---
+    # --- oracles gained this round (same-round rule) ---
     "dedup_minhash_lsh",
     "dedup_simhash_signatures",
-    "agg_pricing_summary",
-    "flagship_revenue_by_nation",
-    "embed_pca_power_iteration",
-    "quality_perplexity_filter",
-    "multimodal_frame_sample",
-    # oracle changed this round (raw-gram counts; engine joins on
-    # xxhash64) — re-queued per the same-round rule
-    "contamination_eval_overlap",
-    "tpch_q3_shipping_priority",
-    "events_rollup_cascade",
-    "dedup_incremental_index",
-    "multimodal_resize_plan",
-    "graph_pagerank_suppliers",
-    # new this round: driver debut in the same round the surface lands
-    "dedup_semantic_clusters",
-    "text_bpe_merges",
-    "text_bpe_vocab_apply",
+    "dedup_simhash_band_pairs",
+    "sim_ivf_trained_topk",
+    # r03 green predates the vector-helper rebuild (VERDICT r4 #5)
+    "sim_ivfpq_rerank_topk",
+    # --- plan changed this round: per-process scratch paths (ADVICE
+    # r4) and the BPE cache -> lazy localCheckpoint swap ---
     "sink_partitioned_roundtrip",
     "source_json_roundtrip",
     "join_bucketed_colocated",
-    # oracle changed this round (+0.0 zero-sign normalization)
-    "scalar_array_pack",
+    "dedup_incremental_index",
+    "text_bpe_merges",
+    "text_bpe_vocab_apply",
+    # --- the 37 r01-only greens: oldest driver evidence in the repo ---
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_salted_two_phase",
+    "arrow_batch_doc_stats",
+    "dedup_exact_keep_first",
+    "filter_null_safe_eq",
+    "filter_predicate_pack",
+    "filter_rlike_regex",
+    "having_clause",
+    "join_anti_customers_without_big_orders",
+    "join_broadcast_region_revenue",
+    "join_composite_key",
+    "join_cross_region_nation",
+    "join_full_outer_nation_coverage",
+    "join_inner_supplier_nation",
+    "join_left_orders_per_customer",
+    "join_nonequi_late_ship",
+    "join_salted_skew",
+    "join_semi_customers_with_orders",
+    "multimodal_binary_meta",
+    "pack_sequences_running_sum",
+    "pandas_asof_join",
+    "pandas_grouped_zscore",
+    "parity_decimal_money_sum",
+    "parity_donations_by_state",
+    "parity_last_wins_dim",
+    "parity_null_default_sum",
+    "range_join_bucketed",
+    "scalar_string_pack",
+    "split_train_test_hash",
+    "subquery_correlated_avg",
+    "subquery_scalar_avg",
+    "udtf_chunk_windows",
+    "unpivot_part_attrs",
+    # --- bench headliners that swung >20% warm in r04 (VERDICT r4 #6:
+    # plans unchanged — re-confirm correctness while bench re-times) ---
+    "sim_cosine_topk",
+    "text_term_frequency",
 )
 
 

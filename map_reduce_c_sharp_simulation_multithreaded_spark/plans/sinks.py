@@ -23,11 +23,23 @@ from ..session import pin_session
 from .registry import register
 
 
-def partitioned_roundtrip_dir(sf_dir: str) -> str:
-    """Deterministic scratch dir for the partitioned-write round trip
-    (per scale factor, so concurrent sf runs don't clobber each other)."""
+def _scratch_tag(sf_dir: str) -> str:
+    """Scratch-path tag: scale factor + pid. The sf part keeps
+    concurrent sf runs apart; the pid part keeps two PROCESSES on the
+    same sf (e.g. driver verify alongside bench, ADVICE.md r4) from
+    racing overwrite-vs-read on one directory. Within a process the
+    path is stable, so re-runs stay idempotent overwrites; stale
+    per-pid dirs are bounded by process count and live in /tmp."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"mrss_sink_lang_{tag}")
+    return f"{tag}_p{os.getpid()}"
+
+
+def partitioned_roundtrip_dir(sf_dir: str) -> str:
+    """Deterministic per-(sf, process) scratch dir for the
+    partitioned-write round trip."""
+    return os.path.join(
+        tempfile.gettempdir(), f"mrss_sink_lang_{_scratch_tag(sf_dir)}"
+    )
 
 
 @register(
@@ -53,8 +65,9 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-matching language directories are never opened. At 100 TB this
     is the difference between scanning 2/5 of the corpus and all of
     it; the same layout also makes the partition column free to group
-    by. The write is an overwrite into a per-sf scratch dir, so the
-    query is idempotent under driver re-runs.
+    by. The write is an overwrite into a per-(sf, process) scratch
+    dir, so the query is idempotent under driver re-runs and safe
+    against a concurrent process on the same sf.
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
@@ -95,8 +108,9 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 100 == 0
     )
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(tempfile.gettempdir(), f"mrss_sink_json_{tag}")
+    out = os.path.join(
+        tempfile.gettempdir(), f"mrss_sink_json_{_scratch_tag(sf_dir)}"
+    )
     o.write.mode("overwrite").json(out)
     back = spark.read.schema(schemas.TABLE_SCHEMAS["orders"]).json(out)
     return back.groupBy("o_orderpriority").agg(
@@ -136,7 +150,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     the database rides in an explicit /tmp LOCATION so the query is
     independent of the session's warehouse directory."""
     pin_session(spark)
-    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(".", "_")
+    tag = _scratch_tag(sf_dir).replace(".", "_")
     db = f"mrcs_bkt_{tag}"
     loc = os.path.join(tempfile.gettempdir(), f"mrss_bucket_wh_{tag}")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
@@ -202,29 +216,47 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is why dedup stays O(batch), not O(corpus): the
     index is fingerprints only (16 bytes/doc regardless of document
     size), appended after each batch, and the probe join touches the
-    batch plus the index — never the historical text. The index write
-    is an overwrite into a per-sf scratch path, so the query is
-    idempotent under driver re-runs; the read-back goes through the
-    parquet file, proving the persisted-index round trip, not just
-    the in-plan anti-join.
+    batch plus the index — never the historical text. The index is
+    persisted BUCKETED BY fingerprint (SCALE.md "incremental dedup
+    index"): the nightly probe then sort-merge joins with NO Exchange
+    on the historical side — only the day's batch shuffles, to the
+    index's bucket count — asserted in ``tests/test_round4_ops.py``.
+    The same discipline as ``join_bucketed_colocated``, paid once at
+    index-write time and amortized over every future batch. The write
+    is an overwrite into a per-(sf, process) scratch location, so the
+    query is idempotent under driver re-runs and safe against a
+    concurrent process on the same sf; the read-back goes through the
+    persisted table, proving the round trip, not just the in-plan
+    anti-join.
     """
     pin_session(spark)
+    import shutil
+
     from ..operators.text import fingerprint
 
     d = load_table(spark, sf_dir, "documents")
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    idx_path = os.path.join(tempfile.gettempdir(), f"mrss_dedup_idx_{tag}")
+    tag = _scratch_tag(sf_dir).replace(".", "_")
+    db = f"mrcs_fpidx_{tag}"
+    loc = os.path.join(tempfile.gettempdir(), f"mrss_dedup_idx_{tag}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    # same catalog-vs-directory hygiene as join_bucketed_colocated
+    spark.sql(f"DROP TABLE IF EXISTS {db}.fp_index")
+    shutil.rmtree(os.path.join(loc, "fp_index"), ignore_errors=True)
     hist = (
         d.filter(F.col("doc_id") % 10 != 9)
         .select(fingerprint(F.col("text")).alias("fp"))
         .distinct()
     )
-    hist.write.mode("overwrite").parquet(idx_path)
-    index = spark.read.parquet(idx_path).withColumn("_seen", F.lit(1))
+    hist.write.mode("overwrite").bucketBy(16, "fp").sortBy("fp").saveAsTable(
+        f"{db}.fp_index"
+    )
+    index = spark.table(f"{db}.fp_index").withColumn("_seen", F.lit(1))
     batch = d.filter(F.col("doc_id") % 10 == 9).select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
     )
-    return batch.join(index, "fp", "left").select(
+    # merge hint pins SMJ so the bucketed (Exchange-free) path is what
+    # runs even where AQE would broadcast at test scale
+    return batch.join(index.hint("merge"), "fp", "left").select(
         "doc_id",
         F.when(F.col("_seen").isNull(), F.lit(1)).otherwise(F.lit(0)).alias(
             "is_new"

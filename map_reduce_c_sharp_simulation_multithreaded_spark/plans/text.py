@@ -1310,6 +1310,15 @@ def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
     c2 = db.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     m1 = db.groupBy("w1").agg(F.count(F.lit(1)).alias("n_head"))
+    # Boundary caveat (ADVICE.md r4, same class as the 2^53 pin in
+    # the decimal-money oracle): round(ln(n_pair/n_head)·1e4) removes
+    # ORDER dependence but not libm divergence — JVM Math.log and
+    # DuckDB std::log are each 1-ulp-accurate, so a product landing
+    # within an ulp of a .5 grid point could round apart across
+    # engines. ln of a ratio of small integers sits on the grid line
+    # only for ln(1)=0 (exact in both engines); any other boundary hit
+    # needs the ratio to approximate e^(k+0.5e-4) to ~1e-16 — none of
+    # the corpus's ratios do, and the driver hash (green r04) confirms.
     lq = (
         F.round(
             F.log(F.col("n_pair").cast("double") / F.col("n_head")) * 10000.0

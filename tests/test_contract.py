@@ -51,7 +51,11 @@ def test_oracle_type_lint(sf_dir):
     from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
 
     con = ora.duckdb_connect(sf_dir)
-    bad = lint_oracle_types(con, registry.all_queries())
+    oracles = {
+        n: registry.resolve_oracle(q.oracle, sf_dir)
+        for n, q in registry.all_queries().items()
+    }
+    bad = lint_oracle_types(con, oracles)
     assert bad == [], f"driver-hash-unsafe oracle output types: {bad}"
 
 

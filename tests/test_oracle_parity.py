@@ -26,10 +26,11 @@ def con(sf_dir):
 def test_query_matches_oracle(name, spark, sf_dir, con):
     q = ALL[name]
     scols, srows = ora.spark_result(q.fn(spark, sf_dir))
-    if q.oracle is None:
+    sql = registry.resolve_oracle(q.oracle, sf_dir)
+    if sql is None:
         assert srows is not None  # materializes without error
         return
-    ocols, orows = ora.oracle_result(con, q.oracle)
+    ocols, orows = ora.oracle_result(con, sql)
     res = ora.compare(scols, srows, ocols, orows)
     assert res["ok"], {k: v for k, v in res.items() if k != "first_diffs"} | {
         "first_diffs": res.get("first_diffs")
@@ -58,22 +59,14 @@ def test_collect_sorted_array(spark, sf_dir):
 def test_driver_window_is_oracle_backed():
     """Every slot in the driver's 50-entry verification window must be
     an oracle-backed query — a rows-only entry there wastes a slot.
-    Round-4 exception (VERDICT.md r3 next-round #3): ALL four
-    rows-only-by-design entries ride this window — sim_ivf_trained_topk
-    and dedup_simhash_band_pairs have never had ANY driver record, and
-    the minhash/simhash pair is re-confirmed against current code — so
-    that after this round every registered query (175 as of round 4)
-    carries driver evidence."""
+    As of round 5 the registry carries ZERO rows-only queries: the
+    MinHash/SimHash family runs the md5-derived oracle-mode hash
+    family and the trained-IVF query generates its oracle from the
+    pure-Python training replay (VERDICT.md r4 next-round #2-#4)."""
     qs = registry.all_queries()
     window = list(qs)[:50]
     assert window == list(registry.DRIVER_WINDOW)
-    rows_only = {n for n in window if qs[n].oracle is None}
-    assert rows_only == {
-        "dedup_minhash_lsh",
-        "dedup_simhash_signatures",
-        "sim_ivf_trained_topk",
-        "dedup_simhash_band_pairs",
-    }
+    assert [n for n in qs if qs[n].oracle is None] == []
 
 
 def test_winnowing_short_docs(spark, tmp_path):

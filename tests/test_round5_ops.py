@@ -1,0 +1,136 @@
+"""Round-5 surface: the md5-derived oracle-mode hash family
+(MinHash/SimHash), the replayable trained-IVF codebook, and the
+bucketed incremental-dedup index probe plan (VERDICT.md r4 next-round
+#2-#4, #8)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
+
+
+def test_md5hash60_matches_duckdb(spark):
+    """The oracle-mode hash family's whole premise: Spark's
+    conv(substr(md5(x),1,15),16,10) and DuckDB's
+    ('0x'||substr(md5(x),1,15))::BIGINT agree bit-for-bit."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+        md5hash60,
+    )
+
+    samples = ["hello", "", "a b c", "ünïcode", "the quick brown fox", "123"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["h"] for r in df.select("s", md5hash60(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        (want,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()
+        assert got[s] == want, s
+    con.close()
+
+
+def test_minhash_md5_mode_finds_planted_pair(spark):
+    """The oracle-mode family preserves the pipeline semantics the
+    production (xxhash64) family is pinned to: exact dup at
+    jaccard_e4=10000, near dup above threshold, no false positives."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+        minhash_lsh_dedup_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank every single morning before the sun rises over the hills"
+    )
+    near = base.replace("quiet river", "silent river")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, "completely different text "
+         "about distributed query engines and shuffle partitioning at scale")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_e4
+        for r in minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.5, hash_mode="md5", scaled=True
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 10000
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 5000
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_md5_mode_band_pairs_equal_brute_force(spark, sf_dir):
+    """Pigeonhole recall holds for the 60-bit oracle-mode signature
+    exactly as for the 64-bit production one: 4×15-bit banded join +
+    hamming verify == all-pairs hamming<=3."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+        hamming64,
+        simhash64,
+        simhash_band_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_band_pairs(
+            d, "doc_id", "text", 3, 4, hash_mode="md5"
+        ).collect()
+    }
+    sig = simhash64(d, "doc_id", "text", hash_mode="md5")
+    a = sig.select(F.col("doc_id").alias("ia"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("ib"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.ia, r.ib): r.h
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", hamming64(F.col("sa"), F.col("sb")).alias("h"))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert len(brute) > 0
+
+
+def test_trained_codebook_replay_matches_spark(spark, sf_dir):
+    """The generated trained-IVF oracle stands on this: k-means in
+    replayable mode (id-derived seeds + 1e-6 sum grid) is a
+    deterministic function of the data, and the pure-Python replay
+    reproduces the Spark-trained codebook EXACTLY (same floats)."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        replay_kmeans_codebook,
+        train_kmeans_codebook,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    spark_cents = train_kmeans_codebook(
+        e, "embedding", n_centroids=8, n_iter=3, dim=64,
+        id_col="vec_id", sum_quantize=1e-6,
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    replay_cents = replay_kmeans_codebook(
+        rows, n_centroids=8, n_iter=3, sum_quantize=1e-6
+    )
+    assert spark_cents == replay_cents
+
+
+def test_incremental_index_probe_avoids_index_shuffle(spark, sf_dir):
+    """The persisted fingerprint index is bucketed by fp, so the
+    nightly probe SMJ shuffles ONLY the batch side (one Exchange on
+    fp, to the index's bucket count) — the 100 TB story where the
+    historical side never moves (VERDICT.md r4 next-round #8)."""
+    q = registry.all_queries()["dedup_incremental_index"]
+    df = q.fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning(fp") == 1
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan

@@ -30,17 +30,17 @@ _BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "UTINYINT", "USMALLINT",
                         "UINTEGER", "UBIGINT")
 
 
-def lint_oracle_types(con, qs) -> list[str]:
+def lint_oracle_types(con, oracles) -> list[str]:
     """DESCRIBE every oracle; flag columns with driver-hash-unsafe types.
 
     Returns a list of "query.column: TYPE" violation strings.
     """
     bad = []
-    for name, q in sorted(qs.items()):
-        if q.oracle is None:
+    for name, sql in sorted(oracles.items()):
+        if sql is None:
             continue
         try:
-            rows = con.execute(f"DESCRIBE {q.oracle}").fetchall()
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
         except Exception as exc:  # describe failure is itself a finding
             bad.append(f"{name}: DESCRIBE failed: {exc}")
             continue
@@ -69,7 +69,11 @@ def main() -> int:
     if args.query:
         qs = {n: q for n, q in qs.items() if n in set(args.query)}
 
-    lint = lint_oracle_types(con, qs)
+    # materialize callable oracles once, against the sf under test
+    oracles = {
+        n: registry.resolve_oracle(q.oracle, args.sf) for n, q in qs.items()
+    }
+    lint = lint_oracle_types(con, oracles)
     if lint:
         print("ORACLE TYPE LINT FAILURES (cast these to BIGINT/DOUBLE):")
         for v in lint:
@@ -86,12 +90,12 @@ def main() -> int:
         t0 = time.time()
         try:
             scols, srows = ora.spark_result(q.fn(spark, args.sf))
-            if q.oracle is None:
+            if oracles[name] is None:
                 status = "ROWS-ONLY" if srows is not None else "??"
                 print(f"{name:45s} {status:10s} rows={len(srows):7d} "
                       f"({time.time()-t0:5.1f}s)")
                 continue
-            ocols, orows = ora.oracle_result(con, q.oracle)
+            ocols, orows = ora.oracle_result(con, oracles[name])
             res = ora.compare(scols, srows, ocols, orows)
             status = "OK" if res["ok"] else "FAIL"
             print(f"{name:45s} {status:10s} rows={res['rows_spark']:7d} "
