@@ -284,19 +284,30 @@ def train_kmeans_codebook(
             centroid_scores(F.col("_uv"), cents),
             F.array_max(centroid_scores(F.col("_uv"), cents)),
         ).cast("int") - 1
+        # 64 per-position sum aggregates over the intact array — NOT
+        # posexplode + groupBy(cell, pos): Generate re-evaluates the
+        # argmax expression against its fan-out (measured 4.8 s vs
+        # 0.7 s per round on 2000×64 at sf0.1), and the k×dim-row
+        # shuffle becomes a k-row one
         sums = (
-            vecs.select(assigned.alias("_cell"), F.posexplode("_uv"))
-            .groupBy("_cell", "pos")
-            .agg(F.sum("col").alias("s"))
+            vecs.select(assigned.alias("_cell"), "_uv")
+            .groupBy("_cell")
+            .agg(
+                *[
+                    F.sum(F.element_at("_uv", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ]
+            )
             .collect()
         )
         acc = [[0.0] * dim for _ in range(n_centroids)]
         touched = [False] * n_centroids
         for r in sums:
-            s = r["s"]
-            if sum_quantize:
-                s = round(s / sum_quantize) * sum_quantize
-            acc[r["_cell"]][r["pos"]] = s
+            for i in range(dim):
+                s = r[f"s{i}"]
+                if sum_quantize:
+                    s = round(s / sum_quantize) * sum_quantize
+                acc[r["_cell"]][i] = s
             touched[r["_cell"]] = True
         cents = _renormalize_cells(cents, acc, touched)
     vecs.unpersist()
