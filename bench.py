@@ -56,6 +56,11 @@ EXTRA_BENCH = (
     # incremental-dedup probe (now bucketed-index SMJ)
     "sim_ivf_trained_topk",
     "dedup_incremental_index",
+    # round-5 new surface: source-quota balancing, temperature mix
+    # weights, ORC roundtrip
+    "dedup_source_quota",
+    "curation_mix_weights",
+    "source_orc_roundtrip",
 )
 
 

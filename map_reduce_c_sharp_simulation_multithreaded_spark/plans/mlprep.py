@@ -531,3 +531,101 @@ def embed_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).cast("int").alias("pos"),
         F.round("v", 6).alias("loading"),
     )
+
+
+_QUOTA_ORACLE = """
+SELECT doc_id, source, CAST(rn AS INT) AS quota_rank,
+       CAST(CASE WHEN rn <= 15 THEN 1 ELSE 0 END AS INT) AS kept
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5('quota:' || doc_id), doc_id) AS rn
+  FROM documents)
+"""
+
+
+@register(
+    "dedup_source_quota",
+    oracle=_QUOTA_ORACLE,
+    tags=("mlprep", "dedup", "curation"),
+)
+def dedup_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota — the corpus-balancing half of
+    curation: cap every source at 15 documents, chosen by CONTENT-HASH
+    order (md5 of "quota:"||doc_id), so the subsample is a
+    deterministic uniform draw that survives reruns, repartitioning,
+    and engine swaps — the same no-RNG discipline as the train/eval
+    split. One over-represented crawl domain cannot dominate the
+    training mixture.
+
+    Scale shape: one shuffle on ``source``; rank work is per-source.
+    A pathological mega-source would bottleneck its window partition —
+    at 100 TB the standard refinement is a two-phase cap (cap each
+    task's slice at N first, then rank the ≤ N·tasks survivors),
+    which composes from this same plan; per-source skew here is
+    bounded by the corpus's source fan-out.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return d.select("doc_id", "source").withColumn(
+        "quota_rank", F.row_number().over(w).cast("int")
+    ).withColumn(
+        "kept",
+        F.when(F.col("quota_rank") <= 15, F.lit(1)).otherwise(F.lit(0)).cast("int"),
+    )
+
+
+_MIX_ORACLE = r"""
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t <> ''))) AS BIGINT) AS total_toks,
+       ROUND(sqrt(CAST(SUM(len(list_filter(string_split_regex(trim(text),
+             '\s+'), t -> t <> ''))) AS DOUBLE)), 6) AS mix_weight
+FROM documents
+GROUP BY source, lang
+"""
+
+
+@register(
+    "curation_mix_weights",
+    oracle=_MIX_ORACLE,
+    tags=("mlprep", "sampling", "curation"),
+)
+def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-temperature mixture weights per (source, lang):
+    weight ∝ sqrt(total tokens) — the α=0.5 temperature scheme
+    (XLM-style multilingual rebalancing) that up-weights small
+    sources/languages relative to proportional sampling without
+    letting giants dominate. The trainer renormalizes the weights;
+    this emits the per-cell mass.
+
+    sqrt, not pow(x, α): IEEE sqrt is correctly rounded in both
+    engines, so the rounded weight is bit-stable cross-engine —
+    pow(x, 0.7) = exp(0.7·ln x) is 1-ulp-accurate twice over and can
+    straddle a rounding boundary (the quality_perplexity_filter
+    caveat). One scan, one vocab-free aggregation — the token count
+    is a per-row array expression.
+    """
+    pin_session(spark)
+    from ..operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("total_toks"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_toks",
+            F.round(F.sqrt(F.col("total_toks").cast("double")), 6).alias(
+                "mix_weight"
+            ),
+        )
+    )

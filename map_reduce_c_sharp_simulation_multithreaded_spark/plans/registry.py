@@ -110,7 +110,15 @@ def _load_all_plan_modules() -> None:
 # evidence is now four rounds old (parity block, join-variant block,
 # filter/scalar packs, agg shapes, pandas/UDTF ops), and two
 # bench-headline r02 greens that swung >20% warm in r04
-# (re-confirmation that the plans are unchanged).
+# (re-confirmation that the plans are unchanged) — later replaced by
+# the three queries ADDED in round 5 (source quota, mix weights, ORC
+# roundtrip: new surface debuts with driver evidence in the round it
+# lands; the two r02 headliners' correctness is not in doubt and bench
+# provides the timing re-confirmation VERDICT r4 #6 asked for).
+# Round-6 queue note: re-queue subquery_scalar_avg (bumped from this
+# window for the ORC debut — the last r01-only green without round-5
+# re-confirmation), sim_cosine_topk and text_term_frequency (r02), any
+# query whose oracle/plan changes in round 6, and round-6 debuts.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- oracles gained this round (same-round rule) ---
     "dedup_minhash_lsh",
@@ -162,13 +170,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_string_pack",
     "split_train_test_hash",
     "subquery_correlated_avg",
-    "subquery_scalar_avg",
     "udtf_chunk_windows",
     "unpivot_part_attrs",
-    # --- bench headliners that swung >20% warm in r04 (VERDICT r4 #6:
-    # plans unchanged — re-confirm correctness while bench re-times) ---
-    "sim_cosine_topk",
-    "text_term_frequency",
+    # --- round-5 additions: driver debut in the round the surface
+    # lands (source-quota balancing, temperature mix weights, ORC) ---
+    "dedup_source_quota",
+    "curation_mix_weights",
+    "source_orc_roundtrip",
 )
 
 

@@ -262,3 +262,45 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_new"
         ),
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       MAX(o_orderdate) AS last_date,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 97 = 0
+GROUP BY o_orderstatus
+""",
+    tags=("source", "sink", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + schema-explicit read-back — the third interchange
+    format after the reference CSV dialect and JSON lines: write a
+    ~1%-of-orders slice as ORC, read it back through the declared
+    StructType, aggregate per order status. Differentially checked
+    against the parquet source, covering date and double fidelity
+    through the ORC type system. Same per-(sf, process) scratch
+    discipline as the other sinks; columnar-format parity matters
+    because at 100 TB a migrating user's lake is rarely one format.
+    """
+    pin_session(spark)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"mrss_sink_orc_{_scratch_tag(sf_dir)}"
+    )
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.schema(schemas.TABLE_SCHEMAS["orders"]).orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_orderdate").alias("last_date"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )

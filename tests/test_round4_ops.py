@@ -283,7 +283,8 @@ def test_sink_queries_are_rerun_idempotent(spark, sf_dir):
     whose catalogs forgot the scratch tables): both side-effecting
     queries must return identical results on an immediate re-run."""
     for name in ("sink_partitioned_roundtrip", "join_bucketed_colocated",
-                 "source_json_roundtrip", "dedup_incremental_index"):
+                 "source_json_roundtrip", "dedup_incremental_index",
+                 "source_orc_roundtrip"):
         q = registry.all_queries()[name]
         first = sorted(map(tuple, q.fn(spark, sf_dir).collect()))
         second = sorted(map(tuple, q.fn(spark, sf_dir).collect()))

@@ -134,3 +134,49 @@ def test_incremental_index_probe_avoids_index_shuffle(spark, sf_dir):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning(fp") == 1
     assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
+def test_source_quota_caps_and_is_deterministic(spark, tmp_path):
+    """A 40-doc source keeps exactly 15 (hash-ordered), a 10-doc source
+    keeps all 10, and the kept set is rerun-stable."""
+    sf = tmp_path / "sf_quota"
+    sf.mkdir()
+    rows = [(i, f"text {i}", "en", "big" if i < 40 else "small", 6)
+            for i in range(50)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    q = registry.all_queries()["dedup_source_quota"]
+    out1 = {(r.doc_id): (r.source, r.quota_rank, r.kept)
+            for r in q.fn(spark, str(sf)).collect()}
+    out2 = {(r.doc_id): (r.source, r.quota_rank, r.kept)
+            for r in q.fn(spark, str(sf)).collect()}
+    assert out1 == out2
+    big_kept = [d for d, (s, _, k) in out1.items() if s == "big" and k == 1]
+    small_kept = [d for d, (s, _, k) in out1.items() if s == "small" and k == 1]
+    assert len(big_kept) == 15 and len(small_kept) == 10
+    ranks = sorted(r for _, (s, r, _) in out1.items() if s == "big")
+    assert ranks == list(range(1, 41))
+
+
+def test_mix_weights_are_sqrt_of_token_mass(spark, tmp_path):
+    """weight == round(sqrt(total tokens), 6) per (source, lang) —
+    small sources get super-proportional weight (the α=0.5 point)."""
+    import math
+
+    sf = tmp_path / "sf_mix"
+    sf.mkdir()
+    rows = [(i, "a b c d", "en", "s_big", 7) for i in range(16)]
+    rows += [(100 + i, "a b c d", "de", "s_small", 7) for i in range(4)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    q = registry.all_queries()["curation_mix_weights"]
+    out = {(r.source, r.lang): r for r in q.fn(spark, str(sf)).collect()}
+    big, small = out[("s_big", "en")], out[("s_small", "de")]
+    assert (big.n_docs, big.total_toks) == (16, 64)
+    assert (small.n_docs, small.total_toks) == (4, 16)
+    assert big.mix_weight == round(math.sqrt(64), 6) == 8.0
+    assert small.mix_weight == 4.0
+    # 4x the tokens -> only 2x the weight: small sources up-weighted
+    assert big.mix_weight / small.mix_weight == 2.0
