@@ -117,13 +117,30 @@ def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5hash60_sql(hx: str) -> str:
+    """Portable DuckDB decode of an md5 hex string's first 15 chars to
+    a 60-bit BIGINT — the oracle half of :func:`..operators.dedup.
+    md5hash60`. A polynomial over strpos/substr/shifts rather than the
+    terser ``('0x' || ...)::BIGINT``: hex-string-to-integer CASTs are
+    a recent DuckDB addition and the round driver's DuckDB is NOT the
+    local 1.0.0 (the engine-version-robustness discipline that keeps
+    every oracle on constructs stable across releases)."""
+    return (
+        "CAST(list_aggregate(list_transform(range(15), bi -> "
+        "CAST(strpos('0123456789abcdef', "
+        f"substr({hx}, CAST(bi + 1 AS INT), 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << CAST((14 - bi) * 4 AS INT))), 'sum')"
+        " AS BIGINT)"
+    )
+
+
 # DuckDB replay of the full MinHash+LSH pipeline under the md5-derived
 # 60-bit hash family: shingle hashes, the 32 (a_i·h+b_i) mod M
 # permutations (pure integer arithmetic — h >= 0, so DuckDB's % equals
 # Spark's pmod), banding on the comma-joined 4-row slice, the bucketed
 # candidate self-join, and the exact-Jaccard verify with integer-scaled
 # output (floor division cannot hit engine rounding ties).
-_MINHASH_ORACLE = r"""
+_MINHASH_ORACLE = rf"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
@@ -131,11 +148,12 @@ WITH toks AS (
 ),
 sh AS (
   SELECT doc_id,
-         list_distinct(list_transform(range(len(tk) - 2),
-           j -> ('0x' || substr(md5(
-                  tk[CAST(j + 1 AS INT)] || ' ' ||
-                  tk[CAST(j + 2 AS INT)] || ' ' ||
-                  tk[CAST(j + 3 AS INT)]), 1, 15))::BIGINT)) AS hs
+         list_distinct(list_transform(
+           list_transform(range(len(tk) - 2),
+             j -> md5(tk[CAST(j + 1 AS INT)] || ' ' ||
+                      tk[CAST(j + 2 AS INT)] || ' ' ||
+                      tk[CAST(j + 3 AS INT)])),
+           hx -> {_md5hash60_sql('hx')})) AS hs
   FROM toks WHERE len(tk) >= 3
 ),
 sig AS (
@@ -202,15 +220,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5-derived 60-bit hash, ±1 vote per bit position, sign bits
 # reassembled into a BIGINT. Docs with zero tokens vanish on both
 # engines (explode/unnest of an empty list).
-_SIMHASH_SIG_CTE = r"""
+_SIMHASH_SIG_CTE = rf"""
 tok AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(trim(text), '\s+'),
                             t -> t <> '')) AS t
   FROM documents
 ),
+thx AS (
+  SELECT doc_id, md5(t) AS hx FROM tok
+),
 h AS (
-  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+  SELECT doc_id, {_md5hash60_sql('hx')} AS h FROM thx
 ),
 bits AS (
   SELECT doc_id, bb.b AS bit,

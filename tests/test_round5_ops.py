@@ -14,10 +14,14 @@ from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
 
 def test_md5hash60_matches_duckdb(spark):
     """The oracle-mode hash family's whole premise: Spark's
-    conv(substr(md5(x),1,15),16,10) and DuckDB's
-    ('0x'||substr(md5(x),1,15))::BIGINT agree bit-for-bit."""
+    conv(substr(md5(x),1,15),16,10) and the oracles' portable DuckDB
+    hex-polynomial decode agree bit-for-bit (also cross-checked
+    against the terse '0x' cast on the local DuckDB)."""
     from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
         md5hash60,
+    )
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.dedup import (
+        _md5hash60_sql,
     )
 
     samples = ["hello", "", "a b c", "ünïcode", "the quick brown fox", "123"]
@@ -26,11 +30,13 @@ def test_md5hash60_matches_duckdb(spark):
         r["s"]: r["h"] for r in df.select("s", md5hash60(F.col("s")).alias("h")).collect()
     }
     con = duckdb.connect()
+    poly = _md5hash60_sql("md5(?)")
     for s in samples:
-        (want,) = con.execute(
+        (want,) = con.execute(f"SELECT {poly}", [s]).fetchone()
+        (want2,) = con.execute(
             "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
         ).fetchone()
-        assert got[s] == want, s
+        assert got[s] == want == want2, s
     con.close()
 
 
