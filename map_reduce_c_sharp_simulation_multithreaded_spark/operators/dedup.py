@@ -30,10 +30,12 @@ def md5hash60(col: Column) -> Column:
     ``xxhash64`` stays the production default — faster and 64-bit — but
     no non-Spark engine recomputes it, so queries that want a DuckDB
     differential oracle swap in this family. DuckDB replays it exactly
-    as ``('0x' || substr(md5(x), 1, 15))::BIGINT``; 15 hex chars = 60
-    bits keeps the value positive in a signed 64-bit long on both
-    engines. Both engines hash the same utf-8 bytes, so values agree
-    bit-for-bit.
+    (via the version-stable hex polynomial in ``plans.dedup.
+    _md5hash60_sql``; equivalently ``('0x' || substr(md5(x), 1,
+    15))::BIGINT`` on recent DuckDB — both pinned equal in pytest);
+    15 hex chars = 60 bits keeps the value positive in a signed 64-bit
+    long on both engines. Both engines hash the same utf-8 bytes, so
+    values agree bit-for-bit.
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
