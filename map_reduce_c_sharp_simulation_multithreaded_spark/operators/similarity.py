@@ -350,6 +350,9 @@ def replay_kmeans_codebook(
     cents = [list(map(float, s[1])) for s in seeds]
     if not cents:
         return []
+    # mirror the trainer on corpora smaller than k: limit(k) returns
+    # fewer seeds and every loop below runs over the actual cells
+    n_centroids = len(cents)
     dim = len(cents[0])
     for _ in range(n_iter):
         acc = [[0.0] * dim for _ in range(n_centroids)]

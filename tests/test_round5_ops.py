@@ -6,7 +6,6 @@ bucketed incremental-dedup index probe plan (VERDICT.md r4 next-round
 from __future__ import annotations
 
 import duckdb
-import pytest
 from pyspark.sql import functions as F
 
 from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
@@ -186,3 +185,48 @@ def test_mix_weights_are_sqrt_of_token_mass(spark, tmp_path):
     assert small.mix_weight == 4.0
     # 4x the tokens -> only 2x the weight: small sources up-weighted
     assert big.mix_weight / small.mix_weight == 2.0
+
+
+def test_md5hash60_matches_duckdb_batch(spark):
+    """200 generated strings (ascii, unicode, whitespace-heavy, long)
+    through both engines' hash in one batch — the 6-sample pin above,
+    widened to the shapes real tokens/shingles take."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+        md5hash60,
+    )
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.dedup import (
+        _md5hash60_sql,
+    )
+
+    samples = []
+    for i in range(200):
+        base = f"tok{i} " * (i % 7 + 1)
+        if i % 3 == 1:
+            base += "ümläut ßtraße 文字"
+        if i % 5 == 2:
+            base = f"  {base}\t{i}  "
+        samples.append(base)
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = dict(
+        (r["s"], r["h"])
+        for r in df.select("s", md5hash60(F.col("s")).alias("h")).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS s", [samples])
+    poly = _md5hash60_sql("md5(s)")
+    want = dict(con.execute(f"SELECT s, {poly} FROM t").fetchall())
+    con.close()
+    assert got == want
+
+
+def test_replay_handles_fewer_vectors_than_centroids():
+    """A 3-vector corpus with k=8 must yield 3 cells, not crash —
+    mirrors the trainer's limit(k) behavior."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        replay_kmeans_codebook,
+    )
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(3)]
+    cents = replay_kmeans_codebook(rows, n_centroids=8, n_iter=2)
+    assert len(cents) == 3 and all(len(c) == 4 for c in cents)
+    assert replay_kmeans_codebook([], n_centroids=8) == []
