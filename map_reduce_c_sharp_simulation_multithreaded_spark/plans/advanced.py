@@ -218,8 +218,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling hash, plans/text.py), so the DuckDB oracle re-derives the
     identical graph and closes it exactly with a recursive CTE — a
     full differential check of an iterative distributed algorithm.
-    (The MinHash-LSH pair graph stays rows-only in dedup_minhash_lsh:
-    banding over engine hashes is probabilistic by design.)
+    (Since round 5 the MinHash-LSH pair graph is ALSO fully
+    oracle-backed — dedup_minhash_lsh runs the md5-derived oracle-mode
+    hash family, so even its banding is replayed by DuckDB.)
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
