@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Plan the next DRIVER_WINDOW rotation from accumulated driver evidence.
+
+Reads every CORRECTNESS_r*.json in the repo root, computes per-query
+evidence age (latest round with a green rows+schema+hash row), and
+prints:
+
+  1. queries with NO driver evidence (must debut next window),
+  2. queries whose latest green predates the current round by the most
+     (re-confirmation queue, oldest first),
+  3. a suggested 50-slot window: debuts, then the oldest greens.
+
+The same-round rule — any query whose oracle or plan changes in a
+round rides that round's window — cannot be derived from evidence
+files; splice those in by hand at the front.
+
+Usage: python tools/window_planner.py [--slots 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def evidence_ages() -> tuple[dict[str, int], int]:
+    """{query: latest green round} plus the newest round number seen."""
+    latest: dict[str, int] = {}
+    newest = 0
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json", path)
+        rnd = int(m.group(1))
+        newest = max(newest, rnd)
+        data = json.load(open(path))
+        for name, row in data.items():
+            if row.get("hash_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest, newest
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=50)
+    args = ap.parse_args()
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
+
+    qs = registry.all_queries()
+    latest, newest = evidence_ages()
+
+    never = [n for n in qs if n not in latest]
+    aged = sorted(
+        ((latest[n], n) for n in qs if n in latest),
+        key=lambda t: (t[0], t[1]),
+    )
+
+    print(f"# registered: {len(qs)}   evidence through round {newest}")
+    print(f"\n## never driver-verified ({len(never)}) — debut these first")
+    for n in never:
+        print(f"  {n}")
+
+    print("\n## re-confirmation queue (latest green round, oldest first)")
+    for rnd, n in aged[: args.slots]:
+        print(f"  r{rnd:02d}  {n}")
+
+    window = never + [n for _, n in aged]
+    print(f"\n## suggested window ({args.slots} slots; prepend same-round "
+          "changes by hand)")
+    for n in window[: args.slots]:
+        print(f'    "{n}",')
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
