@@ -119,6 +119,11 @@ def _load_all_plan_modules() -> None:
 # window for the ORC debut — the last r01-only green without round-5
 # re-confirmation), sim_cosine_topk and text_term_frequency (r02), any
 # query whose oracle/plan changes in round 6, and round-6 debuts.
+# Round-6 perf note: audit remaining self-join branch reuse — the
+# simhash band join planned its signature pipeline twice until round 5
+# (fixed, −40%); dedup_ngram_jaccard_adjacent's shingle frame has the
+# same two-branch shape and was left unchanged this round only because
+# the window had no slot for the same-round re-verify.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- oracles gained this round (same-round rule) ---
     "dedup_minhash_lsh",
