@@ -359,7 +359,16 @@ def pagerank(
     driver collect, so the loop body stays a single distributed plan.
     Without it, dangling mass leaks (ranks sum to ≤ 1) — fine for
     ranking on graphs with no sinks (e.g. symmetrized ones).
+
+    The INPUT edge frame is persisted before anything derives from it:
+    four subtrees consume it (both node-side scans, the out-degree agg,
+    and the degree join) and callers typically hand in an expensive
+    derivation (graph_pagerank_suppliers: lineitem⋈orders → distinct →
+    symmetrize), which otherwise plans and runs once per consumer —
+    measured 23.9 s → 15.5 s cold at sf0.1, warm unchanged. Same
+    branch-reuse discipline as the minhash/simhash self-joins.
     """
+    edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))

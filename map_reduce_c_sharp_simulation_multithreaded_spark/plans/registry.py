@@ -117,8 +117,12 @@ def _load_all_plan_modules() -> None:
 # provides the timing re-confirmation VERDICT r4 #6 asked for).
 # Round-6 queue note: re-queue subquery_scalar_avg (bumped from this
 # window for the ORC debut — the last r01-only green without round-5
-# re-confirmation), sim_cosine_topk and text_term_frequency (r02), any
-# query whose oracle/plan changes in round 6, and round-6 debuts.
+# re-confirmation), sim_cosine_topk and text_term_frequency (r02),
+# graph_pagerank_suppliers and graph_pagerank_directed (plan gained an
+# input-edge cache AFTER this window froze — values unchanged by
+# construction and both re-verified green locally at sf0.01, but the
+# same-round driver rule wants fresh rows), any query whose
+# oracle/plan changes in round 6, and round-6 debuts.
 # Round-6 perf note: audit remaining self-join branch reuse — the
 # simhash band join planned its signature pipeline twice until round 5
 # (fixed, −40%); dedup_ngram_jaccard_adjacent's shingle frame has the
