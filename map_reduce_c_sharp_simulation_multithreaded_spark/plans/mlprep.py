@@ -198,9 +198,21 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asymmetry; a pipeline needing exactness swaps in a 128-bit key
     # (two independent xxhash64 seeds), doubling shuffle-key width:
     #   F.struct(F.xxhash64("gram"), F.xxhash64(F.lit(1), F.col("gram")))
+    # Persisted: BOTH join sides (eval filter, train filter) derive
+    # from this frame, so unpersisted the tokenize→shingle→explode→
+    # hash pipeline plans and runs twice (measured 2.6 s → 0.8 s warm
+    # at sf0.1). At 100 TB the same one-materialization discipline
+    # holds but the mechanism changes: the hashed-gram projection is
+    # ~16 B/gram ≈ corpus token count — too big to pin in executor
+    # memory, so a production decontamination run writes it ONCE to
+    # temp parquet (or persists MEMORY_AND_DISK_SER) and feeds both
+    # sides from that, trading one narrow write+read against a second
+    # full tokenization pass; the join's own shuffle moves the same
+    # rows regardless, so the materialized copy is never the
+    # bottleneck.
     g = d.select("doc_id", F.explode(grams).alias("gram")).select(
         "doc_id", F.xxhash64("gram").alias("gh")
-    )
+    ).cache()
     ev = g.filter(F.col("doc_id") % 20 == 7).select(
         F.col("doc_id").alias("eval_id"), "gh"
     )

@@ -121,7 +121,9 @@ def _load_all_plan_modules() -> None:
 # graph_pagerank_suppliers and graph_pagerank_directed (plan gained an
 # input-edge cache AFTER this window froze — values unchanged by
 # construction and both re-verified green locally at sf0.01, but the
-# same-round driver rule wants fresh rows), any query whose
+# same-round driver rule wants fresh rows), contamination_eval_overlap
+# (same: gram-frame cache added post-freeze, re-verified locally at
+# sf0.01), any query whose
 # oracle/plan changes in round 6, and round-6 debuts.
 # Round-6 perf note: audit remaining self-join branch reuse — the
 # simhash band join planned its signature pipeline twice until round 5
