@@ -170,19 +170,32 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean per group; the oracle emits the same exact counts and
     literal TRUE. HLL++ register-merge is order-insensitive, so the
     booleans are deterministic, and rsd=0.01 makes ±5% a wide margin.
+
+    The exact and sketch aggregates deliberately run as TWO
+    aggregations joined on the 3-row group key, not one: multiple
+    count_distinct triggers Catalyst's Expand rewrite (one input copy
+    per distinct group), and inside that expanded aggregate each
+    rsd=0.01 HLL++ buffer is 2^14 registers — the partial aggregate
+    then sorts/merges 16 KB sketch buffers across 3× the input rows
+    (measured 58 s at sf0.1; either aggregation alone is 2-3 s). Two
+    narrow passes + a 3-row join is the shape that survives scale —
+    and in production you run only the sketch pass anyway (the exact
+    pass exists here as the in-query accuracy audit).
     """
     pin_session(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_suppkey").alias("exact_suppliers"),
         F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey", 0.01).alias("_ap_supp"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("_ap_ord"),
     )
     within = lambda ap, ex: (  # noqa: E731
         F.abs(F.col(ap) - F.col(ex)) <= 0.05 * F.col(ex)
     )
-    return agg.select(
+    return exact.join(approx, "l_returnflag").select(
         "l_returnflag",
         "exact_suppliers",
         "exact_orders",

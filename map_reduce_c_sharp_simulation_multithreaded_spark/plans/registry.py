@@ -123,6 +123,11 @@ def _load_all_plan_modules() -> None:
 # construction and both re-verified green locally at sf0.01, but the
 # same-round driver rule wants fresh rows), contamination_eval_overlap
 # (same: gram-frame cache added post-freeze, re-verified locally at
+# sf0.01), agg_approx_distinct (exact/sketch aggregates split into two
+# joined passes — the Expand×16KB-HLL-buffer fix), the two winnow_fps
+# consumers text_winnowing_fingerprints + dedup_connected_components
+# (char-code-array rewrite of the rolling hash — bit-identical output
+# proven over the full corpus at two SFs, re-verified green locally at
 # sf0.01), any query whose
 # oracle/plan changes in round 6, and round-6 debuts.
 # Round-6 perf note: audit remaining self-join branch reuse — the
