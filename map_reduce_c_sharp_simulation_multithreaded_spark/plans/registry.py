@@ -128,7 +128,8 @@ def _load_all_plan_modules() -> None:
 # consumers text_winnowing_fingerprints + dedup_connected_components
 # (char-code-array rewrite of the rolling hash — bit-identical output
 # proven over the full corpus at two SFs, re-verified green locally at
-# sf0.01), any query whose
+# sf0.01), text_char_ngram_stats (same split-once rewrite of
+# char_ngrams, same equality proof), any query whose
 # oracle/plan changes in round 6, and round-6 debuts.
 # Round-6 perf note: audit remaining self-join branch reuse — the
 # simhash band join planned its signature pipeline twice until round 5
