@@ -230,3 +230,59 @@ def test_replay_handles_fewer_vectors_than_centroids():
     cents = replay_kmeans_codebook(rows, n_centroids=8, n_iter=2)
     assert len(cents) == 3 and all(len(c) == 4 for c in cents)
     assert replay_kmeans_codebook([], n_centroids=8) == []
+
+
+def test_winnow_and_char_ngrams_match_naive_reference(spark):
+    """Regression pin for the round-5 split-once rewrites: winnow_fps
+    and char_ngrams replaced per-position substr walks (O(len^2) per
+    row) with one split into a char array. The outputs must stay
+    bit-identical to the straightforward definition, checked here
+    against naive pure-Python references on adversarial strings
+    (shorter than k, exactly k, repeats, punctuation, empty)."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.text import (
+        char_ngrams,
+        winnow_fps,
+    )
+
+    samples = [
+        "",
+        "ab",
+        "abcd",
+        "abcde",
+        "aaaaaaaaaa",
+        "the quick brown fox jumps over the lazy dog",
+        "a b c d e f g h i j k l m n o p",
+        "x" * 300,
+        "Hello, World! 123 -- punct.",
+    ]
+
+    def naive_winnow(s, k=5, window=4):
+        s = "".join(c for c in s if 0x20 <= ord(c) <= 0x7E)
+        if len(s) < k:
+            return []
+        hs = [
+            sum(ord(s[i + j]) * pow(257, j, 1000003) for j in range(k)) % 1000003
+            for i in range(len(s) - k + 1)
+        ]
+        n_w = max(len(hs) - window + 1, 1)
+        mins = [min(hs[i : i + window]) for i in range(n_w)]
+        out, seen = [], set()
+        for m in mins:
+            if m not in seen:
+                seen.add(m)
+                out.append(m)
+        return out
+
+    def naive_ngrams(s, n=3):
+        return [s[i : i + n] for i in range(len(s) - n + 1)] if len(s) >= n else []
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, s string")
+    rows = df.select(
+        "i",
+        winnow_fps(F.col("s")).alias("w"),
+        char_ngrams(F.col("s")).alias("g"),
+    ).collect()
+    for r in rows:
+        s = samples[r["i"]]
+        assert r["w"] == naive_winnow(s), f"winnow mismatch on {s!r}"
+        assert r["g"] == naive_ngrams(s), f"ngram mismatch on {s!r}"
