@@ -339,7 +339,7 @@ def pagerank(
     edges: DataFrame,
     n_iter: int = 5,
     damping: float = 0.85,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
     redistribute_dangling: bool = False,
 ) -> DataFrame:
     """PageRank by power iteration — pure DataFrame ops, no driver graph.
@@ -351,6 +351,16 @@ def pagerank(
     exponentially and re-optimize the whole history each round (the
     at-scale practice SCALE.md promises for iterative operators; on a
     cluster this would be reliable ``checkpoint()`` to HDFS).
+
+    The default cadence is EVERY round, measured, not assumed: a lazy
+    checkpoint materializes once and every downstream branch reads its
+    blocks, so un-checkpointed rounds re-execute per consumer — the
+    dangling variant reads ``ranks`` twice per iteration (contribution
+    join + dangling-mass aggregate) and cost 5.4 s warm / 13.3 s cold
+    at sf0.1 under cadence 2 vs 3.0 s / 3.5 s under cadence 1; the
+    symmetrized variant's cold run fell 13.8 s → 2.8 s. The write cost per
+    round is one rank-per-node frame to the local block store —
+    negligible against re-running a join round.
 
     With ``redistribute_dangling`` the rank mass parked on sink nodes
     (no out-edges) is spread uniformly each round — full PageRank,
