@@ -224,9 +224,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
+    # persisted: both the hub aggregation and the edge join consume it,
+    # and the winnowing explode is the expensive part (branch-reuse
+    # discipline, same as pagerank/bfs edge inputs)
     doc_fp = d.select(
         "doc_id", F.explode(winnow_fps(F.col("text"))).alias("fp")
-    ).distinct()
+    ).distinct().cache()
     hubs = doc_fp.groupBy("fp").agg(F.min("doc_id").alias("hub"))
     edges = (
         doc_fp.join(hubs, "fp")
@@ -606,6 +609,11 @@ def bfs_hops(edges: DataFrame, source, max_hops: int) -> DataFrame:
     loop exits early when a frontier comes back empty — ``isEmpty``
     is a cheap limit-1 job, not a collect of the frontier.
     """
+    # The edge list joins against every hop's frontier; persist it so
+    # the caller's derivation (graph_bfs_supplier_hops: distinct →
+    # window-rank → pair join → symmetrize) runs once, not once per
+    # hop — the pagerank() input-edge discipline.
+    edges = edges.cache()
     visited = edges.sparkSession.createDataFrame(
         [(source, 0)], "node long, dist int"
     )

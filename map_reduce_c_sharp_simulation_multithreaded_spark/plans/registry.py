@@ -129,7 +129,10 @@ def _load_all_plan_modules() -> None:
 # (char-code-array rewrite of the rolling hash — bit-identical output
 # proven over the full corpus at two SFs, re-verified green locally at
 # sf0.01), text_char_ngram_stats (same split-once rewrite of
-# char_ngrams, same equality proof), any query whose
+# char_ngrams, same equality proof), graph_bfs_supplier_hops (edge
+# frame persisted in bfs_hops) — dedup_connected_components addition-
+# ally gained a doc_fp persist, and pagerank moved to checkpoint-every-
+# round (all re-verified green locally at sf0.01), any query whose
 # oracle/plan changes in round 6, and round-6 debuts.
 # Round-6 perf note: audit remaining self-join branch reuse — the
 # simhash band join planned its signature pipeline twice until round 5
