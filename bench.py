@@ -61,6 +61,15 @@ EXTRA_BENCH = (
     "dedup_source_quota",
     "curation_mix_weights",
     "source_orc_roundtrip",
+    # round-5 late perf pass: every plan the full-sweep audit changed
+    # gets a timed number in the round it changed (SCALE.md "Full-sweep
+    # timing audit" table)
+    "agg_approx_distinct",
+    "text_winnowing_fingerprints",
+    "text_char_ngram_stats",
+    "graph_pagerank_directed",
+    "graph_bfs_supplier_hops",
+    "dedup_connected_components",
 )
 
 
