@@ -71,24 +71,36 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
     tags=("udf", "pandas", "asof", "custom-operator"),
 )
 def pandas_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join #2: ``applyInPandas`` + ``pd.merge_asof`` per user.
+    """As-of join #2: ``applyInPandas`` + ``pd.merge_asof`` per bucket.
 
     Alternative implementation of ``asof_join_last_purchase`` (window
     composition) — same oracle, different physical strategy: co-group
-    both sides by key, sort within group, pandas backward-search. The
-    window form wins when one side dominates; this form wins when both
-    sides are dense per key. Both are one shuffle on the join key.
+    both sides, sort within group, pandas backward-search. The window
+    form wins when one side dominates; this form wins when both sides
+    are dense per key. Both are one shuffle on the join key.
+
+    The cogroup key is a HASH BUCKET of the user, not the user itself:
+    ``merge_asof(..., by="user_id")`` does the per-user backward search
+    inside one call, so Python runs once per bucket (64 large Arrow
+    batches) instead of once per user (thousands of tiny frames, all
+    fixed pandas overhead — measured 8.2 s → ~1 s at sf0.1). Bucket
+    count is the parallelism knob at cluster scale; per-task memory is
+    bounded by the bucket's rows, and user skew inside a bucket is
+    bounded by the same per-user row counts the per-user form had.
     """
     pin_session(spark)
     ev = load_table(spark, sf_dir, "events")
+    n_buckets = 64
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("bucket")
     errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", "event_id"
+        bucket, "user_id", "ts", "event_id"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+        bucket, "user_id", "ts", "value"
     )
 
     def asof(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof(by=...) needs both frames sorted by the ON key
         left = left.sort_values("ts")
         right = right.sort_values("ts")
         if len(left) == 0:
@@ -98,7 +110,12 @@ def pandas_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"event_id": left["event_id"], "last_purchase_value": None}
             )
         merged = pd.merge_asof(
-            left, right, on="ts", direction="backward", allow_exact_matches=True
+            left,
+            right,
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
         )
         return pd.DataFrame(
             {
@@ -108,8 +125,8 @@ def pandas_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        errors.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        errors.groupBy("bucket")
+        .cogroup(purchases.groupBy("bucket"))
         .applyInPandas(asof, "event_id long, last_purchase_value double")
     )
 
