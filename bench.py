@@ -70,6 +70,7 @@ EXTRA_BENCH = (
     "graph_pagerank_directed",
     "graph_bfs_supplier_hops",
     "dedup_connected_components",
+    "pandas_asof_join",
 )
 
 
