@@ -90,10 +90,14 @@ def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity kernel that MinHash approximates, oracle-checked."""
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
+    # persisted: both sides of the adjacent-id join derive from this
+    # frame, so unpersisted the tokenize→shingle pipeline plans and
+    # runs twice (the minhash/simhash branch-reuse discipline — the
+    # last two-branch shape flagged in the round-5 registry perf note)
     sh = d.select(
         "doc_id",
         F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("shingles"),
-    )
+    ).cache()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1)

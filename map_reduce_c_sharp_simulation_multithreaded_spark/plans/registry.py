@@ -134,11 +134,12 @@ def _load_all_plan_modules() -> None:
 # ally gained a doc_fp persist, and pagerank moved to checkpoint-every-
 # round (all re-verified green locally at sf0.01), any query whose
 # oracle/plan changes in round 6, and round-6 debuts.
-# Round-6 perf note: audit remaining self-join branch reuse — the
-# simhash band join planned its signature pipeline twice until round 5
-# (fixed, −40%); dedup_ngram_jaccard_adjacent's shingle frame has the
-# same two-branch shape and was left unchanged this round only because
-# the window had no slot for the same-round re-verify.
+# Round-6 perf note: the self-join branch-reuse audit CLOSED in round
+# 5 — simhash signatures (f8ebd70), the contamination gram frame,
+# pagerank/BFS/CC inputs, and finally dedup_ngram_jaccard_adjacent's
+# shingle frame all persist their shared subtrees now. Re-queue
+# dedup_ngram_jaccard_adjacent with the other post-freeze plan changes
+# above (re-verified green locally at sf0.01 like the rest).
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- oracles gained this round (same-round rule) ---
     "dedup_minhash_lsh",
