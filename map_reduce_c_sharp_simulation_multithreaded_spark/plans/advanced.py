@@ -263,6 +263,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = d.select(F.col("doc_id").alias("node")).withColumn(
         "label", F.col("node")
     )
+    prev_cache = None
     for i in range(10):  # diameter cap; dedup components are shallow
         neighbor_min = (
             adj.join(labels, adj.id_b == labels.node)
@@ -285,18 +286,28 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .take(1)
         )
-        stale = labels
         # cache feeds both the convergence probe and the next round;
         # periodic localCheckpoint truncates the lineage so the
         # optimizer never re-plans the whole iteration history (same
-        # posture as pagerank(); cluster-scale: checkpoint())
-        labels = new_labels.cache()
-        if (i + 1) % 3 == 0:
-            labels = labels.localCheckpoint()
-        stale.unpersist()
+        # posture as pagerank(); cluster-scale: checkpoint()). Track the
+        # cached handle separately from the (possibly checkpointed)
+        # labels so the previous round's cache is ALWAYS dropped —
+        # unpersisting the checkpointed frame would miss the cache
+        # blocks on every 3rd round.
+        cached = new_labels.cache()
+        labels = cached.localCheckpoint() if (i + 1) % 3 == 0 else cached
+        if prev_cache is not None:
+            prev_cache.unpersist()
+        prev_cache = cached
         if not changed:
             break
-    return labels.select(
+    # Pin the result as its own blocks, then drop every function-local
+    # cache (ADVICE r5 / sweep-accumulation hygiene, same as pagerank).
+    final = labels.localCheckpoint()
+    for frame in (prev_cache, adj, edges, doc_fp):
+        if frame is not None:
+            frame.unpersist()
+    return final.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
@@ -454,6 +465,15 @@ def pagerank(
             # graph_pagerank_suppliers at sf0.1. BFS/CC keep eager
             # checkpoints: their loops probe each round's result anyway.
             ranks = ranks.localCheckpoint(eager=False)
+    # Materialize the result once, then drop every function-local cache
+    # (ADVICE r5): the eager checkpoint pins the final ranks as its own
+    # blocks, so the returned frame no longer reads edges/nodes/e/
+    # dangling — without this, repeated invocations in one session
+    # (tools/sweep_times.py runs 178 queries × N passes) accumulate
+    # cached blocks and lean on LRU eviction.
+    ranks = ranks.localCheckpoint()
+    for frame in (dangling, e, nodes, edges):
+        frame.unpersist()
     return ranks
 
 
@@ -648,6 +668,9 @@ def bfs_hops(edges: DataFrame, source, max_hops: int) -> DataFrame:
             break
         visited = visited.union(nxt).localCheckpoint()
         frontier = nxt.select("node")
+    # visited is already materialized (eager per-round checkpoints), so
+    # the edge cache can be dropped before returning (ADVICE r5).
+    edges.unpersist()
     return visited
 
 

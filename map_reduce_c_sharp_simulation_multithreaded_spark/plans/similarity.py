@@ -427,10 +427,37 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# trained k-means codebooks, keyed (sf_dir, k, n_iter, dim) — see the
-# sim_ivf_trained_topk docstring for why memoizing the BUILD step is
-# the production IVF shape, not a bench shortcut
+# trained k-means codebooks, keyed (sf_dir, data fingerprint, k,
+# n_iter, dim) — see the sim_ivf_trained_topk docstring for why
+# memoizing the BUILD step is the production IVF shape, not a bench
+# shortcut
 _TRAINED_CODEBOOKS: dict[tuple, list[list[float]]] = {}
+
+
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    """Cheap data fingerprint for the codebook memo key (ADVICE r5):
+    (path, size, mtime_ns) of every file under ``embeddings.parquet``.
+    If a harness regenerates the parquet in-process, the key changes and
+    the codebook retrains instead of silently serving stale centroids
+    against a freshly-derived oracle."""
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    paths = [root]
+    if os.path.isdir(root):
+        paths = sorted(
+            os.path.join(d, f)
+            for d, _, files in os.walk(root)
+            for f in files
+        )
+    out = []
+    for p in paths:
+        try:
+            st = os.stat(p)
+            out.append((p, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((p, -1, -1))
+    return tuple(out)
 
 
 def _trained_ivf_oracle(sf_dir: str) -> str:
@@ -481,12 +508,13 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same unchanged data reuse the codebook and pay only the retrieval
     plan. Training is deterministic in replayable mode, so the memo
     changes nothing but wall-clock; a first (cold) call still reports
-    the full build cost. Keyed on sf_dir — retrain by restarting the
-    process if the files under it are rewritten (true of all test SFs).
+    the full build cost. Keyed on (sf_dir, file size+mtime fingerprint)
+    — rewriting the files under sf_dir in-process invalidates the memo
+    and retrains (ADVICE r5 #1).
     """
     pin_session(spark)
     e = load_table(spark, sf_dir, "embeddings")
-    memo_key = (sf_dir, 8, 3, 64)
+    memo_key = (sf_dir, _embeddings_fingerprint(sf_dir), 8, 3, 64)
     cents = _TRAINED_CODEBOOKS.get(memo_key)
     if cents is None:
         cents = train_kmeans_codebook(

@@ -17,9 +17,12 @@ them:
   *broadcast* nested-loop join — the build side is the bounded query
   set, never a shuffled n×n product.
 
-Both patterns are checked on the EXECUTED plan (post-AQE re-planning
-would not reintroduce either node; AQE can only convert shuffles to
-broadcasts, not the reverse).
+Both patterns are checked on the INITIAL physical plan —
+``executedPlan()`` before any action returns the pre-AQE physical plan
+(ADVICE r5 wording fix). That is the right surface for these
+invariants: AQE re-planning cannot *introduce* either banned node (it
+can only convert shuffle joins to broadcasts, never conjure a Python
+eval node or turn a partitioned join into a cartesian product).
 """
 
 from __future__ import annotations
@@ -36,7 +39,8 @@ from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
 _ROWWISE_UDF = re.compile(r"BatchEvalPython(?!UDTF)")
 
 
-def _executed_plan(df) -> str:
+def _initial_plan(df) -> str:
+    # pre-action executedPlan() == the initial (pre-AQE) physical plan
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -45,7 +49,7 @@ def _executed_plan(df) -> str:
 )
 def test_plan_invariants(spark, sf_dir, name):
     q = registry.all_queries()[name]
-    plan = _executed_plan(q.fn(spark, sf_dir))
+    plan = _initial_plan(q.fn(spark, sf_dir))
     assert not _ROWWISE_UDF.search(plan), (
         f"{name}: row-at-a-time Python UDF (BatchEvalPython) in plan"
     )

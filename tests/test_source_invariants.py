@@ -8,27 +8,25 @@ must appear on the allowlist below, each with a bounded-size
 justification. Adding a new one means consciously editing this file —
 an unreviewed collect() over table-sized data cannot slip in.
 
-The patterns deliberately exclude `F.first(col)` (an aggregate column
-function, args present) by matching only the no-arg `.first()` form;
-`.head(` covers the argful DataFrame variant.
+Scanning is AST-based (ADVICE r5): only real call sites count, so a
+'.collect()' mention in a comment, docstring, or perf note can never
+trip the gate. ``first`` counts only in its no-arg DataFrame form —
+``F.first(col)`` is an aggregate column function and takes args.
 """
 
 from __future__ import annotations
 
+import ast
 import os
-import re
 
 PKG = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "map_reduce_c_sharp_simulation_multithreaded_spark",
 )
 
-_MATERIALIZE = re.compile(
-    r"\.collect\(\)|\.take\(|\.toPandas\(\)|\.toLocalIterator\(|"
-    r"\.first\(\)|\.head\("
-)
+_METHODS = {"collect", "take", "toPandas", "toLocalIterator", "head"}
 
-# relpath -> (expected occurrence count, justification)
+# relpath -> (expected call-site count, justification)
 ALLOWED = {
     # differential-test comparator: materializes BOTH engines' results
     # at sf<=0.1 by design — never on a query path
@@ -47,6 +45,21 @@ ALLOWED = {
 }
 
 
+def _count_sites(path: str) -> int:
+    with open(path, encoding="utf-8") as fh:
+        tree = ast.parse(fh.read(), filename=path)
+    n = 0
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Attribute)):
+            continue
+        attr = node.func.attr
+        if attr in _METHODS:
+            n += 1
+        elif attr == "first" and not node.args and not node.keywords:
+            n += 1
+    return n
+
+
 def _scan() -> dict[str, int]:
     found: dict[str, int] = {}
     for root, _dirs, files in os.walk(PKG):
@@ -54,11 +67,9 @@ def _scan() -> dict[str, int]:
             if not fname.endswith(".py"):
                 continue
             path = os.path.join(root, fname)
-            rel = os.path.relpath(path, PKG)
-            with open(path, encoding="utf-8") as fh:
-                n = sum(len(_MATERIALIZE.findall(line)) for line in fh)
+            n = _count_sites(path)
             if n:
-                found[rel] = n
+                found[os.path.relpath(path, PKG)] = n
     return found
 
 
