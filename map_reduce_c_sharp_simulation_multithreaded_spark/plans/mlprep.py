@@ -589,6 +589,78 @@ def dedup_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_quota_two_phase(
+    d: DataFrame, n: int = 15, n_shards: int = 32
+) -> DataFrame:
+    """Two-phase per-source quota (the mega-source refinement the
+    one-phase docstring documents, VERDICT.md r5 next-round #4).
+
+    Phase 1 caps each (source, shard) slice at ``n`` by content-hash
+    order, where shard = pmod(xxhash64(doc_id), n_shards) — so even a
+    source holding the entire corpus fans its rank work across
+    ``n_shards`` window partitions. Phase 2 ranks only the ≤
+    n·n_shards survivors per source and keeps the global top ``n``.
+
+    Exactly equal to the one-phase plan by the top-k pushdown argument:
+    any doc in a source's global top-n is also in its shard's top-n
+    (fewer competitors), so it survives phase 1; and every doc ahead of
+    it globally is itself global-top-n and survives too, so survivor
+    rank == global rank on the kept set. ``tests/test_round6_ops.py``
+    pins both the equality and the phase-1 partition bound.
+    """
+    key = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    shard = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards))
+    w1 = Window.partitionBy("source", "_shard").orderBy(
+        key.asc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        d.select("doc_id", "source")
+        .withColumn("_shard", shard)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n)
+        .drop("_shard", "_r1")
+    )
+    w2 = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        survivors.withColumn("quota_rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("quota_rank") <= n)
+        .select("doc_id", "source", "quota_rank")
+    )
+
+
+_QUOTA2_ORACLE = """
+SELECT doc_id, source, CAST(rn AS INT) AS quota_rank
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5('quota:' || doc_id), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 15
+"""
+
+
+@register(
+    "dedup_source_quota_two_phase",
+    oracle=_QUOTA2_ORACLE,
+    tags=("mlprep", "dedup", "curation"),
+)
+def dedup_source_quota_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-source-safe per-source quota: same kept set as
+    ``dedup_source_quota`` (the oracle IS the one-phase SQL filtered to
+    kept — both are deterministic functions of the same content-hash
+    order), computed in two capped phases so no single window partition
+    ever receives a whole skewed source. This is the 100 TB shape: a
+    crawl snapshot where one domain is 40% of the corpus turns the
+    one-phase plan's ``Window.partitionBy(source)`` into a single
+    straggler task; here that domain's rank work spreads over 32 shard
+    partitions and phase 2 touches at most 15·32 rows per source.
+    """
+    pin_session(spark)
+    return source_quota_two_phase(
+        load_table(spark, sf_dir, "documents"), n=15, n_shards=32
+    )
+
+
 _MIX_ORACLE = r"""
 SELECT source, lang,
        COUNT(*) AS n_docs,

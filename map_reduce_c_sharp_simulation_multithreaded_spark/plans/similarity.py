@@ -676,6 +676,19 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines so association-order ulps can't flip a verdict.
     """
     pin_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_clusters(emb, n_centroids=16)
+
+
+def semantic_clusters(
+    emb: DataFrame, n_centroids: int, threshold: float = 0.35
+) -> DataFrame:
+    """SemDeDup core shared by the fixed-k and k∝n queries: assign to
+    argmax centroid over ``n_centroids`` sha256-derived cells, then the
+    within-cell lower-id keep-first verdict at rounded cosine ≥
+    ``threshold``. Expressions are identical for every k, so the fixed
+    query's plan (and its oracle contract) is unchanged by the
+    refactor."""
     from ..operators.similarity import (
         _deterministic_centroids,
         centroid_scores,
@@ -683,8 +696,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = _deterministic_centroids(16, 64)
+    cents = _deterministic_centroids(n_centroids, 64)
     scores = centroid_scores(F.col("embedding"), cents)
     assigned = (
         F.array_position(scores, F.array_max(scores)).cast("int") - 1
@@ -716,7 +728,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = (
         a.join(b, "cell")
         .filter(F.col("id_b") < F.col("id_a"))
-        .filter(F.round(dot(F.col("ua"), F.col("ub")), 6) >= 0.35)
+        .filter(F.round(dot(F.col("ua"), F.col("ub")), 6) >= threshold)
         .select(F.col("id_a").alias("vec_id"))
         .distinct()
         .withColumn("_d", F.lit(1))
@@ -732,6 +744,63 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept"),
         )
     )
+
+
+_SEMDEDUP_CELL_SIZE = 64  # target expected |cell| for the k∝n variant
+
+
+def _semdedup_scaled_k(sf_dir: str) -> int:
+    """k ∝ n with a fixed expected cell size: k = max(16, n // 64),
+    with n read from the parquet footers (driver-side file METADATA,
+    not data — the same footer scan Spark's own planner performs).
+    Deterministic function of the files, so the generated oracle
+    re-derives the identical k."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    paths = (
+        sorted(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(root)
+        else [root]
+    )
+    n = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    return max(16, n // _SEMDEDUP_CELL_SIZE)
+
+
+def _semantic_dedup_scaled_oracle(sf_dir: str) -> str:
+    return _semantic_dedup_oracle(n_centroids=_semdedup_scaled_k(sf_dir))
+
+
+@register(
+    "dedup_semantic_clusters_scaled",
+    oracle=_semantic_dedup_scaled_oracle,
+    tags=("dedup", "similarity", "custom-operator"),
+)
+def dedup_semantic_clusters_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup with the codebook grown ∝ corpus size (k = n/64 cells,
+    floor 16) — the linear-restoring configuration SCALE.md's 8×
+    measurement demanded (VERDICT.md r5 next-round #3): with FIXED k,
+    each cell is c× fuller at c× corpus and within-cell pair work
+    Σ|cell|² grows c²; holding EXPECTED CELL SIZE fixed instead keeps
+    Σ|cell|² ≈ n·cell_size — linear in the corpus. Same sha256-derived
+    centroid family (production would retrain via
+    ``train_kmeans_codebook`` at the same k schedule), same verdict
+    semantics; at the floor (n ≤ 1024) the kept set is IDENTICAL to
+    ``dedup_semantic_clusters`` — pinned in tests/test_round6_ops.py.
+
+    k comes from the parquet footers' row counts — file metadata the
+    planner reads anyway, not a data scan, so the plan stays fully
+    distributed and the generated DuckDB oracle re-derives the same k
+    from the same files.
+    """
+    pin_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_clusters(emb, n_centroids=_semdedup_scaled_k(sf_dir))
 
 
 def _ivfpq_rerank_oracle(k: int = 5, k_prime: int = 20) -> str:

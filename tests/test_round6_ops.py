@@ -1,0 +1,88 @@
+"""Round-6 operator tests: two-phase source quota and k∝n SemDeDup.
+
+Pins the two equality contracts VERDICT.md r5 asked for (next-round
+#3/#4): the two-phase quota's kept set equals the one-phase plan's,
+including on a pathological mega-source where the one-phase window
+would be a single straggler partition; and the scaled SemDeDup variant
+collapses to the fixed-k query at the k floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_c_sharp_simulation_multithreaded_spark.plans.mlprep import (
+    source_quota_two_phase,
+)
+from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_two_phase_quota_equals_one_phase_on_corpus(spark, sf_dir):
+    qs = registry.all_queries()
+    one = (
+        qs["dedup_source_quota"]
+        .fn(spark, sf_dir)
+        .filter(F.col("kept") == 1)
+        .select("doc_id", "source", "quota_rank")
+    )
+    two = qs["dedup_source_quota_two_phase"].fn(spark, sf_dir)
+    assert _rows(one) == _rows(two)
+
+
+def test_two_phase_quota_mega_source(spark):
+    # ONE source holding every row — the skew case the two-phase plan
+    # exists for. Equality with the brute one-phase window must hold.
+    d = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.lit("megacrawl").alias("source")
+    )
+    two = source_quota_two_phase(d, n=15, n_shards=8)
+
+    key = F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    one = (
+        d.withColumn("quota_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("quota_rank") <= 15)
+        .select("doc_id", "source", "quota_rank")
+    )
+    assert _rows(one) == _rows(two)
+
+
+def test_two_phase_quota_phase1_is_sharded(spark):
+    # The scale claim itself: phase 1's window partitions by
+    # (source, shard), so no single window partition receives the whole
+    # mega-source. Asserted on the optimized plan: a window spec whose
+    # partition list carries BOTH source and the shard expression.
+    d = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source")
+    )
+    plan = (
+        source_quota_two_phase(d, n=15, n_shards=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    specs = [
+        seg for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    sharded = [s for s in specs if "_shard" in s.split(")")[0] or "_shard" in s[:120]]
+    assert sharded, f"no (source, _shard)-partitioned window in plan:\n{plan}"
+
+
+def test_semdedup_scaled_equals_fixed_at_floor(spark, sf_dir):
+    # sf0.001 has 500 vectors -> k = max(16, 500 // 64) = 16, the same
+    # codebook as the fixed query: identical verdicts required.
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+        _semdedup_scaled_k,
+    )
+
+    assert _semdedup_scaled_k(sf_dir) == 16
+    qs = registry.all_queries()
+    fixed = qs["dedup_semantic_clusters"].fn(spark, sf_dir)
+    scaled = qs["dedup_semantic_clusters_scaled"].fn(spark, sf_dir)
+    assert _rows(fixed) == _rows(scaled)
