@@ -98,107 +98,110 @@ def _load_all_plan_modules() -> None:
 # evidence, rotated each round until every oracle-backed query has had
 # a green driver row.
 #
-# Round-5 window (50), per VERDICT.md r4 "Next round" #2-#5 and the
-# round-4 queue note: the four queries that GAINED full oracles this
-# round lead (MinHash/SimHash under the md5-derived oracle-mode hash
-# family; trained-IVF under the generated replay oracle) — with these
-# green, 175/175 registered queries are oracle-backed with driver
-# evidence. Then sim_ivfpq_rerank_topk (its r03 green predates the
-# 310862b vector-helper rebuild), the six queries whose plan changed
-# this round (per-process sink scratch paths, ADVICE r4; BPE
-# localCheckpoint swap), the THIRTY-SEVEN r01-only greens whose
-# evidence is now four rounds old (parity block, join-variant block,
-# filter/scalar packs, agg shapes, pandas/UDTF ops), and two
-# bench-headline r02 greens that swung >20% warm in r04
-# (re-confirmation that the plans are unchanged) — later replaced by
-# the three queries ADDED in round 5 (source quota, mix weights, ORC
-# roundtrip: new surface debuts with driver evidence in the round it
-# lands; the two r02 headliners' correctness is not in doubt and bench
-# provides the timing re-confirmation VERDICT r4 #6 asked for).
-# Round-6 queue note: re-queue subquery_scalar_avg (bumped from this
-# window for the ORC debut — the last r01-only green without round-5
-# re-confirmation), sim_cosine_topk and text_term_frequency (r02),
-# graph_pagerank_suppliers and graph_pagerank_directed (plan gained an
-# input-edge cache AFTER this window froze — values unchanged by
-# construction and both re-verified green locally at sf0.01, but the
-# same-round driver rule wants fresh rows), contamination_eval_overlap
-# (same: gram-frame cache added post-freeze, re-verified locally at
-# sf0.01), agg_approx_distinct (exact/sketch aggregates split into two
-# joined passes — the Expand×16KB-HLL-buffer fix), the two winnow_fps
-# consumers text_winnowing_fingerprints + dedup_connected_components
-# (char-code-array rewrite of the rolling hash — bit-identical output
-# proven over the full corpus at two SFs, re-verified green locally at
-# sf0.01), text_char_ngram_stats (same split-once rewrite of
-# char_ngrams, same equality proof), graph_bfs_supplier_hops (edge
-# frame persisted in bfs_hops) — dedup_connected_components addition-
-# ally gained a doc_fp persist, and pagerank moved to checkpoint-every-
-# round (all re-verified green locally at sf0.01), any query whose
-# oracle/plan changes in round 6, and round-6 debuts.
-# Round-6 perf note: the self-join branch-reuse audit CLOSED in round
-# 5 — simhash signatures (f8ebd70), the contamination gram frame,
-# pagerank/BFS/CC inputs, and finally dedup_ngram_jaccard_adjacent's
-# shingle frame all persist their shared subtrees now. Re-queue
-# dedup_ngram_jaccard_adjacent with the other post-freeze plan changes
-# above (re-verified green locally at sf0.01 like the rest).
+# Round-6 window (50), executing the registry's own round-6 queue
+# (VERDICT.md r5 next-round #1) plus this round's debuts and plan
+# changes:
+#   - the ~12 queries whose plans changed in the round-5 late perf
+#     pass AFTER that window froze (winnowing/char-ngram split-once
+#     rewrite, CC/pagerank/BFS persists + checkpoint cadence,
+#     agg_approx_distinct two-agg split, contamination gram-frame
+#     cache, dedup_ngram_jaccard_adjacent shingle persist) — each was
+#     re-verified green locally at sf0.01 in r5, but the same-round
+#     driver rule wants fresh rows; pagerank/BFS/CC additionally
+#     changed AGAIN this round (ADVICE r5: final eager localCheckpoint
+#     + unpersist of function-local caches — values unchanged by
+#     construction, re-verified green locally);
+#   - subquery_scalar_avg: the last query whose driver evidence was
+#     r01-only;
+#   - round-6 debuts (same-round rule): dedup_source_quota_two_phase
+#     (mega-source two-phase cap, VERDICT r5 #4) and
+#     dedup_semantic_clusters_scaled (k∝n SemDeDup, VERDICT r5 #3);
+#     dedup_semantic_clusters rides along — its body moved into the
+#     shared semantic_clusters() helper (expressions identical, plan
+#     hash unchanged, but the refactor round should carry the row);
+#   - 35 of the 42 remaining r02-evidence queries (oldest first per
+#     tools/window_planner.py): scalar packs, set ops, the full
+#     streaming family, asof/scd2/sessionize, text stats/quality/
+#     langid/fingerprints, tpch_q18.
+# Round-7 queue note: the 7 r02 stragglers deliberately left out —
+# window_first_last, window_lag_lead, window_range_frame_30d,
+# window_rank_dense_ntile, window_running_total,
+# window_topk_per_customer (tight family, one member bench-headlined
+# every round), tpch_q7_nation_volume (timed in EXTRA_BENCH) — then
+# the r03 block (events family, dedup_span_windows, agg_median_
+# percentile, join_fuzzy_levenshtein, multimodal_decode_features, …),
+# any query whose plan/oracle changes in round 7, and round-7 debuts.
+# The plan-fingerprint gate (tests/test_plan_freshness.py +
+# PLAN_HASHES.json) now FAILS the suite if a changed plan is not in
+# this window, so the round-5 freeze-gap class cannot recur silently;
+# refresh the snapshot (tools/plan_hashes.py --write) when rotating.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- oracles gained this round (same-round rule) ---
-    "dedup_minhash_lsh",
-    "dedup_simhash_signatures",
-    "dedup_simhash_band_pairs",
-    "sim_ivf_trained_topk",
-    # r03 green predates the vector-helper rebuild (VERDICT r4 #5)
-    "sim_ivfpq_rerank_topk",
-    # --- plan changed this round: per-process scratch paths (ADVICE
-    # r4) and the BPE cache -> lazy localCheckpoint swap ---
-    "sink_partitioned_roundtrip",
-    "source_json_roundtrip",
-    "join_bucketed_colocated",
-    "dedup_incremental_index",
-    "text_bpe_merges",
-    "text_bpe_vocab_apply",
-    # --- the 37 r01-only greens: oldest driver evidence in the repo ---
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_salted_two_phase",
-    "arrow_batch_doc_stats",
-    "dedup_exact_keep_first",
-    "filter_null_safe_eq",
-    "filter_predicate_pack",
-    "filter_rlike_regex",
-    "having_clause",
-    "join_anti_customers_without_big_orders",
-    "join_broadcast_region_revenue",
-    "join_composite_key",
-    "join_cross_region_nation",
-    "join_full_outer_nation_coverage",
-    "join_inner_supplier_nation",
-    "join_left_orders_per_customer",
-    "join_nonequi_late_ship",
-    "join_salted_skew",
-    "join_semi_customers_with_orders",
-    "multimodal_binary_meta",
-    "pack_sequences_running_sum",
-    "pandas_asof_join",
-    "pandas_grouped_zscore",
-    "parity_decimal_money_sum",
-    "parity_donations_by_state",
-    "parity_last_wins_dim",
-    "parity_null_default_sum",
-    "range_join_bucketed",
-    "scalar_string_pack",
-    "split_train_test_hash",
-    "subquery_correlated_avg",
-    "udtf_chunk_windows",
-    "unpivot_part_attrs",
-    # --- round-5 additions: driver debut in the round the surface
-    # lands (source-quota balancing, temperature mix weights, ORC) ---
-    "dedup_source_quota",
-    "curation_mix_weights",
-    "source_orc_roundtrip",
+    # --- round-5 post-freeze perf-pass rewrites + this round's cache
+    # hygiene changes (same-round rule) ---
+    "text_winnowing_fingerprints",
+    "text_char_ngram_stats",
+    "dedup_connected_components",
+    "dedup_ngram_jaccard_adjacent",
+    "graph_pagerank_suppliers",
+    "graph_pagerank_directed",
+    "graph_bfs_supplier_hops",
+    "contamination_eval_overlap",
+    "agg_approx_distinct",
+    "sim_cosine_topk",
+    "text_term_frequency",
+    # --- last r01-only green in the repo ---
+    "subquery_scalar_avg",
+    # --- round-6 debuts + the refactored fixed-k SemDeDup ---
+    "dedup_source_quota_two_phase",
+    "dedup_semantic_clusters_scaled",
+    "dedup_semantic_clusters",
+    # --- oldest remaining evidence: 35 of the 42 r02 greens ---
+    "agg_approx_percentile",
+    "agg_collect_sorted",
+    "asof_join_last_purchase",
+    "distinct_pairs",
+    "orderby_limit_topk",
+    "scalar_conditional_pack",
+    "scalar_date_pack",
+    "scalar_json_pack",
+    "scalar_map_explode",
+    "scalar_math_pack",
+    "scalar_posexplode_words",
+    "scd2_merge_customer_segment",
+    "sessionize_events",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_union_all_reaggregate",
+    "set_union_distinct",
+    "sim_neardup_pairs",
+    "sort_within_partitions_sample",
+    "stream_dedup_user_type",
+    "stream_dedup_within_watermark",
+    "stream_foreachbatch_upsert",
+    "stream_session_windows",
+    "stream_sliding_avg",
+    "stream_stateful_user_totals",
+    "stream_static_join_enrich",
+    "stream_stream_interval_join",
+    "stream_tumbling_counts",
+    "text_bpe_token_count",
+    "text_fingerprint_groups",
+    "text_langid_heuristic",
+    "text_quality_score",
+    "text_token_stats",
+    "tpch_q18_large_orders",
 )
+
+
+def registration_order() -> list[str]:
+    """Query names in raw REGISTRATION order — stable across
+    DRIVER_WINDOW rotations, which reorder :func:`all_queries`. The
+    plan-fingerprint tool iterates in this order so a window edit can
+    never shift cache-state-dependent plan hashes of unrelated
+    queries."""
+    _load_all_plan_modules()
+    return list(_REGISTRY)
 
 
 def all_queries() -> dict[str, Query]:

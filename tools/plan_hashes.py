@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Per-query plan fingerprints — the structural gate behind the
+same-round driver rule (VERDICT.md r5 next-round #5).
+
+Round 5's only debt was evidentiary: a late perf pass changed ~12
+plans AFTER the driver window froze, so their driver rows lagged their
+code. This tool makes that impossible to repeat silently: it computes
+a normalized sha256 of every registered query's OPTIMIZED logical plan
+and compares against the committed ``PLAN_HASHES.json`` snapshot
+(frozen when the DRIVER_WINDOW was last rotated).
+``tests/test_plan_freshness.py`` fails unless every query whose
+fingerprint drifted from the snapshot — plus every new query — is in
+the upcoming DRIVER_WINDOW.
+
+Workflow when changing any query's plan:
+  1. make the change;
+  2. add the query to DRIVER_WINDOW (registry.py);
+  3. ``python tools/plan_hashes.py --write`` to refresh the snapshot;
+  4. commit both. The pytest then stays green, and the driver verifies
+     the changed plan in the same round it changed.
+
+Normalization strips run-varying tokens (expr ids ``#123``, per-pid
+scratch tags ``_p4242``, JVM object addresses, absolute paths) so the
+fingerprint is stable across processes; queries are hashed in
+REGISTRATION order with the Spark cache cleared before each build, so
+cross-query cache substitution cannot make one query's fingerprint
+depend on window ordering.
+
+Usage: python tools/plan_hashes.py [--write] [--sf /root/testdata/sf0.001]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SNAPSHOT = os.path.join(REPO, "PLAN_HASHES.json")
+DEFAULT_SF = "/root/testdata/sf0.001"
+
+_NORMALIZERS = (
+    (re.compile(r"#\d+"), "#N"),                      # expression ids
+    (re.compile(r"_p\d+"), "_pN"),                    # per-pid scratch tags
+    (re.compile(r"@[0-9a-fA-F]{6,}"), "@X"),          # JVM object addresses
+    (re.compile(r"(?:file|hdfs|s3a?):/[^\s,\)\]\"]*"), "URI"),
+    (re.compile(r"/[A-Za-z0-9_\-./]*(?:testdata|tmp|warehouse)[A-Za-z0-9_\-./]*"),
+     "PATH"),
+    (re.compile(r"\bplan_id=\d+"), "plan_id=N"),
+)
+
+
+def normalize(plan: str) -> str:
+    for rx, repl in _NORMALIZERS:
+        plan = rx.sub(repl, plan)
+    return plan
+
+
+def compute(sf_dir: str = DEFAULT_SF, names=None) -> dict[str, str]:
+    """{query name: 16-hex fingerprint of its normalized optimized plan}."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
+    from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark
+
+    spark = get_spark("mrcs_plan_hashes", cpus=8, shuffle_partitions=8)
+    qs = registry.all_queries()
+    out: dict[str, str] = {}
+    for name in registry.registration_order():
+        if names and name not in names:
+            continue
+        spark.catalog.clearCache()
+        plan = (
+            qs[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        out[name] = hashlib.sha256(
+            normalize(plan).encode("utf-8")
+        ).hexdigest()[:16]
+    spark.catalog.clearCache()
+    return out
+
+
+def load_snapshot() -> dict[str, str]:
+    if not os.path.exists(SNAPSHOT):
+        return {}
+    with open(SNAPSHOT, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def diff(current: dict[str, str], snapshot: dict[str, str]):
+    """(changed, new, gone) query-name lists vs the snapshot."""
+    changed = sorted(
+        n for n, h in current.items() if n in snapshot and snapshot[n] != h
+    )
+    new = sorted(n for n in current if n not in snapshot)
+    gone = sorted(n for n in snapshot if n not in current)
+    return changed, new, gone
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=DEFAULT_SF)
+    ap.add_argument("--write", action="store_true",
+                    help="refresh PLAN_HASHES.json with current fingerprints")
+    args = ap.parse_args()
+
+    current = compute(args.sf)
+    if args.write:
+        with open(SNAPSHOT, "w", encoding="utf-8") as fh:
+            json.dump(current, fh, indent=0, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {len(current)} fingerprints to {SNAPSHOT}")
+        return 0
+
+    changed, new, gone = diff(current, load_snapshot())
+    for label, names in (("changed", changed), ("new", new), ("gone", gone)):
+        for n in names:
+            print(f"{label}: {n}")
+    print(f"# {len(current)} queries; {len(changed)} changed, "
+          f"{len(new)} new, {len(gone)} gone vs snapshot")
+    return 1 if (changed or new or gone) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
