@@ -71,6 +71,9 @@ EXTRA_BENCH = (
     "graph_bfs_supplier_hops",
     "dedup_connected_components",
     "pandas_asof_join",
+    # round-6 new surface: mega-source two-phase quota and k∝n SemDeDup
+    "dedup_source_quota_two_phase",
+    "dedup_semantic_clusters_scaled",
 )
 
 
@@ -110,18 +113,27 @@ def main() -> int:
     times, cold = run_set(headline)
     extra_times, extra_cold = run_set(sorted(EXTRA_BENCH))
 
-    # Full breakdown (cold + extras) goes to STDERR: round 4's single
-    # stdout line grew past the driver's ~2 KB tail capture and came
-    # back "parsed": null (VERDICT.md r4 "What's wrong" #1). The driver
-    # parses the LAST stdout line, so stdout carries only the compact
-    # headline summary (~400 chars) and nothing after it.
+    # Full breakdown (cold + extras) goes to STDERR **and** to the
+    # committed BENCH_DETAIL.json artifact: round 4's single stdout
+    # line grew past the driver's ~2 KB tail capture and came back
+    # "parsed": null, and round 5's stderr-only extras were likewise
+    # tail-truncated out of BENCH_r05.json (VERDICT.md r5 "What's
+    # wrong" #1). The driver parses the LAST stdout line, so stdout
+    # carries only the compact headline summary (~400 chars); the repo
+    # itself carries the full extras record, diffable round-over-round.
     detail = {
+        "sf": sf,
         "cold_queries": cold,
         "extra_total": round(sum(extra_times.values()), 3),
         "extra_queries": extra_times,
         "extra_cold_queries": extra_cold,
     }
     print("DETAIL " + json.dumps(detail), file=sys.stderr)
+    artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAIL.json")
+    with open(artifact, "w", encoding="utf-8") as fh:
+        json.dump(detail, fh, indent=0, sort_keys=True)
+        fh.write("\n")
 
     out = {
         "metric": "headline_query_wall_sec",

@@ -74,6 +74,36 @@ def test_two_phase_quota_phase1_is_sharded(spark):
     assert sharded, f"no (source, _shard)-partitioned window in plan:\n{plan}"
 
 
+def _plan(spark, sf_dir, name):
+    return (
+        registry.all_queries()[name]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_window_frames_are_bounded(spark, sf_dir):
+    # SCALE.md "Windows" spill posture: the frame-holding plans keep
+    # per-row function state CONSTANT. rolling_median's collect_list
+    # runs over ROWS [-3, current] (4 doubles/row); an unbounded
+    # collect_list frame (whole partition per row) must never appear.
+    plan = _plan(spark, sf_dir, "window_rolling_median")
+    assert "specifiedwindowframe(RowFrame, -3, currentrow" in plan
+    assert "unboundedfollowing" not in plan
+
+    # the 30-day sliding sum is a bounded RANGE frame
+    plan = _plan(spark, sf_dir, "window_range_frame_30d")
+    assert "specifiedwindowframe(RangeFrame, -2592000, currentrow" in plan
+
+    # sequence packing is a RUNNING frame — WindowExec evaluates it as
+    # an accumulator (O(1) state), not a buffered frame
+    plan = _plan(spark, sf_dir, "pack_sequences_running_sum")
+    assert "unboundedpreceding$(), currentrow" in plan
+    assert "unboundedfollowing" not in plan
+
+
 def test_semdedup_scaled_equals_fixed_at_floor(spark, sf_dir):
     # sf0.001 has 500 vectors -> k = max(16, 500 // 64) = 16, the same
     # codebook as the fixed query: identical verdicts required.

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Measure SemDeDup cell-occupancy scaling: fixed k vs k ∝ n.
+
+VERDICT.md r5 (next-round #3): the fixed-16-cell SemDeDup was the one
+measured-superlinear plan — each cell is c× fuller at c× corpus, so
+within-cell pair work Σ|cell|² grows c². This script scales the sf0.1
+corpus by id-offset replication (the round-5 "Measured scaling"
+scheme) and reports, under BOTH codebook schedules, the per-cell
+occupancy (mean/max) and Σ|cell|² — the pair-stage work driver.
+
+Replication exactness: a replica carries its source's embedding, so it
+lands in the source's argmax cell at ANY k. Per-cell counts at scale c
+are therefore (base-vector counts under k(c) centroids) × c — computed
+on the 2 000 base vectors via a broadcast centroid join (the
+relational assignment shape of embed_label_centroids; the registered
+query's literal-expression form is equivalent — asserted at k=16
+before the table prints). This sidesteps evaluating a 2 000-literal
+codebook expression at 64×; production assignment at large k is a
+broadcast codebook join anyway.
+
+Wall-time evidence for the verdict plan itself comes from the
+registered queries (fixed k=16 and scaled k=31 at sf0.1, bench/sweep)
+plus round 5's 8× fixed-k run (8.72 s, ~5.2× the 1× wall); the
+table's Σ|cell|² column is what turns those observations into the
+scaling law.
+
+Usage: python tools/semdedup_scaling.py [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def base_cells(emb, k: int):
+    """Relational argmax assignment of the base vectors to k
+    sha256-derived centroids: broadcast centroid frame, zip_with dot,
+    first-max tiebreak (row_number over (dot desc, cell asc)) — the
+    same argmax the registered query's literal expression computes."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        _deterministic_centroids,
+    )
+
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(c, [float(x) for x in row])
+         for c, row in enumerate(_deterministic_centroids(k, 64))],
+        "cell int, cv array<double>",
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "cv", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    scored = emb.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "cell", dot.alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def occupancy(emb, k: int, scale: int):
+    """(n, cells_used, mean, max, sum_sq) of per-cell counts at
+    ``scale``× replication (exact: base counts × scale)."""
+    counts = base_cells(emb, k).groupBy("cell").count()
+    row = counts.agg(
+        F.sum("count").alias("nb"),
+        F.count(F.lit(1)).alias("cells"),
+        F.avg("count").alias("mean"),
+        F.max("count").alias("mx"),
+        F.sum(F.col("count") * F.col("count")).alias("ssq"),
+    ).collect()[0]
+    return (
+        row["nb"] * scale,
+        row["cells"],
+        row["mean"] * scale,
+        row["mx"] * scale,
+        row["ssq"] * scale * scale,
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--cell-size", type=int, default=64)
+    args = ap.parse_args()
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        _deterministic_centroids,
+        centroid_scores,
+    )
+    from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark
+
+    spark = get_spark("semdedup_scaling")
+    base = load_table(spark, args.sf, "embeddings")
+    n_base = base.count()
+
+    # sanity: relational assignment == the registered query's literal
+    # expression at k=16 (same argmax, same tiebreak)
+    scores = centroid_scores(F.col("embedding"), _deterministic_centroids(16, 64))
+    expr_cells = base.select(
+        "vec_id",
+        (F.array_position(scores, F.array_max(scores)).cast("int") - 1).alias("cell"),
+    )
+    mismatches = (
+        base_cells(base, 16)
+        .withColumnRenamed("cell", "rcell")
+        .join(expr_cells, "vec_id")
+        .filter(F.col("rcell") != F.col("cell"))
+        .count()
+    )
+    assert mismatches == 0, f"{mismatches} assignment mismatches at k=16"
+    print(f"# relational==expression assignment verified at k=16 "
+          f"({n_base} vectors)")
+
+    print(f"{'scale':>5} {'mode':>6} {'k':>6} {'n':>9} {'cells':>6} "
+          f"{'mean|cell|':>10} {'max|cell|':>9} {'sum|cell|^2':>13} "
+          f"{'ssq/n':>8}")
+    for scale in (1, 8, 64):
+        n = n_base * scale
+        for mode, k in (("fixed", 16),
+                        ("k∝n", max(16, n // args.cell_size))):
+            nn, cells, mean, mx, ssq = occupancy(base, k, scale)
+            print(f"{scale:>4}x {mode:>6} {k:>6} {nn:>9} {cells:>6} "
+                  f"{mean:>10.1f} {mx:>9} {ssq:>13} {ssq / nn:>8.1f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

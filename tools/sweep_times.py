@@ -2,7 +2,7 @@
 """Warm-timing sweep over EVERY registered query — the perf audit the
 bench set cannot give (bench times ~30 of 178 queries).
 
-    python tools/sweep_times.py [--passes 2] [--sf DIR]
+    python tools/sweep_times.py [--passes 2] [--sf DIR] [--json OUT.json]
 
 Prints one line per query, slowest first: warm (min across passes),
 cold (first pass), name. Round 5's sweep found a 45 s and a 32 s
@@ -10,11 +10,18 @@ outlier that had been invisible for four rounds (SCALE.md "Full-sweep
 timing audit"); re-run this after adding query families or making
 plan-level changes, and investigate anything whose warm time is out
 of line with its plan shape.
+
+``--json SWEEP_r{N}.json`` writes the full per-query warm/cold map as
+a committed machine-readable artifact (VERDICT.md r5 next-round #2):
+the driver's stdout tail capture (~2 KB) cannot carry 178 timings, so
+the repo carries them instead — diff SWEEP_r{N}.json against the prior
+round to see every query's trajectory, not just the bench set's.
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -29,6 +36,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--json", default=None,
+                    help="also write the full warm/cold map to this path")
     args = ap.parse_args()
 
     spark = get_spark("mrcs_sweep")
@@ -53,6 +62,22 @@ def main() -> int:
         total += warm
         print(f"{warm:8.3f} {cold:8.3f}  {name}")
     print(f"# {len(res)} queries, warm total {total:.1f}s", file=sys.stderr)
+
+    if args.json:
+        artifact = {
+            "sf_dir": args.sf,
+            "passes": args.passes,
+            "n_queries": len(res),
+            "warm_total_sec": round(total, 3),
+            "queries": {
+                n: {"warm": warm, "cold": cold}
+                for n, (warm, cold) in sorted(res.items())
+            },
+        }
+        with open(args.json, "w", encoding="utf-8") as fh:
+            json.dump(artifact, fh, indent=0, sort_keys=True)
+            fh.write("\n")
+        print(f"# wrote {args.json}", file=sys.stderr)
     return 0
 
 
