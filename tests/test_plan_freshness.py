@@ -9,6 +9,14 @@ recomputes every registered query's normalized plan fingerprint
 differs from the committed PLAN_HASHES.json snapshot — or any newly
 registered query — is NOT in the upcoming DRIVER_WINDOW.
 
+The fingerprints are computed in a FRESH SUBPROCESS, not the suite's
+session: a long-lived session perturbs plan strings in ways that are
+deterministic per-process but not per-history (session-global lambda
+counters — normalized away — and exprId-dependent attribute order in
+Catalyst's distinct-aggregate rewrite, which is not normalizable).
+The committed snapshot is likewise produced by the standalone tool,
+so the comparison is always fresh-process vs fresh-process.
+
 Green means: every plan the driver has not yet re-verified is queued
 for verification in the very next round. When a plan changes
 intentionally, add the query to DRIVER_WINDOW and refresh the snapshot
@@ -18,26 +26,36 @@ intentionally, add the query to DRIVER_WINDOW and refresh the snapshot
 from __future__ import annotations
 
 import os
+import re
+import subprocess
 import sys
 
-sys.path.insert(
-    0,
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
-)
-
-import plan_hashes  # noqa: E402
-
-from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry  # noqa: E402
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(REPO, "tools", "plan_hashes.py")
 
 
-def test_changed_plans_are_in_driver_window(spark, sf_dir):
-    snapshot = plan_hashes.load_snapshot()
-    assert snapshot, "PLAN_HASHES.json missing — run tools/plan_hashes.py --write"
-    current = plan_hashes.compute(sf_dir)
-    changed, new, gone = plan_hashes.diff(current, snapshot)
+def test_changed_plans_are_in_driver_window(sf_dir):
+    assert os.path.exists(os.path.join(REPO, "PLAN_HASHES.json")), (
+        "PLAN_HASHES.json missing — run tools/plan_hashes.py --write"
+    )
+    proc = subprocess.run(
+        [sys.executable, TOOL, "--sf", sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        cwd=REPO,
+    )
+    drifted = {
+        m.group(2)
+        for m in re.finditer(r"^(changed|new): (\S+)$", proc.stdout, re.M)
+    }
+    gone = re.findall(r"^gone: (\S+)$", proc.stdout, re.M)
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
 
     window = set(registry.DRIVER_WINDOW)
-    stale = [n for n in changed + new if n not in window]
+    stale = sorted(drifted - window)
+    assert proc.returncode in (0, 1), proc.stderr[-2000:]
     assert not stale, (
         f"plans changed (or debuted) outside the upcoming DRIVER_WINDOW: "
         f"{stale} — add them to registry.DRIVER_WINDOW and refresh "
