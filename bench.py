@@ -71,9 +71,12 @@ EXTRA_BENCH = (
     "graph_bfs_supplier_hops",
     "dedup_connected_components",
     "pandas_asof_join",
-    # round-6 new surface: mega-source two-phase quota and k∝n SemDeDup
+    # round-6 new surface: mega-source two-phase quota, k∝n SemDeDup,
+    # skew-safe sharded packing, keep-best near-dup collapse
     "dedup_source_quota_two_phase",
     "dedup_semantic_clusters_scaled",
+    "pack_sequences_sharded",
+    "curation_cluster_keep_best",
 )
 
 

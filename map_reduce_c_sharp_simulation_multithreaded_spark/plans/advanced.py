@@ -12,7 +12,7 @@ joins — each step a bounded shuffle, no driver-side graph state.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_tables
@@ -185,14 +185,14 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_oracle() -> str:
-    """Exact connected components in DuckDB: the same winnowing-
-    fingerprint star edges, closed with a recursive CTE (transitive
-    min-label closure), independent of the engine's iterative loop."""
+def _cc_chain() -> str:
+    """The shared recursive-CTE chain deriving exact connected
+    components (winnowing-fingerprint star edges + transitive
+    min-label closure) — reused verbatim by the CC oracle and the
+    keep-best-in-cluster oracle."""
     from .text import WINNOW_FPS_CTE
 
-    return f"""
-WITH RECURSIVE {WINNOW_FPS_CTE},
+    return f"""{WINNOW_FPS_CTE},
 doc_fp AS (
   SELECT DISTINCT doc_id, UNNEST(fps) AS fp FROM w
 ),
@@ -206,7 +206,15 @@ reach(node, lab) AS (
     SELECT doc_id, doc_id FROM documents
   UNION
     SELECT u.a, r.lab FROM undir u JOIN reach r ON u.b = r.node
-)
+)"""
+
+
+def _cc_oracle() -> str:
+    """Exact connected components in DuckDB: the same winnowing-
+    fingerprint star edges, closed with a recursive CTE (transitive
+    min-label closure), independent of the engine's iterative loop."""
+    return f"""
+WITH RECURSIVE {_cc_chain()}
 SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
 """
 
@@ -241,12 +249,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    # persisted: both the hub aggregation and the edge join consume it,
-    # and the winnowing explode is the expensive part (branch-reuse
-    # discipline, same as pagerank/bfs edge inputs)
-    doc_fp = d.select(
-        "doc_id", F.explode(winnow_fps(F.col("text"))).alias("fp")
-    ).distinct().cache()
+    doc_fp = _winnow_doc_fp(d)
     hubs = doc_fp.groupBy("fp").agg(F.min("doc_id").alias("hub"))
     edges = (
         doc_fp.join(hubs, "fp")
@@ -255,14 +258,39 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()
     )
+    labels = _min_label_components(
+        d.select(F.col("doc_id").alias("node")), edges
+    )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _winnow_doc_fp(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, winnowing fingerprint) pairs, CACHED — both
+    the hub aggregation and the edge join consume it, the winnowing
+    explode is the expensive part (branch-reuse discipline, same as
+    pagerank/bfs edge inputs), and the frame is the reusable input
+    artifact shared by CC and the keep-best query (cache substitution
+    matches the identical plan; compact (doc_id, fp) pairs, one block
+    set per dataset under LRU)."""
+    return d.select(
+        "doc_id", F.explode(winnow_fps(F.col("text"))).alias("fp")
+    ).distinct().cache()
+
+
+def _min_label_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Iterative min-label propagation to a fixpoint: ``nodes`` is a
+    1-column (node) frame (isolated nodes label as themselves);
+    ``edges`` is a directed (id_a, id_b) frame, symmetrized here.
+    Returns (node, label) eager-localCheckpoint'ed, with every
+    function-internal cache dropped (ADVICE r5 hygiene)."""
     # undirected adjacency (both directions) once
     adj = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).cache()
-    # every doc is a node — singletons cluster as themselves
-    labels = d.select(F.col("doc_id").alias("node")).withColumn(
-        "label", F.col("node")
-    )
+    labels = nodes.withColumn("label", F.col("node"))
     prev_cache = None
     for i in range(10):  # diameter cap; dedup components are shallow
         neighbor_min = (
@@ -302,16 +330,149 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not changed:
             break
     # Pin the result as its own blocks, then drop the function-internal
-    # caches (ADVICE r5 / sweep-accumulation hygiene, same as
-    # pagerank). doc_fp — the expensive winnowing explode — stays
-    # cached as the reusable input artifact (compact: (doc_id, fp)
-    # pairs; one block set per dataset under LRU).
+    # caches (ADVICE r5 / sweep-accumulation hygiene, same as pagerank).
     final = labels.localCheckpoint()
-    for frame in (prev_cache, adj, edges):
+    for frame in (prev_cache, adj):
         if frame is not None:
             frame.unpersist()
-    return final.select(
+    return final
+
+
+def _keep_best_oracle() -> str:
+    """Keep-best composition oracle: the winnowing CTE + RARE-
+    fingerprint star edges + recursive min-label closure + the
+    text_quality_score feature SQL + a per-cluster argmax window."""
+    from .text import WINNOW_FPS_CTE
+
+    return f"""
+WITH RECURSIVE {WINNOW_FPS_CTE},
+doc_fp AS (
+  SELECT DISTINCT doc_id, UNNEST(fps) AS fp FROM w
+),
+rare AS (
+  SELECT fp FROM doc_fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 4
+),
+rfp AS (SELECT d.doc_id, d.fp FROM doc_fp d JOIN rare USING (fp)),
+hubs AS (SELECT fp, MIN(doc_id) AS hub FROM rfp GROUP BY fp),
+edges AS (
+  SELECT DISTINCT d.doc_id AS a, h.hub AS b
+  FROM rfp d JOIN hubs h USING (fp) WHERE d.doc_id <> h.hub
+),
+undir AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+  UNION
+    SELECT u.a, r.lab FROM undir u JOIN reach r ON u.b = r.node
+),
+cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id,
+         ROUND(CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                    / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+         ROUND(CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, t -> lower(t) IN ('the','a','and','of','to'))) AS DOUBLE)
+                    / len(toks) ELSE 0.0 END, 4) AS stopword_ratio
+  FROM (
+    SELECT doc_id, text,
+           list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+  )
+),
+ranked AS (
+  SELECT cc.cluster_id, cc.doc_id, q.stopword_ratio,
+         ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY q.stopword_ratio DESC,
+                                     q.punct_ratio ASC, cc.doc_id ASC) AS rn
+  FROM cc JOIN q USING (doc_id)
+),
+members AS (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY cluster_id)
+SELECT r.cluster_id, r.doc_id AS kept_doc_id,
+       m.n_members, r.stopword_ratio AS kept_stopword_ratio
+FROM ranked r JOIN members m USING (cluster_id)
+WHERE rn = 1
+"""
+
+
+@register(
+    "curation_cluster_keep_best",
+    oracle=_keep_best_oracle(),
+    tags=("dedup", "curation", "iterative", "custom-operator"),
+)
+def curation_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST near-dup collapse: cluster docs over RARE shared
+    winnowing fingerprints (shared by 2–4 docs — super-frequent
+    fingerprints are boilerplate and are DISCARDED, the standard
+    shingle-frequency cut near-dup pipelines apply; without it the
+    corpus collapses into one giant component, measured at all three
+    SFs), then keep each cluster's single highest-quality member
+    instead of keep-first — the curation policy production pipelines
+    want (CCNet/RefinedWeb keep the best-scoring copy of a duplicate
+    family, not the lowest-id one). Quality rank is (stopword_ratio
+    DESC, punct_ratio ASC, doc_id) over the rounded
+    ``text_quality_score`` features — deterministic and engine-exact.
+
+    Scale shape: the rare-fp cut bounds star-edge fan-out by the
+    rarity ceiling (Σ ≤ 4·|rare fps|, linear), the components reuse
+    the same iterative min-label loop as CC
+    (:func:`_min_label_components`), and the doc_fp explode is shared
+    with CC via the cached input artifact. The oracle composes the
+    winnowing CTE + rare filter + recursive closure + quality SQL +
+    argmax window — differentially testing the COMPOSITION end to end
+    (414 clusters / 33 multi-doc at the sf0.01 driver gate).
+    """
+    pin_session(spark)
+    from ..operators.text import quality_features
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_fp = _winnow_doc_fp(d)
+    rare = (
+        doc_fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nfp"))
+        .filter((F.col("nfp") >= 2) & (F.col("nfp") <= 4))
+        .select("fp")
+    )
+    rfp = doc_fp.join(rare, "fp")
+    hubs = rfp.groupBy("fp").agg(F.min("doc_id").alias("hub"))
+    edges = (
+        rfp.join(hubs, "fp")
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("doc_id").alias("id_a"), F.col("hub").alias("id_b"))
+        .distinct()
+        .cache()
+    )
+    labels = _min_label_components(
+        d.select(F.col("doc_id").alias("node")), edges
+    )
+    edges.unpersist()
+    clusters = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    feats = quality_features(F.col("text"))
+    q = d.select(
+        "doc_id",
+        F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+    )
+    joined = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("stopword_ratio").desc(),
+        F.col("punct_ratio").asc(),
+        F.col("doc_id").asc(),
+    )
+    members = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(members, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "n_members",
+            F.col("stopword_ratio").alias("kept_stopword_ratio"),
+        )
     )
 
 

@@ -661,6 +661,116 @@ def dedup_source_quota_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SHARDED_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         strpos('0123456789abcdef',
+                substr(md5('packshard:' || doc_id), 1, 1)) - 1 AS shard
+  FROM documents
+),
+local AS (
+  SELECT doc_id, lang, shard, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT)
+           AS local_bin
+  FROM toks
+  WINDOW w AS (PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+shard_bins AS (
+  SELECT lang, shard, MAX(local_bin) + 1 AS nb
+  FROM local GROUP BY lang, shard
+),
+offsets AS (
+  -- SUM(BIGINT) is HUGEINT in DuckDB; cast back before it reaches an
+  -- output column (the driver-hash type lint)
+  SELECT lang, shard,
+         CAST(COALESCE(SUM(nb) OVER (PARTITION BY lang ORDER BY shard
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM shard_bins
+)
+SELECT l.lang, CAST(l.local_bin + o.off AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(l.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(l.doc_id) AS BIGINT) AS first_doc
+FROM local l JOIN offsets o ON o.lang = l.lang AND o.shard = l.shard
+GROUP BY l.lang, l.local_bin + o.off
+"""
+
+
+@register(
+    "pack_sequences_sharded",
+    oracle=_PACK_SHARDED_ORACLE,
+    tags=("mlprep", "window", "custom-operator"),
+)
+def pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe sequence packing — the sharded refinement the windows
+    SCALE.md paragraph documents for ``pack_sequences_running_sum``:
+    that plan's ``Window.partitionBy(lang)`` puts a whole language in
+    ONE window partition, a single straggler task when one language is
+    90 % of a 100 TB corpus. Here the running-sum pack runs per
+    (lang, shard) — shard = first md5 hex digit of the doc id, 16-way
+    — and shard-local bins are renumbered globally by offsetting with
+    the cumulative bin counts of prior shards (a 16-row-per-lang
+    window, negligible). Same output shape and bin-capacity contract
+    as the one-phase packer (bins overflow by at most one document);
+    bin MEMBERSHIP differs (docs pack within their shard), which is
+    the accepted trade for removing the per-key straggler — the same
+    two-phase discipline as ``source_quota_two_phase``.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    shard = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("packshard:"),
+                                          F.col("doc_id").cast("string"))), 1, 1),
+               16, 10)
+        .cast("int")
+    )
+    w1 = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), shard.alias("shard")
+    ).withColumn(
+        "local_bin",
+        F.floor(
+            (F.sum("n_tokens").over(w1) - F.col("n_tokens")) / F.lit(2048.0)
+        ).cast("long"),
+    )
+    shard_bins = local.groupBy("lang", "shard").agg(
+        (F.max("local_bin") + 1).alias("nb")
+    )
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_bins.select(
+        "lang",
+        "shard",
+        F.coalesce(F.sum("nb").over(w_off), F.lit(0)).alias("off"),
+    )
+    return (
+        local.join(offsets, ["lang", "shard"])
+        .select(
+            "lang",
+            (F.col("local_bin") + F.col("off")).alias("bin_id"),
+            "n_tokens",
+            "doc_id",
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )
+
+
 _MIX_ORACLE = r"""
 SELECT source, lang,
        COUNT(*) AS n_docs,

