@@ -308,21 +308,24 @@ def _min_label_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 ).alias("label"),
             )
         )
+        # cache BEFORE the convergence probe: the probe's take(1) then
+        # materializes into the cache (partially, limit-1 early exit),
+        # and the next round reads blocks instead of recomputing the
+        # round's join a second time. Periodic localCheckpoint
+        # truncates the lineage so the optimizer never re-plans the
+        # whole iteration history (same posture as pagerank();
+        # cluster-scale: checkpoint()). Track the cached handle
+        # separately from the (possibly checkpointed) labels so the
+        # previous round's cache is ALWAYS dropped — unpersisting the
+        # checkpointed frame would miss the cache blocks on every 3rd
+        # round.
+        cached = new_labels.cache()
         changed = (
-            new_labels.alias("n")
+            cached.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .take(1)
         )
-        # cache feeds both the convergence probe and the next round;
-        # periodic localCheckpoint truncates the lineage so the
-        # optimizer never re-plans the whole iteration history (same
-        # posture as pagerank(); cluster-scale: checkpoint()). Track the
-        # cached handle separately from the (possibly checkpointed)
-        # labels so the previous round's cache is ALWAYS dropped —
-        # unpersisting the checkpointed frame would miss the cache
-        # blocks on every 3rd round.
-        cached = new_labels.cache()
         labels = cached.localCheckpoint() if (i + 1) % 3 == 0 else cached
         if prev_cache is not None:
             prev_cache.unpersist()
