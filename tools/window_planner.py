@@ -46,9 +46,27 @@ def evidence_ages() -> tuple[dict[str, int], int]:
     return latest, newest
 
 
+def plan_drift() -> tuple[list[str], list[str]]:
+    """(changed, new) query names whose plan fingerprint differs from
+    the committed PLAN_HASHES.json — these MUST head the next window
+    (same-round rule). Runs the fingerprint sweep (~1 min of Spark);
+    skipped with a notice if the snapshot is missing."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import plan_hashes
+
+    snapshot = plan_hashes.load_snapshot()
+    if not snapshot:
+        return [], []
+    changed, new, _gone = plan_hashes.diff(plan_hashes.compute(), snapshot)
+    return changed, new
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, default=50)
+    ap.add_argument("--no-drift", action="store_true",
+                    help="skip the plan-fingerprint sweep (faster; the "
+                         "suggested window then omits same-round changes)")
     args = ap.parse_args()
 
     from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
@@ -62,7 +80,16 @@ def main() -> int:
         key=lambda t: (t[0], t[1]),
     )
 
+    changed, new = ([], []) if args.no_drift else plan_drift()
+    must = [n for n in (*changed, *new, *never) if n in qs]
+    # dedupe, preserve order
+    must = list(dict.fromkeys(must))
+
     print(f"# registered: {len(qs)}   evidence through round {newest}")
+    print(f"\n## plan drifted vs PLAN_HASHES.json ({len(changed)} changed, "
+          f"{len(new)} new) — same-round rule, these ride the next window")
+    for n in (*changed, *new):
+        print(f"  {n}")
     print(f"\n## never driver-verified ({len(never)}) — debut these first")
     for n in never:
         print(f"  {n}")
@@ -71,9 +98,9 @@ def main() -> int:
     for rnd, n in aged[: args.slots]:
         print(f"  r{rnd:02d}  {n}")
 
-    window = never + [n for _, n in aged]
-    print(f"\n## suggested window ({args.slots} slots; prepend same-round "
-          "changes by hand)")
+    window = must + [n for _, n in aged if n not in set(must)]
+    print(f"\n## suggested window ({args.slots} slots: drifted + debuts, "
+          "then oldest evidence)")
     for n in window[: args.slots]:
         print(f'    "{n}",')
     return 0
