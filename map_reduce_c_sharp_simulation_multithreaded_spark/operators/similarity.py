@@ -197,6 +197,47 @@ def centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
+def assign_cells_broadcast(
+    emb: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Argmax-centroid cell assignment via a BROADCAST codebook join —
+    the production path once k outgrows a literal expression.
+
+    :func:`centroid_scores` inlines the codebook as an array literal:
+    ideal for oracle replay and small k, but a k=2000×64 codebook is a
+    128 000-literal expression — plan size and codegen grow with k.
+    Here the codebook is a k-row DataFrame broadcast to executors, the
+    per-(vector, cell) dot is one zip_with fold, and the argmax is the
+    first-max row_number window (ties → lowest cell id, matching
+    ``array_position(scores, array_max(scores))`` exactly — equality
+    with the literal path is pytest-pinned). Scale shape: n·k dots,
+    embarrassingly parallel, no shuffle until the argmax window on
+    vec_id (at 100 TB: replace the window with a max_by aggregation
+    per vec_id — same one shuffle).
+
+    Returns (vec_id, cell).
+    """
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(c, [float(x) for x in row]) for c, row in enumerate(centroids)],
+        "cell int, cv array<double>",
+    )
+    dot = _fold_sum(
+        F.zip_with(vec_col, "cv", lambda x, y: x.cast("double") * y)
+    )
+    scored = emb.join(F.broadcast(cdf)).select(
+        "vec_id", "cell", dot.alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
 def _renormalize_cells(
     prev: list[list[float]], acc: list[list[float]], touched: list[bool]
 ) -> list[list[float]]:

@@ -149,6 +149,34 @@ def test_keep_best_is_cluster_member_argmax(spark, sf_dir):
             assert r["kept_doc_id"] == r["cluster_id"]
 
 
+def test_broadcast_codebook_assignment_equals_literal(spark, sf_dir):
+    # The production assignment path (broadcast codebook join,
+    # operators.similarity.assign_cells_broadcast) must reproduce the
+    # literal-expression argmax bit-for-bit — same fold order, same
+    # first-max tiebreak — at the floor k AND a non-floor k.
+    from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import (
+        load_table,
+    )
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        _deterministic_centroids,
+        assign_cells_broadcast,
+        centroid_scores,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for k in (16, 31):
+        cents = _deterministic_centroids(k, 64)
+        scores = centroid_scores(F.col("embedding"), cents)
+        literal = emb.select(
+            "vec_id",
+            (F.array_position(scores, F.array_max(scores)).cast("int") - 1).alias(
+                "cell"
+            ),
+        )
+        broadcasted = assign_cells_broadcast(emb, "embedding", cents)
+        assert _rows(literal) == _rows(broadcasted), f"mismatch at k={k}"
+
+
 def test_semdedup_scaled_equals_fixed_at_floor(spark, sf_dir):
     # sf0.001 has 500 vectors -> k = max(16, 500 // 64) = 16, the same
     # codebook as the fixed query: identical verdicts required.

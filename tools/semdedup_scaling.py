@@ -41,32 +41,17 @@ from pyspark.sql import functions as F
 
 def base_cells(emb, k: int):
     """Relational argmax assignment of the base vectors to k
-    sha256-derived centroids: broadcast centroid frame, zip_with dot,
-    first-max tiebreak (row_number over (dot desc, cell asc)) — the
-    same argmax the registered query's literal expression computes."""
+    sha256-derived centroids — the engine's broadcast-codebook path
+    (:func:`operators.similarity.assign_cells_broadcast`), which is
+    also the production assignment once k outgrows a literal
+    expression."""
     from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
         _deterministic_centroids,
+        assign_cells_broadcast,
     )
 
-    spark = emb.sparkSession
-    cdf = spark.createDataFrame(
-        [(c, [float(x) for x in row])
-         for c, row in enumerate(_deterministic_centroids(k, 64))],
-        "cell int, cv array<double>",
-    )
-    dot = F.aggregate(
-        F.zip_with("embedding", "cv", lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    scored = emb.crossJoin(F.broadcast(cdf)).select(
-        "vec_id", "cell", dot.alias("s")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+    return assign_cells_broadcast(
+        emb, "embedding", _deterministic_centroids(k, 64)
     )
 
 
