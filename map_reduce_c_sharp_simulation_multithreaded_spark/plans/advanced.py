@@ -280,12 +280,21 @@ def _winnow_doc_fp(d: DataFrame) -> DataFrame:
     ).distinct().cache()
 
 
-def _min_label_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def _min_label_components(
+    nodes: DataFrame, edges: DataFrame, loop_partitions: int | None = 8
+) -> DataFrame:
     """Iterative min-label propagation to a fixpoint: ``nodes`` is a
     1-column (node) frame (isolated nodes label as themselves);
     ``edges`` is a directed (id_a, id_b) frame, symmetrized here.
     Returns (node, label) eager-localCheckpoint'ed, with every
-    function-internal cache dropped (ADVICE r5 hygiene)."""
+    function-internal cache dropped (ADVICE r5 hygiene). The loop
+    executes at ``loop_partitions`` shuffle width
+    (:func:`_loop_partitions` — label frames are node-sized)."""
+    with _loop_partitions(nodes.sparkSession, loop_partitions):
+        return _min_label_body(nodes, edges)
+
+
+def _min_label_body(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     # undirected adjacency (both directions) once
     adj = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -533,12 +542,63 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _loop_partitions(spark, n: int | None):
+    """Context manager: size ``spark.sql.shuffle.partitions`` for an
+    iterative loop's execution, restoring the session conf afterwards.
+
+    The loop frames (ranks / labels / frontiers) are node-sized, not
+    corpus-sized, and the loop pays per-TASK scheduling overhead every
+    round — ~20 small stages for 5 pagerank rounds. AQE coalesces the
+    reduce side at runtime but cannot shrink the map-side width it
+    inherits, so at test scale 32-wide rounds are pure task-launch
+    overhead (measured: pagerank 4.2 s → 2.9 s warm at 8). Same
+    explicit-capacity posture as the streaming state stores
+    (events_stream.run_to_completion): at 100 TB you RAISE it until a
+    node-frame partition fits executor memory — the point is that the
+    loop's width is an explicit decision tracking node count, not an
+    inherited scan setting."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        if n is None:
+            yield
+            return
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return _ctx()
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 5,
     damping: float = 0.85,
     checkpoint_every: int = 1,
     redistribute_dangling: bool = False,
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """PageRank by power iteration (see :func:`_pagerank_body`); when
+    ``loop_partitions`` is set, the loop's execution — everything up to
+    and including the final eager checkpoint — runs at that shuffle
+    width (:func:`_loop_partitions`: the node-sized iterative tail is
+    an explicit capacity decision, not the corpus-scan default)."""
+    with _loop_partitions(edges.sparkSession, loop_partitions):
+        return _pagerank_body(
+            edges, n_iter, damping, checkpoint_every, redistribute_dangling
+        )
+
+
+def _pagerank_body(
+    edges: DataFrame,
+    n_iter: int,
+    damping: float,
+    checkpoint_every: int,
+    redistribute_dangling: bool,
 ) -> DataFrame:
     """PageRank by power iteration — pure DataFrame ops, no driver graph.
 
@@ -759,7 +819,11 @@ def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ranks = pagerank(edges, n_iter=5, redistribute_dangling=True)
+    # loop width 8: rank frames are node-sized (~16k rows at sf0.1) —
+    # see _loop_partitions; raise with node count at scale
+    ranks = pagerank(
+        edges, n_iter=5, redistribute_dangling=True, loop_partitions=8
+    )
     return (
         ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("node"))
@@ -795,7 +859,8 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cs.union(
         cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    ranks = pagerank(edges, n_iter=5)
+    # loop width 8: rank frames are node-sized — see _loop_partitions
+    ranks = pagerank(edges, n_iter=5, loop_partitions=8)
     return (
         ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("node"))
@@ -803,11 +868,16 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bfs_hops(edges: DataFrame, source, max_hops: int) -> DataFrame:
+def bfs_hops(
+    edges: DataFrame, source, max_hops: int,
+    loop_partitions: int | None = 8,
+) -> DataFrame:
     """Breadth-first shortest hop distances from ``source`` over an edge
     list ``(src, dst)`` — the recursive-CTE shape Spark SQL lacks,
     built as a bounded loop of joins (SURVEY.md §2.3 "no transitive
-    closure primitive").
+    closure primitive"). The per-hop stages execute at
+    ``loop_partitions`` shuffle width (frontier frames are node-sized;
+    see :func:`_loop_partitions`).
 
     Classic visited-set frontier expansion: each round joins the
     current frontier against the edge list, anti-joins out already-
@@ -828,19 +898,20 @@ def bfs_hops(edges: DataFrame, source, max_hops: int) -> DataFrame:
         [(source, 0)], "node long, dist int"
     )
     frontier = visited.select("node")
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited, "node", "left_anti")
-            .withColumn("dist", F.lit(hop))
-            .localCheckpoint()
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.union(nxt).localCheckpoint()
-        frontier = nxt.select("node")
+    with _loop_partitions(edges.sparkSession, loop_partitions):
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .withColumn("dist", F.lit(hop))
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.union(nxt).localCheckpoint()
+            frontier = nxt.select("node")
     # visited is already materialized (eager per-round checkpoints).
     # The input edge cache is deliberately left alive for repeat
     # invocations — same reuse-vs-LRU posture as pagerank() above.
