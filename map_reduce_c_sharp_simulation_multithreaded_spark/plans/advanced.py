@@ -185,21 +185,34 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_chain() -> str:
+def _cc_chain(rare_band: tuple[int, int] | None = None) -> str:
     """The shared recursive-CTE chain deriving exact connected
     components (winnowing-fingerprint star edges + transitive
-    min-label closure) — reused verbatim by the CC oracle and the
-    keep-best-in-cluster oracle."""
+    min-label closure) — reused by the CC oracle (``rare_band=None``:
+    every shared fingerprint is an edge source) and the
+    keep-best-in-cluster oracle (``rare_band=(lo, hi)``: edges form
+    only over fingerprints shared by lo..hi docs — the boilerplate
+    frequency cut)."""
     from .text import WINNOW_FPS_CTE
 
+    if rare_band is None:
+        src, extra = "doc_fp", ""
+    else:
+        lo, hi = rare_band
+        src = "rfp"
+        extra = f"""
+rare AS (
+  SELECT fp FROM doc_fp GROUP BY fp HAVING COUNT(*) BETWEEN {lo} AND {hi}
+),
+rfp AS (SELECT d.doc_id, d.fp FROM doc_fp d JOIN rare USING (fp)),"""
     return f"""{WINNOW_FPS_CTE},
 doc_fp AS (
   SELECT DISTINCT doc_id, UNNEST(fps) AS fp FROM w
-),
-hubs AS (SELECT fp, MIN(doc_id) AS hub FROM doc_fp GROUP BY fp),
+),{extra}
+hubs AS (SELECT fp, MIN(doc_id) AS hub FROM {src} GROUP BY fp),
 edges AS (
   SELECT DISTINCT d.doc_id AS a, h.hub AS b
-  FROM doc_fp d JOIN hubs h USING (fp) WHERE d.doc_id <> h.hub
+  FROM {src} d JOIN hubs h USING (fp) WHERE d.doc_id <> h.hub
 ),
 undir AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
 reach(node, lab) AS (
@@ -351,31 +364,11 @@ def _min_label_body(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def _keep_best_oracle() -> str:
-    """Keep-best composition oracle: the winnowing CTE + RARE-
-    fingerprint star edges + recursive min-label closure + the
+    """Keep-best composition oracle: the shared CC chain with the
+    rare-fingerprint band (:func:`_cc_chain`) + the
     text_quality_score feature SQL + a per-cluster argmax window."""
-    from .text import WINNOW_FPS_CTE
-
     return f"""
-WITH RECURSIVE {WINNOW_FPS_CTE},
-doc_fp AS (
-  SELECT DISTINCT doc_id, UNNEST(fps) AS fp FROM w
-),
-rare AS (
-  SELECT fp FROM doc_fp GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 4
-),
-rfp AS (SELECT d.doc_id, d.fp FROM doc_fp d JOIN rare USING (fp)),
-hubs AS (SELECT fp, MIN(doc_id) AS hub FROM rfp GROUP BY fp),
-edges AS (
-  SELECT DISTINCT d.doc_id AS a, h.hub AS b
-  FROM rfp d JOIN hubs h USING (fp) WHERE d.doc_id <> h.hub
-),
-undir AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
-reach(node, lab) AS (
-    SELECT doc_id, doc_id FROM documents
-  UNION
-    SELECT u.a, r.lab FROM undir u JOIN reach r ON u.b = r.node
-),
+WITH RECURSIVE {_cc_chain(rare_band=(2, 4))},
 cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
 q AS (
   SELECT doc_id,

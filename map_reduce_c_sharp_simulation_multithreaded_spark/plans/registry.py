@@ -124,9 +124,8 @@ def _load_all_plan_modules() -> None:
 #     shared semantic_clusters() helper (expressions identical, plan
 #     hash unchanged, but the refactor round should carry the row);
 #   - 33 of the 42 remaining r02-evidence queries (oldest first per
-#     tools/window_planner.py): scalar packs, set ops, the full
-#     streaming family, asof/scd2/sessionize, text quality/langid/
-#     fingerprints.
+#     tools/window_planner.py): scalar packs, set ops, the streaming
+#     family, asof/scd2/sessionize, text quality/langid/fingerprints.
 # Round-7 queue note: the 9 r02 stragglers deliberately left out —
 # window_first_last, window_lag_lead, window_range_frame_30d,
 # window_rank_dense_ntile, window_running_total,
@@ -162,7 +161,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_semantic_clusters",
     "pack_sequences_sharded",
     "curation_cluster_keep_best",
-    # --- oldest remaining evidence: 35 of the 42 r02 greens ---
+    # --- oldest remaining evidence: 33 of the 42 r02 greens ---
     "agg_approx_percentile",
     "agg_collect_sorted",
     "asof_join_last_purchase",

@@ -5,9 +5,10 @@ same-round driver rule (VERDICT.md r5 next-round #5).
 Round 5's only debt was evidentiary: a late perf pass changed ~12
 plans AFTER the driver window froze, so their driver rows lagged their
 code. This tool makes that impossible to repeat silently: it computes
-a normalized sha256 of every registered query's OPTIMIZED logical plan
-and compares against the committed ``PLAN_HASHES.json`` snapshot
-(frozen when the DRIVER_WINDOW was last rotated).
+a normalized sha256 of every registered query's ANALYZED logical plan
+(deliberately pre-optimizer — see the comment in :func:`compute`) and
+compares against the committed ``PLAN_HASHES.json`` snapshot (frozen
+when the DRIVER_WINDOW was last rotated).
 ``tests/test_plan_freshness.py`` fails unless every query whose
 fingerprint drifted from the snapshot — plus every new query — is in
 the upcoming DRIVER_WINDOW.

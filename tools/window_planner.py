@@ -46,19 +46,20 @@ def evidence_ages() -> tuple[dict[str, int], int]:
     return latest, newest
 
 
-def plan_drift() -> tuple[list[str], list[str]]:
-    """(changed, new) query names whose plan fingerprint differs from
-    the committed PLAN_HASHES.json — these MUST head the next window
-    (same-round rule). Runs the fingerprint sweep (~1 min of Spark);
-    skipped with a notice if the snapshot is missing."""
+def plan_drift() -> tuple[list[str], list[str], bool]:
+    """(changed, new, ran) — query names whose plan fingerprint differs
+    from the committed PLAN_HASHES.json; these MUST head the next
+    window (same-round rule). Runs the fingerprint sweep (~1 min of
+    Spark). ``ran`` is False when the snapshot is missing, so callers
+    can distinguish 'clean' from 'never checked'."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import plan_hashes
 
     snapshot = plan_hashes.load_snapshot()
     if not snapshot:
-        return [], []
+        return [], [], False
     changed, new, _gone = plan_hashes.diff(plan_hashes.compute(), snapshot)
-    return changed, new
+    return changed, new, True
 
 
 def main() -> int:
@@ -80,16 +81,26 @@ def main() -> int:
         key=lambda t: (t[0], t[1]),
     )
 
-    changed, new = ([], []) if args.no_drift else plan_drift()
+    changed, new, drift_ran = (
+        ([], [], False) if args.no_drift else plan_drift()
+    )
     must = [n for n in (*changed, *new, *never) if n in qs]
     # dedupe, preserve order
     must = list(dict.fromkeys(must))
 
     print(f"# registered: {len(qs)}   evidence through round {newest}")
-    print(f"\n## plan drifted vs PLAN_HASHES.json ({len(changed)} changed, "
-          f"{len(new)} new) — same-round rule, these ride the next window")
-    for n in (*changed, *new):
-        print(f"  {n}")
+    if drift_ran:
+        print(f"\n## plan drifted vs PLAN_HASHES.json ({len(changed)} "
+              f"changed, {len(new)} new) — same-round rule, these ride the "
+              "next window")
+        for n in (*changed, *new):
+            print(f"  {n}")
+    else:
+        reason = ("--no-drift" if args.no_drift
+                  else "PLAN_HASHES.json missing — run tools/plan_hashes.py"
+                       " --write first")
+        print(f"\n## drift check SKIPPED ({reason}): the suggested window "
+              "OMITS same-round plan changes — splice them in by hand")
     print(f"\n## never driver-verified ({len(never)}) — debut these first")
     for n in never:
         print(f"  {n}")
