@@ -302,7 +302,13 @@ def _min_label_components(
     Returns (node, label) eager-localCheckpoint'ed, with every
     function-internal cache dropped (ADVICE r5 hygiene). The loop
     executes at ``loop_partitions`` shuffle width
-    (:func:`_loop_partitions` — label frames are node-sized)."""
+    (:func:`_loop_partitions` — label frames are node-sized); the
+    caller's node/edge derivations are materialized BEFORE the width
+    narrows (the pagerank() pre-materialization discipline, ADVICE r6)
+    so a corpus-scale pair derivation never reduces at loop width."""
+    if loop_partitions is not None:
+        nodes, edges = nodes.cache(), edges.cache()
+        nodes.count(), edges.count()
     with _loop_partitions(nodes.sparkSession, loop_partitions):
         return _min_label_body(nodes, edges)
 
@@ -579,7 +585,19 @@ def pagerank(
     ``loop_partitions`` is set, the loop's execution — everything up to
     and including the final eager checkpoint — runs at that shuffle
     width (:func:`_loop_partitions`: the node-sized iterative tail is
-    an explicit capacity decision, not the corpus-scan default)."""
+    an explicit capacity decision, not the corpus-scan default).
+
+    The caller's edge derivation is materialized BEFORE entering the
+    narrowed context (ADVICE r6): the body's first action
+    (nodes.count()) would otherwise run the corpus-scale derivation
+    (graph_pagerank_suppliers: lineitem⋈orders → distinct →
+    symmetrize) with its reduce stages at the node-sized loop width —
+    harmless at test SFs, a straggler at the 100 TB shape. A cheap
+    count here fills the cache at the session's corpus-scan width; the
+    body's ``.cache()`` on the same plan is then a no-op."""
+    if loop_partitions is not None:
+        edges = edges.cache()
+        edges.count()
     with _loop_partitions(edges.sparkSession, loop_partitions):
         return _pagerank_body(
             edges, n_iter, damping, checkpoint_every, redistribute_dangling
@@ -885,8 +903,12 @@ def bfs_hops(
     # The edge list joins against every hop's frontier; persist it so
     # the caller's derivation (graph_bfs_supplier_hops: distinct →
     # window-rank → pair join → symmetrize) runs once, not once per
-    # hop — the pagerank() input-edge discipline.
+    # hop — and materialize it BEFORE the loop context narrows the
+    # shuffle width (the pagerank() pre-materialization discipline,
+    # ADVICE r6), so the derivation reduces at corpus-scan width.
     edges = edges.cache()
+    if loop_partitions is not None:
+        edges.count()
     visited = edges.sparkSession.createDataFrame(
         [(source, 0)], "node long, dist int"
     )

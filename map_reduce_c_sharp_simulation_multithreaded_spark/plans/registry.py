@@ -98,103 +98,90 @@ def _load_all_plan_modules() -> None:
 # evidence, rotated each round until every oracle-backed query has had
 # a green driver row.
 #
-# Round-6 window (50), executing the registry's own round-6 queue
-# (VERDICT.md r5 next-round #1) plus this round's debuts and plan
-# changes:
-#   - the ~12 queries whose plans changed in the round-5 late perf
-#     pass AFTER that window froze (winnowing/char-ngram split-once
-#     rewrite, CC/pagerank/BFS persists + checkpoint cadence,
-#     agg_approx_distinct two-agg split, contamination gram-frame
-#     cache, dedup_ngram_jaccard_adjacent shingle persist) — each was
-#     re-verified green locally at sf0.01 in r5, but the same-round
-#     driver rule wants fresh rows; pagerank/BFS/CC additionally
-#     changed AGAIN this round (ADVICE r5: final eager localCheckpoint
-#     + unpersist of function-local caches — values unchanged by
-#     construction, re-verified green locally);
-#   - subquery_scalar_avg: the last query whose driver evidence was
-#     r01-only;
-#   - round-6 debuts (same-round rule): dedup_source_quota_two_phase
-#     (mega-source two-phase cap, VERDICT r5 #4),
-#     dedup_semantic_clusters_scaled (k∝n SemDeDup, VERDICT r5 #3),
-#     pack_sequences_sharded (skew-safe two-phase packing) and
-#     curation_cluster_keep_best (rare-fp clusters → keep the
-#     highest-quality member — composes CC's loop with the quality
-#     features under one composed oracle);
-#     dedup_semantic_clusters rides along — its body moved into the
-#     shared semantic_clusters() helper (expressions identical, plan
-#     hash unchanged, but the refactor round should carry the row);
-#   - 33 of the 42 remaining r02-evidence queries (oldest first per
-#     tools/window_planner.py): scalar packs, set ops, the streaming
-#     family, asof/scd2/sessionize, text quality/langid/fingerprints.
-# Round-7 queue note: the 9 r02 stragglers deliberately left out —
-# window_first_last, window_lag_lead, window_range_frame_30d,
-# window_rank_dense_ntile, window_running_total,
-# window_topk_per_customer (tight family, one member bench-headlined
-# every round), tpch_q7_nation_volume and tpch_q18_large_orders
-# (timed in EXTRA_BENCH), text_token_stats — then
-# the r03 block (events family, dedup_span_windows, agg_median_
-# percentile, join_fuzzy_levenshtein, multimodal_decode_features, …),
-# any query whose plan/oracle changes in round 7, and round-7 debuts.
+# Round-7 window (50), executing the registry's own round-7 queue
+# (VERDICT.md r6 next-round #1): retire ALL pre-r04 evidence —
+#   - the 9 r02 stragglers (the six window_* queries, the two
+#     EXTRA_BENCH TPC-H extras, text_token_stats);
+#   - the full 38-query r03 block (events family, the TPC-H sweep
+#     q2/q4-q6/q8-q17/q19-q22, ANN ivf/ivfpq/lsh-histogram,
+#     dedup_span_windows, agg_median_percentile,
+#     join_fuzzy_levenshtein, multimodal_decode_features,
+#     pysource_synthetic_agg, pipeline_curate_corpus,
+#     pandas_udaf_weighted_avg, quality_constraint_audit,
+#     scalar_try_arithmetic, text_gopher_quality,
+#     window_rolling_median);
+#   - round-7 debuts (same-round rule):
+#     dedup_semantic_clusters_trained (k∝n SemDeDup with a TRAINED
+#     codebook at the k = n/64 schedule, VERDICT r6 #3) and
+#     events_session_funnel_attribution (composed sessionize → funnel
+#     → first-touch attribution under one composed oracle, VERDICT
+#     r6 #6);
+#   - agg_cube_grouping_id: oldest r04 evidence, filling the 50th
+#     slot.
+# After this window lands green, no registered query carries evidence
+# older than r04. Round-8 queue note: the remaining 34 r04 queries
+# (agg packs, joins family, text tf-idf/lm/pmi, multimodal
+# resize/frames, graph, sinks), then the r05 block — plus, as always,
+# any query whose plan/oracle changes in round 8 and round-8 debuts.
 # The plan-fingerprint gate (tests/test_plan_freshness.py +
-# PLAN_HASHES.json) now FAILS the suite if a changed plan is not in
+# PLAN_HASHES.json) FAILS the suite if a changed plan is not in
 # this window, so the round-5 freeze-gap class cannot recur silently;
 # refresh the snapshot (tools/plan_hashes.py --write) when rotating.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round-5 post-freeze perf-pass rewrites + this round's cache
-    # hygiene changes (same-round rule) ---
-    "text_winnowing_fingerprints",
-    "text_char_ngram_stats",
-    "dedup_connected_components",
-    "dedup_ngram_jaccard_adjacent",
-    "graph_pagerank_suppliers",
-    "graph_pagerank_directed",
-    "graph_bfs_supplier_hops",
-    "contamination_eval_overlap",
-    "agg_approx_distinct",
-    "sim_cosine_topk",
-    "text_term_frequency",
-    # --- last r01-only green in the repo ---
-    "subquery_scalar_avg",
-    # --- round-6 debuts + the refactored fixed-k SemDeDup ---
-    "dedup_source_quota_two_phase",
-    "dedup_semantic_clusters_scaled",
-    "dedup_semantic_clusters",
-    "pack_sequences_sharded",
-    "curation_cluster_keep_best",
-    # --- oldest remaining evidence: 33 of the 42 r02 greens ---
-    "agg_approx_percentile",
-    "agg_collect_sorted",
-    "asof_join_last_purchase",
-    "distinct_pairs",
-    "orderby_limit_topk",
-    "scalar_conditional_pack",
-    "scalar_date_pack",
-    "scalar_json_pack",
-    "scalar_map_explode",
-    "scalar_math_pack",
-    "scalar_posexplode_words",
-    "scd2_merge_customer_segment",
-    "sessionize_events",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_union_all_reaggregate",
-    "set_union_distinct",
-    "sim_neardup_pairs",
-    "sort_within_partitions_sample",
-    "stream_dedup_user_type",
-    "stream_dedup_within_watermark",
-    "stream_foreachbatch_upsert",
-    "stream_session_windows",
-    "stream_sliding_avg",
-    "stream_stateful_user_totals",
-    "stream_static_join_enrich",
-    "stream_stream_interval_join",
-    "stream_tumbling_counts",
-    "text_bpe_token_count",
-    "text_fingerprint_groups",
-    "text_langid_heuristic",
-    "text_quality_score",
+    # --- round-7 debuts (same-round rule) ---
+    "dedup_semantic_clusters_trained",
+    "events_session_funnel_attribution",
+    # --- the 9 r02 stragglers: oldest evidence in the repo ---
+    "window_first_last",
+    "window_lag_lead",
+    "window_range_frame_30d",
+    "window_rank_dense_ntile",
+    "window_running_total",
+    "window_topk_per_customer",
+    "tpch_q7_nation_volume",
+    "tpch_q18_large_orders",
+    "text_token_stats",
+    # --- the full r03 block ---
+    "agg_median_percentile",
+    "dedup_span_windows",
+    "events_cohort_retention",
+    "events_funnel_view_click_purchase",
+    "events_longest_streak",
+    "events_rolling_wau",
+    "events_time_to_convert",
+    "events_transition_matrix",
+    "join_fuzzy_levenshtein",
+    "multimodal_decode_features",
+    "pandas_udaf_weighted_avg",
+    "pipeline_curate_corpus",
+    "pysource_synthetic_agg",
+    "quality_constraint_audit",
+    "scalar_try_arithmetic",
+    "sim_ivf_ann_topk",
+    "sim_ivfpq_topk",
+    "sim_lsh_bucket_histogram",
+    "text_gopher_quality",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "window_rolling_median",
+    # --- oldest r04 evidence, filling the 50th slot ---
+    "agg_cube_grouping_id",
 )
 
 

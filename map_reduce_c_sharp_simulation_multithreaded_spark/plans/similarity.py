@@ -604,17 +604,23 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle(
-    n_centroids: int = 16, dim: int = 64, threshold: float = 0.35
+    n_centroids: int = 16,
+    dim: int = 64,
+    threshold: float = 0.35,
+    centroids: list[list[float]] | None = None,
 ) -> str:
-    """SemDeDup oracle: the same sha256-derived centroid literals
-    re-derive cell assignment (argmax projection, first-max tiebreak),
-    then the within-cell lower-id near-neighbor test uses the identical
-    rounded cosine, so the kept/dropped verdict matches bit-for-bit."""
+    """SemDeDup oracle: the same centroid literals (sha256-derived by
+    default, or an explicit TRAINED codebook) re-derive cell assignment
+    (argmax projection, first-max tiebreak), then the within-cell
+    lower-id near-neighbor test uses the identical rounded cosine, so
+    the kept/dropped verdict matches bit-for-bit."""
     from ..operators.similarity import _deterministic_centroids
 
+    if centroids is None:
+        centroids = _deterministic_centroids(n_centroids, dim)
     rows = ", ".join(
         f"({c}, {_plane_literal_sql(row)})"
-        for c, row in enumerate(_deterministic_centroids(n_centroids, dim))
+        for c, row in enumerate(centroids)
     )
     dot = _DOT.format(a="e.embedding", b="c.cv")
     norm = _NORM.format(a="e.embedding")
@@ -681,14 +687,19 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_clusters(
-    emb: DataFrame, n_centroids: int, threshold: float = 0.35
+    emb: DataFrame,
+    n_centroids: int,
+    threshold: float = 0.35,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """SemDeDup core shared by the fixed-k and k∝n queries: assign to
-    argmax centroid over ``n_centroids`` sha256-derived cells, then the
+    """SemDeDup core shared by the fixed-k, k∝n, and trained-codebook
+    queries: assign to argmax centroid over ``n_centroids`` cells
+    (sha256-derived by default; ``centroids`` swaps in a trained
+    codebook without changing a single expression), then the
     within-cell lower-id keep-first verdict at rounded cosine ≥
-    ``threshold``. Expressions are identical for every k, so the fixed
-    query's plan (and its oracle contract) is unchanged by the
-    refactor."""
+    ``threshold``. Expressions are identical for every k and codebook,
+    so the fixed query's plan (and its oracle contract) is unchanged by
+    the refactor."""
     from ..operators.similarity import (
         _deterministic_centroids,
         centroid_scores,
@@ -696,7 +707,11 @@ def semantic_clusters(
         l2_norm,
     )
 
-    cents = _deterministic_centroids(n_centroids, 64)
+    cents = (
+        centroids
+        if centroids is not None
+        else _deterministic_centroids(n_centroids, 64)
+    )
     scores = centroid_scores(F.col("embedding"), cents)
     assigned = (
         F.array_position(scores, F.array_max(scores)).cast("int") - 1
@@ -801,6 +816,88 @@ def dedup_semantic_clusters_scaled(
     pin_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_clusters(emb, n_centroids=_semdedup_scaled_k(sf_dir))
+
+
+def _trained_semdedup_codebook(emb: DataFrame, sf_dir: str) -> list[list[float]]:
+    """Spherical k-means codebook at the k∝n schedule (k = n/64, floor
+    16), trained in REPLAYABLE mode and memoized exactly like the
+    trained-IVF codebook: BUILD is a one-time offline step, SEARCH (and
+    here, the dedup verdict) runs per invocation. Keyed on the data
+    fingerprint so in-process parquet rewrites retrain (ADVICE r5)."""
+    k = _semdedup_scaled_k(sf_dir)
+    memo_key = ("semdedup", sf_dir, _embeddings_fingerprint(sf_dir), k, 3, 64)
+    cents = _TRAINED_CODEBOOKS.get(memo_key)
+    if cents is None:
+        cents = train_kmeans_codebook(
+            emb, "embedding", n_centroids=k, n_iter=3, dim=64,
+            id_col="vec_id", sum_quantize=1e-6,
+        )
+        _TRAINED_CODEBOOKS[memo_key] = cents
+    return cents
+
+
+def _semantic_dedup_trained_oracle(sf_dir: str) -> str:
+    """GENERATED oracle for the trained k∝n SemDeDup (VERDICT.md r6
+    next-round #3): re-derive BOTH the schedule (k from the parquet
+    footers, same as the engine) and the codebook (pure-Python Lloyd
+    replay of the replayable-mode trainer — see
+    :func:`replay_kmeans_codebook` for the float-semantics matching),
+    render the centroids as literals, and let DuckDB recompute cell
+    assignment and the within-cell keep-first verdict from scratch.
+    Training equality is pinned by pytest; the DEDUP contract is what
+    this differentially tests."""
+    import duckdb
+
+    from ..operators.similarity import replay_kmeans_codebook
+
+    k = _semdedup_scaled_k(sf_dir)
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    cents = replay_kmeans_codebook(
+        rows, n_centroids=k, n_iter=3, sum_quantize=1e-6
+    )
+    return _semantic_dedup_oracle(centroids=cents)
+
+
+@register(
+    "dedup_semantic_clusters_trained",
+    oracle=_semantic_dedup_trained_oracle,
+    tags=("dedup", "similarity", "iterative", "custom-operator"),
+)
+def dedup_semantic_clusters_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup with a TRAINED codebook at the k∝n schedule — the
+    production configuration SCALE.md prescribes and VERDICT.md r6
+    next-round #3 asked to close: the sha-random codebook that makes
+    the scaled variant oracle-checkable leaves cells badly unbalanced
+    at scale (SCALE.md's 64× row: 859/2000 cells empty, Σ|cell|²/n
+    drifting to 156 vs the 64 target); k-means centers the cells on
+    the actual embedding distribution, holding occupancy near the
+    target and with it the linear pair-work bound.
+
+    Composition of two already-green mechanisms: the k = n/64 schedule
+    read from parquet footers (``dedup_semantic_clusters_scaled``) and
+    replayable distributed Lloyd training (``sim_ivf_trained_topk`` —
+    data never leaves the cluster, only the k×dim codebook visits the
+    driver between rounds, allowlisted). The dedup plan is byte-
+    identical to the sha-random variants — only the centroid literals
+    swap in — so every scale property argued there (within-cell equi
+    join, Σ|cell|² pair work, one cached assign+normalize subtree)
+    carries over unchanged. Occupancy evidence:
+    ``tools/semdedup_scaling.py --trained`` prints the trained-vs-sha
+    row (SCALE.md round-7 table).
+    """
+    pin_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _trained_semdedup_codebook(emb, sf_dir)
+    return semantic_clusters(
+        emb, n_centroids=len(cents), centroids=cents
+    )
 
 
 def _ivfpq_rerank_oracle(k: int = 5, k_prime: int = 20) -> str:

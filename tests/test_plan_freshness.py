@@ -33,23 +33,69 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOL = os.path.join(REPO, "tools", "plan_hashes.py")
 
+# Queries whose fingerprint is BLIND to their loop/stream body because
+# the returned frame is a localCheckpoint scan (LogicalRDD) or a
+# memory-sink table read — exactly the iterative/streaming families
+# whose post-freeze changes caused the round-5 evidence gap. Pinned
+# here (ADVICE r6) so the gate's blind spot is an explicit, reviewed
+# list that FAILS the suite when it grows: a new checkpoint/stream
+# query must be added here consciously, with its body guarded by its
+# own pytest (the existing ones live in test_dedup.py /
+# test_round5_ops.py / streaming tests).
+EXPECTED_BLIND = {
+    # eager-localCheckpoint iteratives (LogicalRDD tails)
+    "curation_cluster_keep_best",
+    "dedup_connected_components",
+    "graph_bfs_supplier_hops",
+    "graph_pagerank_directed",
+    "graph_pagerank_suppliers",
+    "text_bpe_merges",
+    "text_bpe_vocab_apply",
+    # memory-sink streaming family (mrcs_stream_N table tails)
+    "stream_dedup_user_type",
+    "stream_dedup_within_watermark",
+    "stream_session_windows",
+    "stream_sliding_avg",
+    "stream_stateful_user_totals",
+    "stream_static_join_enrich",
+    "stream_stream_interval_join",
+    "stream_tumbling_counts",
+    "stream_windowed_topk",
+}
+# Known additional body-blind query the regex cannot isolate:
+# stream_foreachbatch_upsert returns a WAREHOUSE table scan (its
+# foreachBatch MERGE writes a real table), indistinguishable in the
+# plan string from a legitimate catalog read. Its body is pinned by
+# the streaming upsert pytest; treat any foreachBatch-style debut the
+# same way.
 
-def test_changed_plans_are_in_driver_window(sf_dir):
-    assert os.path.exists(os.path.join(REPO, "PLAN_HASHES.json")), (
-        "PLAN_HASHES.json missing — run tools/plan_hashes.py --write"
-    )
-    proc = subprocess.run(
-        [sys.executable, TOOL, "--sf", sf_dir],
+
+def _run_tool() -> "subprocess.CompletedProcess[str]":
+    # Pinned to the tool's own DEFAULT_SF, NOT the suite's sf_dir
+    # fixture (ADVICE r6): PLAN_HASHES.json is snapshotted at the
+    # default corpus, and queries with data-dependent plan literals
+    # (the k∝n SemDeDup pair's footer-derived k, trained centroids)
+    # would falsely report drift at any other SF.
+    return subprocess.run(
+        [sys.executable, TOOL],
         capture_output=True,
         text=True,
         timeout=560,
         cwd=REPO,
     )
+
+
+def test_changed_plans_are_in_driver_window():
+    assert os.path.exists(os.path.join(REPO, "PLAN_HASHES.json")), (
+        "PLAN_HASHES.json missing — run tools/plan_hashes.py --write"
+    )
+    proc = _run_tool()
     drifted = {
         m.group(2)
         for m in re.finditer(r"^(changed|new): (\S+)$", proc.stdout, re.M)
     }
     gone = re.findall(r"^gone: (\S+)$", proc.stdout, re.M)
+    blind = set(re.findall(r"^blind: (\S+)$", proc.stdout, re.M))
 
     from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
 
@@ -64,4 +110,11 @@ def test_changed_plans_are_in_driver_window(sf_dir):
     assert not gone, (
         f"snapshot lists queries that no longer exist: {gone} — refresh "
         f"PLAN_HASHES.json"
+    )
+    assert blind == EXPECTED_BLIND, (
+        f"fingerprint blind-spot set drifted: unexpected "
+        f"{sorted(blind - EXPECTED_BLIND)}, missing "
+        f"{sorted(EXPECTED_BLIND - blind)} — a checkpoint/stream-tail "
+        f"query's plan hash cannot see its body; update EXPECTED_BLIND "
+        f"deliberately and make sure the body has its own pytest"
     )

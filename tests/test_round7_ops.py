@@ -1,0 +1,170 @@
+"""Round-7 operator tests: trained-codebook k∝n SemDeDup and the
+composed sessionize → funnel → attribution events pipeline.
+
+Pins the contracts VERDICT.md r6 asked for (next-round #3/#6): the
+trained SemDeDup's codebook is replay-equal at the k∝n schedule (so
+its generated oracle tests the dedup, not the training), trained
+occupancy is tighter than the sha-random codebook it replaces, and
+the attribution composition's funnel/attribution arms are genuinely
+exercised (non-degenerate) while agreeing with its own stage parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
+from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+    _semdedup_scaled_k,
+    _trained_semdedup_codebook,
+)
+from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_semdedup_trained_codebook_replay_equal(spark, sf_dir):
+    """Training at the k∝n schedule is replay-deterministic — the same
+    contract test_trained_codebook_replay_matches_spark pins at k=8,
+    re-asserted at the schedule the trained SemDeDup actually uses so
+    its GENERATED oracle exercises the dedup verdict, not training."""
+    import duckdb
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        replay_kmeans_codebook,
+    )
+
+    k = _semdedup_scaled_k(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    spark_cents = _trained_semdedup_codebook(emb, sf_dir)
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    replay_cents = replay_kmeans_codebook(
+        rows, n_centroids=k, n_iter=3, sum_quantize=1e-6
+    )
+    assert spark_cents == replay_cents
+    assert len(spark_cents) == k
+
+
+def test_semdedup_trained_occupancy_tighter_than_sha(spark, sf_dir):
+    """The reason the trained variant exists (VERDICT.md r6 #3): at the
+    same k, k-means centers the cells on the data, so cell occupancy is
+    tighter than the sha-random codebook's — fewer empty cells and a
+    smaller Σ|cell|² pair-work driver. The effect needs k large
+    relative to n (at the k=16 floor both codebooks fill every cell
+    and measure within noise of each other — verified), so this pins
+    the stress regime k = n/4 on the test corpus; the schedule-level
+    8×-scale row lives in tools/semdedup_scaling.py --trained /
+    SCALE.md. Measured at 500×64 / k=125: sha 119 cells used, max 13,
+    Σ|cell|² 2726 vs trained 125 used, max 8, Σ|cell|² 2330."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        _deterministic_centroids,
+        assign_cells_broadcast,
+        train_kmeans_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    k = max(16, n // 4)
+
+    def stats(cents):
+        counts = (
+            assign_cells_broadcast(emb, "embedding", cents)
+            .groupBy("cell")
+            .count()
+        )
+        row = counts.agg(
+            F.count(F.lit(1)).alias("used"),
+            F.sum(F.col("count") * F.col("count")).alias("ssq"),
+        ).collect()[0]
+        return row["used"], row["ssq"]
+
+    sha_used, sha_ssq = stats(_deterministic_centroids(k, 64))
+    trained = train_kmeans_codebook(
+        emb, "embedding", n_centroids=k, n_iter=3, dim=64,
+        id_col="vec_id", sum_quantize=1e-6,
+    )
+    tr_used, tr_ssq = stats(trained)
+    assert tr_used >= sha_used  # fewer (or equal) empty cells
+    assert tr_ssq < sha_ssq  # strictly less pair work
+
+
+def test_semdedup_trained_verdict_schema_and_partition(spark, sf_dir):
+    """The trained query keeps the semantic_clusters contract: one
+    verdict row per vector, kept ∈ {0,1}, and the kept set is a
+    keep-first — in every cell the lowest vec_id is always kept."""
+    df = registry.all_queries()["dedup_semantic_clusters_trained"].fn(
+        spark, sf_dir
+    )
+    rows = df.collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    assert {r["kept"] for r in rows} <= {0, 1}
+    by_cell = {}
+    for r in rows:
+        cur = by_cell.get(r["cell"])
+        if cur is None or r["vec_id"] < cur["vec_id"]:
+            by_cell[r["cell"]] = r
+    assert all(r["kept"] == 1 for r in by_cell.values())
+
+
+def test_attribution_composition_non_degenerate(spark, sf_dir):
+    """Every funnel arm must actually fire on the test corpus —
+    sessions split (n_sessions > users with one session each would be
+    len==1 degeneracy), some but not all sessions convert, and
+    attributed revenue is positive. Guards the 1-day episode-gap
+    tuning against silently degenerating if the corpus changes."""
+    df = registry.all_queries()["events_session_funnel_attribution"].fn(
+        spark, sf_dir
+    )
+    rows = df.collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_sessions = sum(r["n_sessions"] for r in rows)
+    n_converted = sum(r["n_converted"] for r in rows)
+    assert n_sessions > n_users  # sessions actually split
+    assert 0 < n_converted < n_sessions  # funnel selective, not dead
+    assert sum(r["attributed_revenue"] for r in rows) > 0.0
+
+
+def test_attribution_sessionization_matches_sessionize_discipline(
+    spark, sf_dir
+):
+    """The composition's stage-1 session count per user equals the
+    standalone lag→flag→cumsum sessionizer run at the same 1-day gap —
+    the composition reuses the mechanism, not a lookalike."""
+    from pyspark.sql import Window as W
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.events import (
+        _SESSION_GAP_US,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    base = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    gap = F.col("us") - F.lag("us").over(w)
+    expected = (
+        base.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"))
+        .agg(F.sum("n_sessions").alias("total"))
+        .collect()[0]["total"]
+    )
+    got = (
+        registry.all_queries()["events_session_funnel_attribution"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n_sessions").alias("total"))
+        .collect()[0]["total"]
+    )
+    assert got == expected

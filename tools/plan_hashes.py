@@ -57,7 +57,21 @@ _NORMALIZERS = (
     (re.compile(r"/[A-Za-z0-9_\-./]*(?:testdata|tmp|warehouse)[A-Za-z0-9_\-./]*"),
      "PATH"),
     (re.compile(r"\bplan_id=\d+"), "plan_id=N"),
+    # memory-sink table names carry a session-global stream counter
+    # (streaming/events_stream.py) — its value depends on how many
+    # stream-driving queries registered EARLIER, so without this,
+    # registering or removing any stream query would spuriously flag
+    # every later stream_* fingerprint as changed (ADVICE r6)
+    (re.compile(r"mrcs_stream_\d+"), "mrcs_stream_N"),
 )
+
+# Queries whose RETURNED frame is a checkpoint scan (LogicalRDD) or a
+# memory-sink table scan fingerprint only that tail — the gate is
+# BLIND to their loop/stream bodies. main() prints them as "blind:"
+# lines and tests/test_plan_freshness.py pins the exact set, so the
+# blind spot is visible in the gate itself, not just a comment
+# (ADVICE r6); their bodies are guarded by dedicated pytests.
+_BLIND_RX = re.compile(r"\bLogicalRDD\b|mrcs_stream_")
 
 
 def normalize(plan: str) -> str:
@@ -66,8 +80,12 @@ def normalize(plan: str) -> str:
     return plan
 
 
-def compute(sf_dir: str = DEFAULT_SF, names=None) -> dict[str, str]:
-    """{query name: 16-hex fingerprint of its normalized optimized plan}."""
+def compute(
+    sf_dir: str = DEFAULT_SF, names=None, blind_out: set | None = None
+) -> dict[str, str]:
+    """{query name: 16-hex fingerprint of its normalized ANALYZED plan}.
+    If ``blind_out`` is given, names whose plan matches :data:`_BLIND_RX`
+    (checkpoint/memory-table tails — see its comment) are added to it."""
     from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
     from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark
 
@@ -94,6 +112,8 @@ def compute(sf_dir: str = DEFAULT_SF, names=None) -> dict[str, str]:
             .analyzed()
             .toString()
         )
+        if blind_out is not None and _BLIND_RX.search(plan):
+            blind_out.add(name)
         out[name] = hashlib.sha256(
             normalize(plan).encode("utf-8")
         ).hexdigest()[:16]
@@ -125,7 +145,10 @@ def main() -> int:
                     help="refresh PLAN_HASHES.json with current fingerprints")
     args = ap.parse_args()
 
-    current = compute(args.sf)
+    blind: set[str] = set()
+    current = compute(args.sf, blind_out=blind)
+    for n in sorted(blind):
+        print(f"blind: {n}")
     if args.write:
         with open(SNAPSHOT, "w", encoding="utf-8") as fh:
             json.dump(current, fh, indent=0, sort_keys=True)
@@ -138,7 +161,8 @@ def main() -> int:
         for n in names:
             print(f"{label}: {n}")
     print(f"# {len(current)} queries; {len(changed)} changed, "
-          f"{len(new)} new, {len(gone)} gone vs snapshot")
+          f"{len(new)} new, {len(gone)} gone vs snapshot; "
+          f"{len(blind)} checkpoint/stream-tail fingerprints (blind)")
     return 1 if (changed or new or gone) else 0
 
 
