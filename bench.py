@@ -77,6 +77,10 @@ EXTRA_BENCH = (
     "dedup_semantic_clusters_scaled",
     "pack_sequences_sharded",
     "curation_cluster_keep_best",
+    # round-7 new surface: trained-codebook k∝n SemDeDup and the
+    # composed sessionize→funnel→attribution pipeline
+    "dedup_semantic_clusters_trained",
+    "events_session_funnel_attribution",
 )
 
 
@@ -92,16 +96,23 @@ def main() -> int:
     headline = sorted(registry.headline_queries())
     assert not (set(EXTRA_BENCH) & set(headline))
 
-    # four INTERLEAVED passes over the whole set: each query is sampled
-    # at four well-separated points in time, so a host-level contention
-    # burst (observed: identical code swinging 5.9s -> 8.1s between
-    # runs on this VM) cannot depress every sample of a query the way
+    # INTERLEAVED passes over the whole set: each query is sampled at
+    # well-separated points in time, so a host-level contention burst
+    # (observed: identical code swinging 5.9s -> 8.1s between runs on
+    # this VM) cannot depress every sample of a query the way
     # back-to-back repeats can. First pass pays JIT/page-cache warmup
     # (reported as cold); min across passes is the steady-state number
-    # a long-running cluster job would see.
-    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+    # a long-running cluster job would see. The HEADLINE set runs SIX
+    # passes (VERDICT.md r6 next-round #2a: round 6's 12% driver-channel
+    # drift was uniform +0.05-0.15s noise across unrelated queries —
+    # two extra samples per query lower the min's variance at ~15s
+    # added wall); the extras set keeps four (40+ queries, the sweep
+    # artifact is their real perf record).
+    def run_set(
+        names: list[str], passes: int = 4
+    ) -> tuple[dict[str, float], dict[str, float]]:
         runs: dict[str, list[float]] = {n: [] for n in names}
-        for _ in range(4):
+        for _ in range(passes):
             for name in names:
                 t0 = time.perf_counter()
                 all_q[name].fn(spark, sf_dir).collect()
@@ -113,7 +124,7 @@ def main() -> int:
                   file=sys.stderr)
         return times, cold
 
-    times, cold = run_set(headline)
+    times, cold = run_set(headline, passes=6)
     extra_times, extra_cold = run_set(sorted(EXTRA_BENCH))
 
     # Full breakdown (cold + extras) goes to STDERR **and** to the

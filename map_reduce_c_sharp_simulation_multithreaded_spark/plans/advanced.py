@@ -541,6 +541,26 @@ def udtf_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The loop-width schedule (VERDICT.md r6 stretch #7): one loop-frame
+# partition per LOOP_ROWS_PER_PARTITION node rows, floored at 8. A
+# rank/label/frontier row is ~two longs plus shuffle framing, so 4M
+# rows is tens of MB per reduce task — far inside executor memory,
+# wide enough to amortize task launch. At test SFs every graph is
+# under the floor, which is why callers pass 8 literally; at the
+# 100 TB shape (SCALE.md "RAISE it at 100 TB") a 10B-node graph
+# schedules 2500 partitions: loop_width(10_000_000_000) == 2500.
+LOOP_ROWS_PER_PARTITION = 4_000_000
+
+
+def loop_width(n_nodes: int) -> int:
+    """Shuffle width for a node-sized iterative loop — the documented
+    form of the hard-coded ``loop_partitions=8`` the graph queries use
+    (they sit below the floor at every test SF). Callers at scale size
+    the loop from an estimated node count instead of inheriting the
+    corpus-scan width."""
+    return max(8, -(-n_nodes // LOOP_ROWS_PER_PARTITION))
+
+
 def _loop_partitions(spark, n: int | None):
     """Context manager: size ``spark.sql.shuffle.partitions`` for an
     iterative loop's execution, restoring the session conf afterwards.
@@ -830,8 +850,9 @@ def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # loop width 8: rank frames are node-sized (~16k rows at sf0.1) —
-    # see _loop_partitions; raise with node count at scale
+    # loop width 8 == loop_width(n_nodes) at every test SF (node
+    # frames ~16k rows at sf0.1, far under the 4M-rows/partition
+    # schedule floor); at scale, size via loop_width(estimated nodes)
     ranks = pagerank(
         edges, n_iter=5, redistribute_dangling=True, loop_partitions=8
     )

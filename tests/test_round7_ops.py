@@ -168,3 +168,50 @@ def test_attribution_sessionization_matches_sessionize_discipline(
         .collect()[0]["total"]
     )
     assert got == expected
+
+
+def test_loop_width_schedule():
+    """The documented loop-width schedule (VERDICT.md r6 stretch #7):
+    floor 8 below 32M nodes, then one partition per 4M node rows —
+    SCALE.md's 'RAISE it at 100 TB' rule as code."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.advanced import (
+        LOOP_ROWS_PER_PARTITION,
+        loop_width,
+    )
+
+    assert loop_width(1_000) == 8  # every test-SF graph
+    assert loop_width(8 * LOOP_ROWS_PER_PARTITION) == 8  # floor edge
+    assert loop_width(8 * LOOP_ROWS_PER_PARTITION + 1) == 9
+    assert loop_width(10_000_000_000) == 2500  # the 100 TB shape
+
+
+def test_loop_partitions_restores_conf(spark):
+    """_loop_partitions must restore spark.sql.shuffle.partitions on
+    BOTH exits — normal and exceptional — and after a real iterative
+    query runs (the restore-after assertion VERDICT.md r6 stretch #7
+    asked for)."""
+    import pytest as _pytest
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.advanced import (
+        _loop_partitions,
+        pagerank,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with _loop_partitions(spark, 3):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == before
+
+    with _pytest.raises(RuntimeError):
+        with _loop_partitions(spark, 5):
+            assert spark.conf.get(key) == "5"
+            raise RuntimeError("loop body failed")
+    assert spark.conf.get(key) == before
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    ranks = pagerank(edges, n_iter=2, loop_partitions=4)
+    assert ranks.count() == 4
+    assert spark.conf.get(key) == before

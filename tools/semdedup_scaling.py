@@ -55,10 +55,30 @@ def base_cells(emb, k: int):
     )
 
 
-def occupancy(emb, k: int, scale: int):
+def trained_cells(emb, k: int):
+    """Relational argmax assignment to a codebook TRAINED at k — the
+    production configuration (dedup_semantic_clusters_trained).
+    Training runs on the base corpus: replication repeats the same
+    unit vectors, so the base distribution IS the scaled distribution
+    (only seed ids differ), and the replica-exactness argument above
+    holds for any codebook."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        assign_cells_broadcast,
+        train_kmeans_codebook,
+    )
+
+    cents = train_kmeans_codebook(
+        emb, "embedding", n_centroids=k, n_iter=3, dim=64,
+        id_col="vec_id", sum_quantize=1e-6,
+    )
+    return assign_cells_broadcast(emb, "embedding", cents)
+
+
+def occupancy(emb, k: int, scale: int, trained: bool = False):
     """(n, cells_used, mean, max, sum_sq) of per-cell counts at
     ``scale``× replication (exact: base counts × scale)."""
-    counts = base_cells(emb, k).groupBy("cell").count()
+    cells = trained_cells(emb, k) if trained else base_cells(emb, k)
+    counts = cells.groupBy("cell").count()
     row = counts.agg(
         F.sum("count").alias("nb"),
         F.count(F.lit(1)).alias("cells"),
@@ -79,6 +99,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--cell-size", type=int, default=64)
+    ap.add_argument("--trained", action="store_true",
+                    help="add a k-means-trained-codebook row per scale "
+                         "(the dedup_semantic_clusters_trained config, "
+                         "VERDICT.md r6 #3) — shows trained occupancy "
+                         "tighter than sha-random at the same schedule")
     args = ap.parse_args()
 
     from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
@@ -115,9 +140,19 @@ def main() -> int:
           f"{'ssq/n':>8}")
     for scale in (1, 8, 64):
         n = n_base * scale
-        for mode, k in (("fixed", 16),
-                        ("k∝n", max(16, n // args.cell_size))):
-            nn, cells, mean, mx, ssq = occupancy(base, k, scale)
+        kn = max(16, n // args.cell_size)
+        modes = [("fixed", 16, False), ("k∝n", kn, False)]
+        if args.trained and scale <= 8:
+            # trained row at the same schedule; 64× (k=2000) skipped —
+            # a 2000-centroid literal assignment expression is the
+            # regime where assignment itself becomes the broadcast
+            # codebook join (assign_cells_broadcast), and training it
+            # here adds minutes for no new information: the 8× row
+            # already shows the occupancy gap at schedule scale
+            modes.append(("k∝n+km", kn, True))
+        for mode, k, trained in modes:
+            nn, cells, mean, mx, ssq = occupancy(base, k, scale,
+                                                 trained=trained)
             print(f"{scale:>4}x {mode:>6} {k:>6} {nn:>9} {cells:>6} "
                   f"{mean:>10.1f} {mx:>9} {ssq:>13} {ssq / nn:>8.1f}")
     return 0

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Warm-timing sweep over EVERY registered query — the perf audit the
-bench set cannot give (bench times ~30 of 178 queries).
+bench set cannot give (bench times ~50 of 184 queries).
 
     python tools/sweep_times.py [--passes 2] [--sf DIR] [--json OUT.json]
+                                [--collect] [--diff PREV.json]
 
 Prints one line per query, slowest first: warm (min across passes),
 cold (first pass), name. Round 5's sweep found a 45 s and a 32 s
@@ -11,11 +12,27 @@ timing audit"); re-run this after adding query families or making
 plan-level changes, and investigate anything whose warm time is out
 of line with its plan shape.
 
+Measurement mode (VERDICT.md r6 next-round #4): queries are evaluated
+with a NOOP WRITE (``df.write.format("noop")``) by default, not
+``.collect()`` — the sweep should record PLAN cost, and driver-side
+row materialization polluted the artifact for row-identity projections
+(scalar_math_pack: 3.35 s collected, ~1.1 s noop — the plan was never
+slow). ``--collect`` restores the old mode; the artifact records which
+mode produced it. Streaming queries still execute their micro-batches
+either way (the returned frame is the memory-sink table; the stream
+runs when the plan builds).
+
 ``--json SWEEP_r{N}.json`` writes the full per-query warm/cold map as
-a committed machine-readable artifact (VERDICT.md r5 next-round #2):
-the driver's stdout tail capture (~2 KB) cannot carry 178 timings, so
-the repo carries them instead — diff SWEEP_r{N}.json against the prior
-round to see every query's trajectory, not just the bench set's.
+a committed machine-readable artifact: the driver's stdout tail
+capture (~2 KB) cannot carry 184 timings, so the repo carries them
+instead.
+
+``--diff PREV.json`` compares against a prior round's artifact and
+flags any query whose warm time grew >1.5× (prior warm ≥ 0.25 s —
+below that, constant overhead dominates and ratios are noise): the
+headline-bench watch rule generalized to the whole registry
+(VERDICT.md r6 next-round #5). tests/test_sweep_regressions.py runs
+the same comparison over the two latest committed artifacts.
 """
 
 from __future__ import annotations
@@ -31,6 +48,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
 from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark
 
+REGRESSION_RATIO = 1.5
+REGRESSION_FLOOR_SEC = 0.25
+
+
+def compare_sweeps(prev: dict, cur: dict) -> list[tuple[str, float, float]]:
+    """(name, prev_warm, cur_warm) for every query in BOTH artifacts
+    whose warm time grew >REGRESSION_RATIO× from a prior warm of at
+    least REGRESSION_FLOOR_SEC. Shared by --diff and the pytest gate."""
+    out = []
+    pq, cq = prev.get("queries", {}), cur.get("queries", {})
+    for name in sorted(set(pq) & set(cq)):
+        pw, cw = pq[name]["warm"], cq[name]["warm"]
+        if pw >= REGRESSION_FLOOR_SEC and cw > REGRESSION_RATIO * pw:
+            out.append((name, pw, cw))
+    return out
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -38,10 +71,21 @@ def main() -> int:
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--json", default=None,
                     help="also write the full warm/cold map to this path")
+    ap.add_argument("--collect", action="store_true",
+                    help="evaluate via .collect() instead of a noop write")
+    ap.add_argument("--diff", default=None,
+                    help="prior-round artifact to flag >1.5x warm regressions "
+                         "against")
     args = ap.parse_args()
 
     spark = get_spark("mrcs_sweep")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    def evaluate(df) -> None:
+        if args.collect:
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
 
     res: dict[str, tuple[float, float]] = {}
     for name, q in registry.all_queries().items():
@@ -49,7 +93,7 @@ def main() -> int:
         for _ in range(args.passes):
             t0 = time.perf_counter()
             try:
-                q.fn(spark, args.sf).collect()
+                evaluate(q.fn(spark, args.sf))
             except Exception as e:  # keep sweeping; report at the end
                 print(f"ERR {name}: {type(e).__name__}: {e}", file=sys.stderr)
                 break
@@ -63,21 +107,32 @@ def main() -> int:
         print(f"{warm:8.3f} {cold:8.3f}  {name}")
     print(f"# {len(res)} queries, warm total {total:.1f}s", file=sys.stderr)
 
+    artifact = {
+        "sf_dir": args.sf,
+        "passes": args.passes,
+        "measure": "collect" if args.collect else "noop_write",
+        "n_queries": len(res),
+        "warm_total_sec": round(total, 3),
+        "queries": {
+            n: {"warm": warm, "cold": cold}
+            for n, (warm, cold) in sorted(res.items())
+        },
+    }
     if args.json:
-        artifact = {
-            "sf_dir": args.sf,
-            "passes": args.passes,
-            "n_queries": len(res),
-            "warm_total_sec": round(total, 3),
-            "queries": {
-                n: {"warm": warm, "cold": cold}
-                for n, (warm, cold) in sorted(res.items())
-            },
-        }
         with open(args.json, "w", encoding="utf-8") as fh:
             json.dump(artifact, fh, indent=0, sort_keys=True)
             fh.write("\n")
         print(f"# wrote {args.json}", file=sys.stderr)
+
+    if args.diff:
+        with open(args.diff, encoding="utf-8") as fh:
+            prev = json.load(fh)
+        regressions = compare_sweeps(prev, artifact)
+        for name, pw, cw in regressions:
+            print(f"REGRESSION {name}: {pw}s -> {cw}s "
+                  f"({cw / pw:.2f}x)", file=sys.stderr)
+        if regressions:
+            return 2
     return 0
 
 
