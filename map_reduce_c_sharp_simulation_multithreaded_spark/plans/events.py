@@ -542,11 +542,12 @@ def events_session_funnel_attribution(
     is credited to the session's FIRST event type. Output: per channel,
     sessions / converted sessions / attributed revenue.
 
-    Shuffle story: one exchange on user_id (sessionization windows),
-    one on (user_id, sess_id) — every conditional min, the row-number,
-    and the first-touch channel share that single sort — then a
-    final ≤5-group exchange on channel. All user-keyed, so at 100 TB
-    this is two well-partitioned window passes, no driver state, no
+    Shuffle story (PLANS.md shows the plan): ONE data exchange total —
+    hashpartitioning(user_id) satisfies the ClusteredDistribution of
+    every later (user_id, sess_id) window too, so all five window
+    groups run as in-partition sorts over the same exchange — then the
+    final ≤5-group agg exchange on channel. At 100 TB this is one
+    user-keyed shuffle plus per-partition sorts, no driver state, no
     iteration.
 
     Determinism: integer microseconds everywhere (the events.py
