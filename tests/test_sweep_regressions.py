@@ -34,7 +34,8 @@ ALLOWLIST: dict[str, str] = {}
 
 def _latest_sweeps() -> list[str]:
     arts = sorted(
-        f for f in os.listdir(REPO) if re.fullmatch(r"SWEEP_r\d+\.json", f)
+        (f for f in os.listdir(REPO) if re.fullmatch(r"SWEEP_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()),  # r9 < r10
     )
     return arts[-2:]
 
