@@ -81,6 +81,7 @@ EXTRA_BENCH = (
     # composed sessionize→funnel→attribution pipeline
     "dedup_semantic_clusters_trained",
     "events_session_funnel_attribution",
+    "split_cluster_leakage_safe",
 )
 
 

@@ -487,6 +487,86 @@ def curation_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_split_oracle() -> str:
+    """Leakage-safe split oracle: the shared CC chain (rare-fp band)
+    + the same first-md5-nibble rule as split_train_test_hash, applied
+    to the CLUSTER id."""
+    return f"""
+WITH RECURSIVE {_cc_chain(rare_band=(2, 4))},
+cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       CASE WHEN substring(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 1)
+                 IN ('0','1','2','3','4','5','6','7','8','9','a','b','c')
+            THEN 'train' ELSE 'eval' END AS split
+FROM cc
+"""
+
+
+@register(
+    "split_cluster_leakage_safe",
+    oracle=_cluster_split_oracle(),
+    tags=("mlprep", "split", "dedup", "iterative", "custom-operator"),
+)
+def split_cluster_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-GUARDED train/eval split: hash the near-dup CLUSTER id,
+    not the document — every member of a duplicate family lands on the
+    same side, so a near-copy of a training document can never leak
+    into eval (the contamination mode `split_train_test_hash`'s own
+    docstring warns about, and the reason production corpora split on
+    canonical/cluster keys — the deduplicate-then-split discipline of
+    CCNet/RefinedWeb-style pipelines; generalizes the reference's
+    key-partitioned split files, D/Program.cs:63-149, to a
+    semantic key).
+
+    Composition: the rare-winnowing-fingerprint connected components
+    (identical derivation to ``curation_cluster_keep_best`` —
+    singleton docs are their own cluster) + the first-md5-nibble
+    ~81/19 rule from ``split_train_test_hash`` applied to
+    'split:'||cluster_id. Emits the per-doc verdict
+    (doc_id, cluster_id, split).
+
+    Scale shape: everything is the already-argued CC machinery (star
+    edges bounded by the rarity band, node-sized min-label loop) plus
+    one row-local hash — no new shuffle beyond the cluster join. The
+    oracle re-derives clusters via the recursive-CTE closure and the
+    split from the same md5, differentially testing the composition
+    end to end. Leakage-freedom (no cluster straddles the splits) is
+    pinned in tests/test_round7_ops.py.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    doc_fp = _winnow_doc_fp(d)
+    rare = (
+        doc_fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nfp"))
+        .filter((F.col("nfp") >= 2) & (F.col("nfp") <= 4))
+        .select("fp")
+    )
+    rfp = doc_fp.join(rare, "fp")
+    hubs = rfp.groupBy("fp").agg(F.min("doc_id").alias("hub"))
+    edges = (
+        rfp.join(hubs, "fp")
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("doc_id").alias("id_a"), F.col("hub").alias("id_b"))
+        .distinct()
+        .cache()
+    )
+    labels = _min_label_components(
+        d.select(F.col("doc_id").alias("node")), edges
+    )
+    edges.unpersist()
+    nibble = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("label").cast("string"))), 1, 1
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.when(nibble.isin(*"0123456789abc"), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
 @register(
     "udtf_chunk_windows",
     oracle="""

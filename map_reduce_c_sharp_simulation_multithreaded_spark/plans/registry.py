@@ -116,8 +116,9 @@ def _load_all_plan_modules() -> None:
 #     events_session_funnel_attribution (composed sessionize → funnel
 #     → first-touch attribution under one composed oracle, VERDICT
 #     r6 #6);
-#   - agg_cube_grouping_id: oldest r04 evidence, filling the 50th
-#     slot.
+#   - split_cluster_leakage_safe: third round-7 debut (cluster-keyed
+#     train/eval split — near-dup families never straddle the split),
+#     taking the 50th slot.
 # After this window lands green, no registered query carries evidence
 # older than r04. Round-8 queue note: the remaining 34 r04 queries
 # (agg packs, joins family, text tf-idf/lm/pmi, multimodal
@@ -180,8 +181,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "window_rolling_median",
-    # --- oldest r04 evidence, filling the 50th slot ---
-    "agg_cube_grouping_id",
+    # --- round-7 late debut (same-round rule): leakage-safe split ---
+    "split_cluster_leakage_safe",
 )
 
 

@@ -49,6 +49,7 @@ EXPECTED_BLIND = {
     "graph_bfs_supplier_hops",
     "graph_pagerank_directed",
     "graph_pagerank_suppliers",
+    "split_cluster_leakage_safe",
     "text_bpe_merges",
     "text_bpe_vocab_apply",
     # memory-sink streaming family (mrcs_stream_N table tails)

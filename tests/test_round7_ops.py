@@ -215,3 +215,41 @@ def test_loop_partitions_restores_conf(spark):
     ranks = pagerank(edges, n_iter=2, loop_partitions=4)
     assert ranks.count() == 4
     assert spark.conf.get(key) == before
+
+
+def test_cluster_split_leakage_free(spark, sf_dir):
+    """The property the query exists for: no near-dup cluster straddles
+    the train/eval boundary, every document is assigned exactly once,
+    and both splits are non-empty (the nibble rule actually selects)."""
+    df = registry.all_queries()["split_cluster_leakage_safe"].fn(
+        spark, sf_dir
+    )
+    rows = df.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())  # no straddle
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "eval"}
+
+
+def test_cluster_split_agrees_with_keep_best_clusters(spark, sf_dir):
+    """The split's clusters ARE keep-best's clusters (shared
+    derivation): same (doc -> cluster) map, so curating with keep-best
+    and splitting leakage-safe compose consistently."""
+    split_map = {
+        r["doc_id"]: r["cluster_id"]
+        for r in registry.all_queries()["split_cluster_leakage_safe"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    kb = (
+        registry.all_queries()["curation_cluster_keep_best"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    for r in kb:
+        assert split_map[r["kept_doc_id"]] == r["cluster_id"]
