@@ -142,6 +142,12 @@ def main() -> int:
         "extra_total": round(sum(extra_times.values()), 3),
         "extra_queries": extra_times,
         "extra_cold_queries": extra_cold,
+        # recorded idle check (VERDICT.md r6 #2a): 1/5/15-min load
+        # averages at bench END — a driver-channel swing with loadavg
+        # far above the 32-core budget is host contention, not a plan
+        # regression (the r4/r6 drift class). Start-of-run load is the
+        # JVM-warmup line's own cost, so the end sample is the signal.
+        "loadavg_end": [round(v, 2) for v in os.getloadavg()],
     }
     print("DETAIL " + json.dumps(detail), file=sys.stderr)
     artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)),
