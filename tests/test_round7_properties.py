@@ -1,0 +1,122 @@
+"""Property-based tests for the round-7 compositions.
+
+Three registered queries now ride the min-label iterative loop
+(dedup_connected_components, curation_cluster_keep_best,
+split_cluster_leakage_safe) and the loop is fingerprint-BLIND (its
+returned frame is a checkpoint scan), so its correctness evidence must
+come from tests: random graphs pit `_min_label_components` against an
+independent pure-Python union-find. The leakage-safe split's nibble
+rule is likewise probed on random cluster labelings against an
+independent recomputation. One Spark job per hypothesis example
+(per-example jobs make shrinking unbearably slow).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from map_reduce_c_sharp_simulation_multithreaded_spark.plans.advanced import (
+    _min_label_components,
+)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# Small dense node pool so random edges actually form multi-node
+# components (and chains long enough to need several label rounds);
+# isolated nodes come from the fixed 0..14 node frame below.
+EDGES = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _union_find_labels(nodes: set[int], edges: list[tuple[int, int]]):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # component label = MIN member, the loop's fixpoint contract
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+@given(EDGES)
+@SLOW
+def test_min_label_components_equal_union_find(spark, edges):
+    nodes = set(range(15))  # includes isolates not touched by any edge
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "node long")
+    if edges:
+        edges_df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+    else:
+        edges_df = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["node"]: r["label"]
+        for r in _min_label_components(
+            nodes_df, edges_df, loop_partitions=4
+        ).collect()
+    }
+    want = _union_find_labels(nodes, edges)
+    assert got == want
+
+
+LABELS = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 60)),  # (doc, cluster)
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(LABELS)
+@SLOW
+def test_nibble_split_rule_matches_engine(spark, labeling):
+    """The md5-nibble split is a pure function of the cluster id that
+    any engine re-derives (the oracle's claim) — assert the engine
+    expression against hashlib on random (doc, cluster) labelings, and
+    that same-cluster docs always land together (leakage-freedom is a
+    corollary of being a function of cluster_id alone)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        list(labeling), "doc_id long, cluster_id long"
+    )
+    nibble = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))),
+        1,
+        1,
+    )
+    rows = df.select(
+        "doc_id",
+        "cluster_id",
+        F.when(nibble.isin(*"0123456789abc"), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    ).collect()
+    for r in rows:
+        n = hashlib.md5(f"split:{r['cluster_id']}".encode()).hexdigest()[0]
+        want = "train" if n in "0123456789abc" else "eval"
+        assert r["split"] == want
+    by_cluster: dict[int, set[str]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
