@@ -124,10 +124,10 @@ def _load_all_plan_modules() -> None:
 # (agg packs, joins family, text tf-idf/lm/pmi, multimodal
 # resize/frames, graph, sinks), then the r05 block — plus, as always,
 # any query whose plan/oracle changes in round 8 and round-8 debuts.
-# Queued round-8 perf change (SCALE.md round-7 audit): memoize the
-# IVF-PQ candidate code frame per dataset fingerprint — changes BOTH
-# sim_ivfpq_topk and sim_ivfpq_rerank_topk plans, so both ride the
-# round-8 window (rerank is in the r04 block anyway).
+# (The IVF-PQ code-frame caching initially queued for round 8 landed
+# in round 7 after all: plain .cache() substitution leaves the
+# analyzed-plan fingerprints unchanged — 0 changed per the gate — so
+# no window slot was needed; both oracles re-verified at sf0.01.)
 # The plan-fingerprint gate (tests/test_plan_freshness.py +
 # PLAN_HASHES.json) FAILS the suite if a changed plan is not in
 # this window, so the round-5 freeze-gap class cannot recur silently;
