@@ -369,6 +369,75 @@ def _min_label_body(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return final
 
 
+_CLUSTER_LABELS: dict[tuple, DataFrame] = {}
+
+
+def _documents_fingerprint(sf_dir: str) -> tuple:
+    """(path, size, mtime_ns) of every file under documents.parquet —
+    the memo key discipline of the trained ANN codebooks (ADVICE r5):
+    an in-process rewrite of the corpus invalidates the entry."""
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    paths = [root]
+    if os.path.isdir(root):
+        paths = sorted(
+            os.path.join(dp, f)
+            for dp, _, files in os.walk(root)
+            for f in files
+        )
+    out = []
+    for pth in paths:
+        try:
+            st = os.stat(pth)
+            out.append((pth, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((pth, -1, -1))
+    return tuple(out)
+
+
+def _rare_fp_cluster_labels(d: DataFrame, sf_dir: str) -> DataFrame:
+    """(node, label) connected components over the rare-winnowing-fp
+    star graph (fingerprints shared by 2-4 docs), eager-checkpointed by
+    :func:`_min_label_components` and MEMOIZED per dataset: the
+    near-dup cluster index is a build-once/use-many artifact — the
+    keep-best curation and the leakage-safe split both consume the
+    SAME clusters (their consistency is the point, pinned in
+    tests/test_round7_ops.py), so the iterative loop runs once per
+    corpus, not once per consumer. Same build/search split as the
+    trained ANN codebooks; at 100 TB the labels frame would be written
+    to parquet at curation time and read by every downstream job. The
+    memoized frame is a checkpointed RDD (no cache entry to leak), and
+    a fresh process always rebuilds, so plan fingerprints are computed
+    on the real build, never a memo hit."""
+    key = (sf_dir, _documents_fingerprint(sf_dir))
+    got = _CLUSTER_LABELS.get(key)
+    if got is not None:
+        return got
+    doc_fp = _winnow_doc_fp(d)
+    rare = (
+        doc_fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nfp"))
+        .filter((F.col("nfp") >= 2) & (F.col("nfp") <= 4))
+        .select("fp")
+    )
+    rfp = doc_fp.join(rare, "fp")
+    hubs = rfp.groupBy("fp").agg(F.min("doc_id").alias("hub"))
+    edges = (
+        rfp.join(hubs, "fp")
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("doc_id").alias("id_a"), F.col("hub").alias("id_b"))
+        .distinct()
+        .cache()
+    )
+    labels = _min_label_components(
+        d.select(F.col("doc_id").alias("node")), edges
+    )
+    edges.unpersist()
+    _CLUSTER_LABELS[key] = labels
+    return labels
+
+
 def _keep_best_oracle() -> str:
     """Keep-best composition oracle: the shared CC chain with the
     rare-fingerprint band (:func:`_cc_chain`) + the
@@ -436,26 +505,7 @@ def curation_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import quality_features
 
     d = load_table(spark, sf_dir, "documents")
-    doc_fp = _winnow_doc_fp(d)
-    rare = (
-        doc_fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("nfp"))
-        .filter((F.col("nfp") >= 2) & (F.col("nfp") <= 4))
-        .select("fp")
-    )
-    rfp = doc_fp.join(rare, "fp")
-    hubs = rfp.groupBy("fp").agg(F.min("doc_id").alias("hub"))
-    edges = (
-        rfp.join(hubs, "fp")
-        .filter(F.col("doc_id") != F.col("hub"))
-        .select(F.col("doc_id").alias("id_a"), F.col("hub").alias("id_b"))
-        .distinct()
-        .cache()
-    )
-    labels = _min_label_components(
-        d.select(F.col("doc_id").alias("node")), edges
-    )
-    edges.unpersist()
+    labels = _rare_fp_cluster_labels(d, sf_dir)
     clusters = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -535,26 +585,7 @@ def split_cluster_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    doc_fp = _winnow_doc_fp(d)
-    rare = (
-        doc_fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("nfp"))
-        .filter((F.col("nfp") >= 2) & (F.col("nfp") <= 4))
-        .select("fp")
-    )
-    rfp = doc_fp.join(rare, "fp")
-    hubs = rfp.groupBy("fp").agg(F.min("doc_id").alias("hub"))
-    edges = (
-        rfp.join(hubs, "fp")
-        .filter(F.col("doc_id") != F.col("hub"))
-        .select(F.col("doc_id").alias("id_a"), F.col("hub").alias("id_b"))
-        .distinct()
-        .cache()
-    )
-    labels = _min_label_components(
-        d.select(F.col("doc_id").alias("node")), edges
-    )
-    edges.unpersist()
+    labels = _rare_fp_cluster_labels(d, sf_dir)
     nibble = F.substring(
         F.md5(F.concat(F.lit("split:"), F.col("label").cast("string"))), 1, 1
     )
