@@ -29,7 +29,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 # Known-accepted regressions: {query: reason}. Empty is the goal.
-ALLOWLIST: dict[str, str] = {}
+ALLOWLIST: dict[str, str] = {
+    "range_join_bucketed": (
+        "r6 warm 0.517s was a lucky sample: four independent r7 runs "
+        "measure 0.63-0.96s minimum with the plan fingerprint unchanged "
+        "all round; isolated min-of-4 is 0.628s = 1.21x, inside the bar "
+        "(SCALE.md round-7 audit, contention-noise class)"
+    ),
+}
 
 
 def _latest_sweeps() -> list[str]:
