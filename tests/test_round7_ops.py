@@ -253,3 +253,48 @@ def test_cluster_split_agrees_with_keep_best_clusters(spark, sf_dir):
     )
     for r in kb:
         assert split_map[r["kept_doc_id"]] == r["cluster_id"]
+
+
+def test_build_memos_hit_and_invalidate(spark, sf_dir, tmp_path):
+    """The build-once memos (rare-fp cluster index, trained SemDeDup
+    codebook) must HIT on unchanged data — same object back, no
+    rebuild — and REBUILD when the underlying parquet is rewritten
+    (the ADVICE-r5 fingerprint-key contract, here actually exercised:
+    a stale index served against fresh data would silently disagree
+    with the generated oracle)."""
+    import shutil
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.advanced import (
+        _rare_fp_cluster_labels,
+    )
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+        _trained_semdedup_codebook,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    labels1 = _rare_fp_cluster_labels(d, sf_dir)
+    labels2 = _rare_fp_cluster_labels(d, sf_dir)
+    assert labels1 is labels2  # memo hit on unchanged files
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents1 = _trained_semdedup_codebook(emb, sf_dir)
+    cents2 = _trained_semdedup_codebook(emb, sf_dir)
+    assert cents1 is cents2
+
+    # rewrite the corpus under a new dir: same CONTENT, different
+    # (path, mtime) fingerprint -> both memos must rebuild
+    alt = tmp_path / "sfalt"
+    alt.mkdir()
+    for t in ("documents.parquet", "embeddings.parquet"):
+        shutil.copy(f"{sf_dir}/{t}", alt / t)
+    d_alt = load_table(spark, str(alt), "documents")
+    emb_alt = load_table(spark, str(alt), "embeddings")
+    labels3 = _rare_fp_cluster_labels(d_alt, str(alt))
+    assert labels3 is not labels1
+    cents3 = _trained_semdedup_codebook(emb_alt, str(alt))
+    assert cents3 is not cents1
+    # identical content -> identical rebuilt values (determinism)
+    assert cents3 == cents1
+    got1 = sorted((r["node"], r["label"]) for r in labels1.collect())
+    got3 = sorted((r["node"], r["label"]) for r in labels3.collect())
+    assert got1 == got3
