@@ -262,19 +262,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    doc_fp = _winnow_doc_fp(d)
-    hubs = doc_fp.groupBy("fp").agg(F.min("doc_id").alias("hub"))
-    edges = (
-        doc_fp.join(hubs, "fp")
-        .filter(F.col("doc_id") != F.col("hub"))
-        .select(F.col("doc_id").alias("id_a"), F.col("hub").alias("id_b"))
-        .distinct()
-        .cache()
-    )
-    labels = _min_label_components(
-        d.select(F.col("doc_id").alias("node")), edges
-    )
-    edges.unpersist()
+    labels = _fp_cluster_labels(d, sf_dir, band=None)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -396,35 +384,42 @@ def _documents_fingerprint(sf_dir: str) -> tuple:
     return tuple(out)
 
 
-def _rare_fp_cluster_labels(d: DataFrame, sf_dir: str) -> DataFrame:
-    """(node, label) connected components over the rare-winnowing-fp
-    star graph (fingerprints shared by 2-4 docs), eager-checkpointed by
-    :func:`_min_label_components` and MEMOIZED per dataset: the
-    near-dup cluster index is a build-once/use-many artifact — the
-    keep-best curation and the leakage-safe split both consume the
-    SAME clusters (their consistency is the point, pinned in
-    tests/test_round7_ops.py), so the iterative loop runs once per
+def _fp_cluster_labels(
+    d: DataFrame, sf_dir: str, band: tuple[int, int] | None
+) -> DataFrame:
+    """(node, label) connected components over the winnowing-fp star
+    graph — ``band=(lo, hi)`` restricts edges to fingerprints shared
+    by lo..hi docs (the rare-fp boilerplate cut keep-best and the
+    leakage-safe split use); ``band=None`` is the full shared-fp graph
+    (dedup_connected_components). Eager-checkpointed by
+    :func:`_min_label_components` and MEMOIZED per (dataset, band):
+    the near-dup cluster index is a build-once/use-many artifact —
+    keep-best and the split consume the SAME clusters (consistency
+    pinned in tests/test_round7_ops.py), and repeat invocations of any
+    consumer pay retrieval only — so the iterative loop runs once per
     corpus, not once per consumer. Same build/search split as the
     trained ANN codebooks; at 100 TB the labels frame would be written
     to parquet at curation time and read by every downstream job. The
     memoized frame is a checkpointed RDD (no cache entry to leak), and
     a fresh process always rebuilds, so plan fingerprints are computed
     on the real build, never a memo hit."""
-    key = (sf_dir, _documents_fingerprint(sf_dir))
+    key = (sf_dir, _documents_fingerprint(sf_dir), band)
     got = _CLUSTER_LABELS.get(key)
     if got is not None:
         return got
     doc_fp = _winnow_doc_fp(d)
-    rare = (
-        doc_fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("nfp"))
-        .filter((F.col("nfp") >= 2) & (F.col("nfp") <= 4))
-        .select("fp")
-    )
-    rfp = doc_fp.join(rare, "fp")
-    hubs = rfp.groupBy("fp").agg(F.min("doc_id").alias("hub"))
+    if band is not None:
+        lo, hi = band
+        rare = (
+            doc_fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("nfp"))
+            .filter((F.col("nfp") >= lo) & (F.col("nfp") <= hi))
+            .select("fp")
+        )
+        doc_fp = doc_fp.join(rare, "fp")
+    hubs = doc_fp.groupBy("fp").agg(F.min("doc_id").alias("hub"))
     edges = (
-        rfp.join(hubs, "fp")
+        doc_fp.join(hubs, "fp")
         .filter(F.col("doc_id") != F.col("hub"))
         .select(F.col("doc_id").alias("id_a"), F.col("hub").alias("id_b"))
         .distinct()
@@ -436,6 +431,11 @@ def _rare_fp_cluster_labels(d: DataFrame, sf_dir: str) -> DataFrame:
     edges.unpersist()
     _CLUSTER_LABELS[key] = labels
     return labels
+
+
+def _rare_fp_cluster_labels(d: DataFrame, sf_dir: str) -> DataFrame:
+    """The rare-band (2-4) cluster index keep-best and the split share."""
+    return _fp_cluster_labels(d, sf_dir, band=(2, 4))
 
 
 def _keep_best_oracle() -> str:
