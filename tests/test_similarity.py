@@ -36,6 +36,45 @@ def test_brute_force_matches_numpy(spark):
     assert math.isclose(sim01, 0.9 / math.hypot(0.9, 0.1), rel_tol=1e-5)
 
 
+def test_brute_force_prenorm_bit_identical(emb):
+    """brute_force_topk precomputes per-side norms OUTSIDE the pair
+    expression (3 folds/pair → 1). The refactor claim is bit-identity,
+    not closeness: each norm is the same sequential fold over the same
+    floats, just evaluated earlier, so dot/(qn*cn) must equal the naive
+    cosine(q, c) EXACTLY — which is what keeps the DuckDB oracle's
+    ROUND(...,6)-then-rank contract safe from ulp-level rank flips."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        cosine,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+    )
+    naive = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("sim"),
+        )
+    )
+    got = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in brute_force_topk(
+            emb.filter(F.col("vec_id") < 5), emb, k=10, sim_decimals=12
+        ).collect()
+    }
+    want = {(r.query_id, r.neighbor_id): r.sim for r in naive.collect()}
+    assert got  # non-empty guard
+    for key, sim in got.items():
+        assert sim == round(want[key], 12), key
+
+
 def test_lsh_recall_vs_brute_force(emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = brute_force_topk(queries, emb, k=5).collect()
