@@ -90,6 +90,12 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # start-of-run load BEFORE the JVM spins up: the cross-run epoch
+    # indicator (SCALE.md "host-speed epoch" — identical code measured
+    # 5.3-5.9 s vs 6.8-7.7 s between host windows). loadavg_end below
+    # is dominated by bench's own 32-thread tail and disambiguates
+    # within-run contention instead.
+    loadavg_start = [round(v, 2) for v in os.getloadavg()]
     spark = get_spark("mrcs_bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
@@ -143,10 +149,12 @@ def main() -> int:
         "extra_queries": extra_times,
         "extra_cold_queries": extra_cold,
         # recorded idle check (VERDICT.md r6 #2a): 1/5/15-min load
-        # averages at bench END — a driver-channel swing with loadavg
-        # far above the 32-core budget is host contention, not a plan
-        # regression (the r4/r6 drift class). Start-of-run load is the
-        # JVM-warmup line's own cost, so the end sample is the signal.
+        # averages at bench START (pre-JVM — the epoch indicator) and
+        # END (bench's own tail — within-run contention). A
+        # driver-channel swing with load far above the 32-core budget
+        # is host contention, not a plan regression (the r4/r6 drift
+        # class; measured magnitude in SCALE.md "host-speed epoch").
+        "loadavg_start": loadavg_start,
         "loadavg_end": [round(v, 2) for v in os.getloadavg()],
     }
     print("DETAIL " + json.dumps(detail), file=sys.stderr)

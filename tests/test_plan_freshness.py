@@ -66,9 +66,16 @@ EXPECTED_BLIND = {
 # Known additional body-blind query the regex cannot isolate:
 # stream_foreachbatch_upsert returns a WAREHOUSE table scan (its
 # foreachBatch MERGE writes a real table), indistinguishable in the
-# plan string from a legitimate catalog read. Its body is pinned by
-# the streaming upsert pytest; treat any foreachBatch-style debut the
-# same way.
+# plan string from a legitimate catalog read. It is force-listed in
+# plan_hashes._FORCE_SOURCE_FP; treat any foreachBatch-style debut
+# the same way.
+#
+# Blind does NOT mean unguarded: for every query in this set (and the
+# force list) the fingerprint folds in the SOURCE CLOSURE of the plan
+# function — itself plus every package-local function/class it
+# transitively references — so loop-body and stream-body edits drift
+# the hash even though the analyzed plan cannot see them
+# (plan_hashes._source_closure; coverage pinned below).
 
 
 def _run_tool() -> "subprocess.CompletedProcess[str]":
@@ -119,3 +126,26 @@ def test_changed_plans_are_in_driver_window():
         f"query's plan hash cannot see its body; update EXPECTED_BLIND "
         f"deliberately and make sure the body has its own pytest"
     )
+
+
+def test_blind_fingerprints_fold_in_body_source():
+    """The plan-blind fingerprints must cover the bodies the plan hash
+    cannot see: the source closure of an iterative query reaches its
+    loop body, a stream query reaches the replay/writeStream helpers,
+    and the force-listed foreachBatch query reaches its MERGE sink.
+    (End-to-end check run when the scheme landed: a one-character
+    docstring edit inside _pagerank_body drifted all three dependent
+    fingerprints; reverting restored zero drift.)"""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import plan_hashes
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
+
+    qs = registry.all_queries()
+    pr = plan_hashes._source_closure(qs["graph_pagerank_suppliers"].fn)
+    assert "_pagerank_body" in pr and "localCheckpoint" in pr
+    st = plan_hashes._source_closure(qs["stream_tumbling_counts"].fn)
+    assert "writeStream" in st
+    fb = plan_hashes._source_closure(qs["stream_foreachbatch_upsert"].fn)
+    assert "foreachBatch" in fb
+    assert "stream_foreachbatch_upsert" in plan_hashes._FORCE_SOURCE_FP

@@ -8,7 +8,10 @@ code. This tool makes that impossible to repeat silently: it computes
 a normalized sha256 of every registered query's ANALYZED logical plan
 (deliberately pre-optimizer — see the comment in :func:`compute`) and
 compares against the committed ``PLAN_HASHES.json`` snapshot (frozen
-when the DRIVER_WINDOW was last rotated).
+when the DRIVER_WINDOW was last rotated). Queries whose returned
+frame is a checkpoint or memory-sink tail (the plan is BLIND to their
+loop/stream body) additionally fold the body's source closure into
+the fingerprint — see :data:`_BLIND_RX`.
 ``tests/test_plan_freshness.py`` fails unless every query whose
 fingerprint drifted from the snapshot — plus every new query — is in
 the upcoming DRIVER_WINDOW.
@@ -34,10 +37,12 @@ from __future__ import annotations
 
 import argparse
 import hashlib
+import inspect
 import json
 import os
 import re
 import sys
+import types
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -66,12 +71,96 @@ _NORMALIZERS = (
 )
 
 # Queries whose RETURNED frame is a checkpoint scan (LogicalRDD) or a
-# memory-sink table scan fingerprint only that tail — the gate is
+# memory-sink table scan fingerprint only that tail — the PLAN hash is
 # BLIND to their loop/stream bodies. main() prints them as "blind:"
 # lines and tests/test_plan_freshness.py pins the exact set, so the
 # blind spot is visible in the gate itself, not just a comment
-# (ADVICE r6); their bodies are guarded by dedicated pytests.
+# (ADVICE r6). For these queries (and _FORCE_SOURCE_FP) the
+# fingerprint additionally folds in :func:`_source_closure` — the
+# source text of the plan function and every package-local function/
+# class it transitively references — so a loop-body or stream-body
+# edit DOES drift the fingerprint even though the analyzed plan
+# cannot see it (closing the r6-ADVICE blind spot instead of only
+# pinning it). Plan-visible queries keep plan-only hashes: source
+# hashing there would flag comment-only refactors the plan hash
+# already proves harmless.
 _BLIND_RX = re.compile(r"\bLogicalRDD\b|mrcs_stream_")
+
+# Body-blind queries the regex cannot isolate: foreachBatch writes a
+# real warehouse table, so the returned frame is a plain catalog read
+# indistinguishable from a legitimate table scan. Force their
+# fingerprints onto the source-closure scheme by name.
+_FORCE_SOURCE_FP = {"stream_foreachbatch_upsert"}
+
+_PKG = "map_reduce_c_sharp_simulation_multithreaded_spark"
+
+
+def _code_names(code: types.CodeType) -> set[str]:
+    """co_names of ``code`` and every nested code object (lambdas,
+    comprehensions, local defs)."""
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+def _source_closure(fn) -> str:
+    """Concatenated (sorted, deduped) source of ``fn`` plus every
+    package-local function/class it transitively references through
+    globals, module attributes, or closure cells. Deterministic for a
+    given working tree — comment edits count, deliberately: a drifted
+    body fingerprint costs one driver-window slot to re-verify, while
+    a silent body change cost round 5 its evidence freshness."""
+    seen: set[tuple[str, str]] = set()
+    sources: dict[tuple[str, str], str] = {}
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        key = (
+            getattr(f, "__module__", "") or "",
+            getattr(f, "__qualname__", None) or repr(type(f)),
+        )
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            sources[key] = inspect.getsource(f)
+        except (OSError, TypeError):
+            pass
+        code = getattr(f, "__code__", None)
+        if code is None:
+            continue
+        g = getattr(f, "__globals__", {})
+        names = _code_names(code)
+        for name in names:
+            cand = g.get(name)
+            if isinstance(cand, (types.FunctionType, type)) and getattr(
+                cand, "__module__", ""
+            ).startswith(_PKG):
+                stack.append(cand)
+            elif isinstance(cand, types.ModuleType) and cand.__name__.startswith(
+                _PKG
+            ):
+                # attribute-style calls (mod.helper(...)): co_names holds
+                # both the module and the attribute names — resolve every
+                # name against the module (over-collects harmlessly)
+                for attr in names:
+                    sub = getattr(cand, attr, None)
+                    if isinstance(sub, (types.FunctionType, type)) and getattr(
+                        sub, "__module__", ""
+                    ).startswith(_PKG):
+                        stack.append(sub)
+        for cell in getattr(f, "__closure__", None) or ():
+            try:
+                v = cell.cell_contents
+            except ValueError:  # pragma: no cover - unfilled cell
+                continue
+            if isinstance(v, (types.FunctionType, type)) and getattr(
+                v, "__module__", ""
+            ).startswith(_PKG):
+                stack.append(v)
+    return "\n".join(sources[k] for k in sorted(sources))
 
 
 def normalize(plan: str) -> str:
@@ -102,9 +191,9 @@ def compute(
         # Expand) iterate attribute sets whose order shifts with
         # session history — observed flapping agg_distinct_counts /
         # agg_profile_orders_columns across otherwise identical runs.
-        # Known blind spot: queries returning localCheckpoint()ed
-        # frames (pagerank/CC) fingerprint only the post-checkpoint
-        # tail; their loop bodies are guarded by dedicated pytests.
+        # Queries returning localCheckpoint()ed frames (pagerank/CC)
+        # analyze to only the post-checkpoint tail; their fingerprints
+        # get the body's source closure folded in below.
         plan = (
             qs[name]
             .fn(spark, sf_dir)
@@ -112,11 +201,14 @@ def compute(
             .analyzed()
             .toString()
         )
-        if blind_out is not None and _BLIND_RX.search(plan):
-            blind_out.add(name)
-        out[name] = hashlib.sha256(
-            normalize(plan).encode("utf-8")
-        ).hexdigest()[:16]
+        payload = normalize(plan)
+        if _BLIND_RX.search(plan) or name in _FORCE_SOURCE_FP:
+            if blind_out is not None and _BLIND_RX.search(plan):
+                blind_out.add(name)
+            # plan-blind tail: fold the body's source closure into the
+            # fingerprint so body edits drift it (see _BLIND_RX note)
+            payload += "\x00" + _source_closure(qs[name].fn)
+        out[name] = hashlib.sha256(payload.encode("utf-8")).hexdigest()[:16]
     spark.catalog.clearCache()
     return out
 

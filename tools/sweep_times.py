@@ -78,6 +78,10 @@ def main() -> int:
                          "against")
     args = ap.parse_args()
 
+    # pre-JVM load sample: the cross-run epoch indicator (SCALE.md
+    # "host-speed epoch" — a re-sweep of identical code once measured
+    # 146.7 s vs a committed 99.7 s, uniformly across families).
+    loadavg_start = [round(v, 2) for v in os.getloadavg()]
     spark = get_spark("mrcs_sweep")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
@@ -122,6 +126,8 @@ def main() -> int:
         "measure": "collect" if args.collect else "noop_write",
         "n_queries": len(res),
         "warm_total_sec": round(total, 3),
+        "loadavg_start": loadavg_start,
+        "loadavg_end": [round(v, 2) for v in os.getloadavg()],
         "queries": {
             n: {"warm": warm, "cold": cold}
             for n, (warm, cold) in sorted(res.items())
