@@ -133,7 +133,9 @@ def _load_all_plan_modules() -> None:
 # no window slot was needed; both oracles re-verified at sf0.01.)
 # The plan-fingerprint gate (tests/test_plan_freshness.py +
 # PLAN_HASHES.json) FAILS the suite if a changed plan is not in
-# this window, so the round-5 freeze-gap class cannot recur silently;
+# this window, so the round-5 freeze-gap class cannot recur silently
+# — including loop/stream BODIES: plan-blind (checkpoint/memory-sink)
+# queries fold the body's source closure into their fingerprints;
 # refresh the snapshot (tools/plan_hashes.py --write) when rotating.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- round-7 debuts (same-round rule) ---
