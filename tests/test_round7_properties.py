@@ -120,3 +120,69 @@ def test_nibble_split_rule_matches_engine(spark, labeling):
     for r in rows:
         by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_cluster.values())
+
+
+# INTEGER-valued components, deliberately: dots and squared norms are
+# then exact in float64 regardless of summation order, so numpy's
+# pairwise matmul and the engine's sequential fold produce
+# bit-identical sims (sqrt/mul/div are correctly-rounded on identical
+# inputs) — no near-boundary rank-flip flake is possible.
+RAND_VECS = st.lists(
+    st.lists(st.integers(-4, 4).map(float), min_size=4, max_size=4),
+    min_size=3,
+    max_size=12,
+)
+
+
+@SLOW
+@given(vecs=RAND_VECS)
+def test_brute_force_topk_matches_numpy_ranking(spark, vecs):
+    """The prenorm brute-force top-k must agree with an independent
+    numpy cosine ranking on random float vectors: same neighbor SETS
+    per query and numerically matching (rounded) sims. Guards exactly
+    the surface the prenorm refactor touched — one fold per pair
+    recombined with precomputed norms — against an oracle that shares
+    no code with it. Ranks are compared as sets at rounded-sim ties
+    (the engine breaks ties on neighbor id; so does the reference
+    impl here, making the rn sequences comparable too)."""
+    import numpy as np
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    # drop zero vectors: cosine is undefined there (NaN sim on both
+    # sides) and the corpus contract (unit-ish embeddings) excludes them
+    arr = np.array(vecs, dtype=np.float32)
+    arr = arr[np.linalg.norm(arr, axis=1) > 1e-3]
+    if len(arr) < 3:
+        return
+    k = 3
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(arr)],
+        "vec_id long, embedding array<float>",
+    )
+    got = brute_force_topk(
+        df.filter("vec_id < 2"), df, k=k, sim_decimals=6
+    ).collect()
+
+    a = arr.astype(np.float64)
+    sims = (a @ a.T) / (
+        np.linalg.norm(a, axis=1)[:, None] * np.linalg.norm(a, axis=1)[None, :]
+    )
+    for q in range(min(2, len(a))):
+        mine = sorted(
+            ((round(sims[q, c], 6), -c) for c in range(len(a)) if c != q),
+            reverse=True,
+        )[:k]
+        want = [(-negc, s) for s, negc in mine]
+        have = sorted(
+            ((r.neighbor_id, r.sim) for r in got if r.query_id == q),
+            key=lambda t: next(
+                i for i, (c, _) in enumerate(want) if c == t[0]
+            ) if any(c == t[0] for c, _ in want) else 99,
+        )
+        assert len(have) == min(k, len(a) - 1)
+        for (cw, sw), (ch, sh) in zip(want, have):
+            assert cw == ch, (q, want, have)
+            assert abs(sw - sh) < 2e-6, (q, cw, sw, sh)
