@@ -128,24 +128,59 @@ def test_changed_plans_are_in_driver_window():
     )
 
 
+# For every plan-blind query, a source marker its body MUST contain:
+# the name of (or a call inside) the loop/stream body the plan hash
+# cannot see. If a marker goes missing from the query's source
+# closure, the gate has regressed to the r6-ADVICE blind spot.
+# Function-LOCAL imports are the known trap (review finding: the BPE
+# iteratives import their merge loop inside the function body, which
+# binds locals invisible to __globals__ — plan_hashes._local_imports
+# exists for exactly this).
+_BODY_MARKERS = {
+    "curation_cluster_keep_best": ["_min_label_components",
+                                   "def quality_features"],
+    "dedup_connected_components": ["_min_label_components"],
+    "graph_bfs_supplier_hops": ["localCheckpoint"],
+    "graph_pagerank_directed": ["_pagerank_body"],
+    "graph_pagerank_suppliers": ["_pagerank_body", "localCheckpoint"],
+    "split_cluster_leakage_safe": ["_min_label_components"],
+    "text_bpe_merges": ["def bpe_merge_rounds", "localCheckpoint"],
+    "text_bpe_vocab_apply": ["def bpe_merge_rounds"],
+    "stream_dedup_user_type": ["writeStream"],
+    "stream_dedup_within_watermark": ["writeStream"],
+    "stream_session_windows": ["writeStream"],
+    "stream_sliding_avg": ["writeStream"],
+    "stream_stateful_user_totals": ["writeStream"],
+    "stream_static_join_enrich": ["writeStream", "def load_table"],
+    "stream_stream_interval_join": ["writeStream"],
+    "stream_tumbling_counts": ["writeStream"],
+    "stream_windowed_topk": ["writeStream"],
+    # force-listed (warehouse-table tail, regex-invisible)
+    "stream_foreachbatch_upsert": ["foreachBatch", "def load_table"],
+}
+
+
 def test_blind_fingerprints_fold_in_body_source():
-    """The plan-blind fingerprints must cover the bodies the plan hash
-    cannot see: the source closure of an iterative query reaches its
-    loop body, a stream query reaches the replay/writeStream helpers,
-    and the force-listed foreachBatch query reaches its MERGE sink.
-    (End-to-end check run when the scheme landed: a one-character
-    docstring edit inside _pagerank_body drifted all three dependent
-    fingerprints; reverting restored zero drift.)"""
+    """Every plan-blind query's source closure must reach its actual
+    loop/stream body (markers above) — including bodies bound by
+    function-local imports. (End-to-end check run when the scheme
+    landed: a one-character docstring edit inside _pagerank_body
+    drifted all three dependent fingerprints; reverting restored zero
+    drift.)"""
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import plan_hashes
 
     from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
 
+    assert set(_BODY_MARKERS) == EXPECTED_BLIND | plan_hashes._FORCE_SOURCE_FP
     qs = registry.all_queries()
-    pr = plan_hashes._source_closure(qs["graph_pagerank_suppliers"].fn)
-    assert "_pagerank_body" in pr and "localCheckpoint" in pr
-    st = plan_hashes._source_closure(qs["stream_tumbling_counts"].fn)
-    assert "writeStream" in st
-    fb = plan_hashes._source_closure(qs["stream_foreachbatch_upsert"].fn)
-    assert "foreachBatch" in fb
-    assert "stream_foreachbatch_upsert" in plan_hashes._FORCE_SOURCE_FP
+    missing = {
+        name: [m for m in markers if m not in
+               plan_hashes._source_closure(qs[name].fn)]
+        for name, markers in _BODY_MARKERS.items()
+    }
+    missing = {n: ms for n, ms in missing.items() if ms}
+    assert not missing, (
+        f"source closure no longer reaches these bodies: {missing} — "
+        f"the freshness gate is blind to edits there"
+    )

@@ -36,12 +36,15 @@ Usage: python tools/plan_hashes.py [--write] [--sf /root/testdata/sf0.001]
 from __future__ import annotations
 
 import argparse
+import ast
 import hashlib
+import importlib
 import inspect
 import json
 import os
 import re
 import sys
+import textwrap
 import types
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -105,22 +108,72 @@ def _code_names(code: types.CodeType) -> set[str]:
     return names
 
 
+def _local_imports(f) -> list:
+    """Package objects bound by import statements INSIDE ``f``'s body.
+
+    Function-local imports (``from ..operators.text import
+    bpe_merge_rounds`` in the function body) bind LOCALS — invisible
+    to ``f.__globals__`` — so without this, a blind query whose loop
+    body is locally imported would escape the source closure entirely
+    (found in review: the BPE iteratives). Parse the source for
+    Import/ImportFrom nodes, resolve relative levels against the
+    function's own module path, and return the named objects."""
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(f)))
+    except (OSError, TypeError, SyntaxError):
+        return []
+    mod_parts = (getattr(f, "__module__", "") or "").split(".")
+    out = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            modname = node.module or ""
+            if node.level:
+                base = mod_parts[: len(mod_parts) - node.level]
+                modname = ".".join(base + ([modname] if modname else []))
+            if not modname.startswith(_PKG):
+                continue
+            try:
+                mod = importlib.import_module(modname)
+            except ImportError:  # pragma: no cover - broken import
+                continue
+            for alias in node.names:
+                sub = getattr(mod, alias.name, None)
+                if sub is not None:
+                    out.append(sub)
+        elif isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.startswith(_PKG):
+                    try:
+                        out.append(importlib.import_module(alias.name))
+                    except ImportError:  # pragma: no cover
+                        pass
+    return out
+
+
+def _closure_key(f) -> tuple[str, str]:
+    if isinstance(f, types.ModuleType):
+        return (f.__name__, "<module>")
+    return (
+        getattr(f, "__module__", "") or "",
+        getattr(f, "__qualname__", None) or repr(type(f)),
+    )
+
+
 def _source_closure(fn) -> str:
     """Concatenated (sorted, deduped) source of ``fn`` plus every
-    package-local function/class it transitively references through
-    globals, module attributes, or closure cells. Deterministic for a
-    given working tree — comment edits count, deliberately: a drifted
-    body fingerprint costs one driver-window slot to re-verify, while
-    a silent body change cost round 5 its evidence freshness."""
+    package-local function/class/module it transitively references
+    through globals, module attributes, closure cells, or
+    function-LOCAL imports (:func:`_local_imports`). Deterministic for
+    a given working tree — comment edits count, deliberately: a
+    drifted body fingerprint costs one driver-window slot to
+    re-verify, while a silent body change cost round 5 its evidence
+    freshness."""
     seen: set[tuple[str, str]] = set()
     sources: dict[tuple[str, str], str] = {}
     stack = [fn]
     while stack:
         f = stack.pop()
-        key = (
-            getattr(f, "__module__", "") or "",
-            getattr(f, "__qualname__", None) or repr(type(f)),
-        )
+        key = _closure_key(f)
         if key in seen:
             continue
         seen.add(key)
@@ -128,9 +181,19 @@ def _source_closure(fn) -> str:
             sources[key] = inspect.getsource(f)
         except (OSError, TypeError):
             pass
+        if isinstance(f, types.ModuleType):
+            continue  # whole-module source collected; don't traverse
         code = getattr(f, "__code__", None)
         if code is None:
             continue
+        stack.extend(
+            o
+            for o in _local_imports(f)
+            if isinstance(o, (types.FunctionType, type, types.ModuleType))
+            and (
+                getattr(o, "__module__", None) or getattr(o, "__name__", "")
+            ).startswith(_PKG)
+        )
         g = getattr(f, "__globals__", {})
         names = _code_names(code)
         for name in names:
