@@ -186,3 +186,30 @@ def test_brute_force_topk_matches_numpy_ranking(spark, vecs):
         for (cw, sw), (ch, sh) in zip(want, have):
             assert cw == ch, (q, want, have)
             assert abs(sw - sh) < 2e-6, (q, cw, sw, sh)
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.integers(-(10**7), 10**7), min_size=1, max_size=30
+    )
+)
+def test_exact_decimal_sum_matches_fraction_oracle(spark, vals):
+    """exact_decimal_sum (the hi/lo int64 split under every money
+    aggregate) vs exact rational arithmetic: for terms with exactly
+    4 decimals and totals far inside 2^53 scaled units, the engine's
+    double(total)/10^4 IS the correctly-rounded double of the true
+    rational sum — including mixed-sign totals, where the split's
+    truncating % and exact (v - v%B)/B reconstruction must agree."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.functions.numeric import (
+        exact_decimal_sum,
+    )
+
+    df = spark.createDataFrame([(v / 10**4,) for v in vals], "x double")
+    got = df.agg(exact_decimal_sum(F.col("x"), 4).alias("s")).collect()[0]["s"]
+    want = float(sum(Fraction(v, 10**4) for v in vals))
+    assert got == want, (vals, got, want)
