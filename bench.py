@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
-from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark
+from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark, host_speed_probe
 
 
 # Join-heavy TPC-H shapes + one streaming query, timed alongside the
@@ -82,6 +82,10 @@ EXTRA_BENCH = (
     "dedup_semantic_clusters_trained",
     "events_session_funnel_attribution",
     "split_cluster_leakage_safe",
+    # round-8 new surface: composed multimodal near-dup pipeline and
+    # the ANN recall@k quality measurement
+    "multimodal_pipeline_neardup",
+    "sim_ann_recall_at_k",
 )
 
 
@@ -98,6 +102,14 @@ def main() -> int:
     loadavg_start = [round(v, 2) for v in os.getloadavg()]
     spark = get_spark("mrcs_bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    # host-speed calibration constant (VERDICT.md r7 next-round #4):
+    # a fixed CPU-bound probe whose ratio across rounds lets the perf
+    # watch normalize for host-speed epochs (identical code measured
+    # uniformly 1.4-1.5x slower in one SCALE.md-documented window)
+    # before reading a headline swing as a plan change.
+    calibration = host_speed_probe(spark)
+    print(f"# host_speed_probe: {calibration}s", file=sys.stderr)
 
     all_q = registry.all_queries()
     headline = sorted(registry.headline_queries())
@@ -156,6 +168,7 @@ def main() -> int:
         # class; measured magnitude in SCALE.md "host-speed epoch").
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(v, 2) for v in os.getloadavg()],
+        "calibration_sec": calibration,
     }
     print("DETAIL " + json.dumps(detail), file=sys.stderr)
     artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -170,6 +183,10 @@ def main() -> int:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # fixed CPU-bound probe (session.host_speed_probe): divide a
+        # round-over-round headline ratio by the ratio of this field
+        # before reading it as a plan change (host-epoch normalizer)
+        "calibration_sec": calibration,
     }
     print(json.dumps(out))
     return 0

@@ -280,6 +280,7 @@ def train_kmeans_codebook(
     dim: int = 64,
     id_col: str | None = None,
     sum_quantize: float | None = None,
+    broadcast_assign: bool = False,
 ) -> list[list[float]]:
     """Spherical k-means (Lloyd) codebook for the IVF coarse quantizer.
 
@@ -308,6 +309,18 @@ def train_kmeans_codebook(
     DuckDB oracle (grid-boundary caveat: a sum landing within ulps of a
     half-grid point could round apart; same accepted risk as the
     quantized-NLL oracle in plans/text.py).
+
+    ``broadcast_assign=True`` (requires ``id_col``) routes each Lloyd
+    round's assignment through the broadcast-codebook join of
+    :func:`assign_cells_broadcast` instead of the codebook-literal
+    expression — mandatory once k×dim outgrows a literal (a k=2000×64
+    codebook is a 128 000-literal expression; plan size and codegen
+    grow with k). Dot arithmetic and first-max tiebreak are identical
+    to the literal path (the same sequential ``zip_with`` fold; max_by
+    over (score, −cell)), so with ``sum_quantize`` set — which absorbs
+    the only remaining difference, partial-aggregation merge order in
+    the per-(cell, position) sums — both paths train the IDENTICAL
+    codebook (pytest-pinned, tests/test_round8_ops.py).
     """
     # bind the norm to its own column BEFORE the per-position lambda —
     # an aggregate referenced inside transform() re-evaluates per
@@ -335,28 +348,55 @@ def train_kmeans_codebook(
         .limit(n_centroids)
         .collect()
     ]
+    if broadcast_assign and id_col is None:
+        raise ValueError("broadcast_assign requires id_col (vectors must "
+                         "carry a key the assignment can group on)")
     cents = [list(map(float, s)) for s in seeds]
+    per_pos_sums = [
+        F.sum(F.element_at("_uv", i + 1)).alias(f"s{i}") for i in range(dim)
+    ]
+    spark = df.sparkSession
     for _ in range(n_iter):
-        assigned = F.array_position(
-            centroid_scores(F.col("_uv"), cents),
-            F.array_max(centroid_scores(F.col("_uv"), cents)),
-        ).cast("int") - 1
+        if broadcast_assign:
+            # broadcast-codebook assignment (assign_cells_broadcast's
+            # join shape): k-row codebook frame → n·k dots, argmax per
+            # _id via max_by over (score, −cell) — no ties possible
+            # (−cell is unique within a group), first-max == the
+            # literal path's array_position-on-array_max. Only (id,
+            # cell, score) triples shuffle; the _uv arrays rejoin by
+            # id for the sums.
+            cdf = spark.createDataFrame(
+                list(enumerate(cents)), "cell int, cv array<double>"
+            )
+            dot_c = _fold_sum(
+                F.zip_with("_uv", "cv", lambda x, y: x * y)
+            )
+            assign = (
+                vecs.join(F.broadcast(cdf))
+                .select("_id", "cell", dot_c.alias("_s"))
+                .groupBy("_id")
+                .agg(
+                    F.max_by(
+                        "cell",
+                        F.struct(
+                            F.col("_s"), (-F.col("cell")).alias("_nc")
+                        ),
+                    ).alias("_cell")
+                )
+            )
+            cells = vecs.join(assign, "_id").select("_cell", "_uv")
+        else:
+            assigned = F.array_position(
+                centroid_scores(F.col("_uv"), cents),
+                F.array_max(centroid_scores(F.col("_uv"), cents)),
+            ).cast("int") - 1
+            cells = vecs.select(assigned.alias("_cell"), "_uv")
         # 64 per-position sum aggregates over the intact array — NOT
         # posexplode + groupBy(cell, pos): Generate re-evaluates the
         # argmax expression against its fan-out (measured 4.8 s vs
         # 0.7 s per round on 2000×64 at sf0.1), and the k×dim-row
         # shuffle becomes a k-row one
-        sums = (
-            vecs.select(assigned.alias("_cell"), "_uv")
-            .groupBy("_cell")
-            .agg(
-                *[
-                    F.sum(F.element_at("_uv", i + 1)).alias(f"s{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
-        )
+        sums = cells.groupBy("_cell").agg(*per_pos_sums).collect()
         acc = [[0.0] * dim for _ in range(n_centroids)]
         touched = [False] * n_centroids
         for r in sums:

@@ -407,6 +407,11 @@ def _fp_cluster_labels(
     got = _CLUSTER_LABELS.get(key)
     if got is not None:
         return got
+    import time as _time
+
+    from ..buildstats import record_build
+
+    t0 = _time.perf_counter()
     doc_fp = _winnow_doc_fp(d)
     if band is not None:
         lo, hi = band
@@ -429,6 +434,8 @@ def _fp_cluster_labels(
         d.select(F.col("doc_id").alias("node")), edges
     )
     edges.unpersist()
+    record_build("cluster_index", _time.perf_counter() - t0,
+                 f"fp_cluster_labels band={band}")
     _CLUSTER_LABELS[key] = labels
     return labels
 

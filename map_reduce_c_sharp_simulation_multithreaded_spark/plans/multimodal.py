@@ -8,7 +8,7 @@ stays import-gated behind ``use_real_decode``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -159,3 +159,88 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return frame_sample(attach_binary_payload(d, "text", "doc_id"))
+
+
+@register(
+    "multimodal_pipeline_neardup",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST('0x' || substr(sha256(text), 1, 2) AS INT) % 128 + 1 AS w,
+         CAST('0x' || substr(sha256(text), 3, 2) AS INT) % 128 + 1 AS h,
+         CAST('0x' || substr(sha256(text), 5, 2) AS INT) % 3 + 1 AS c
+  FROM documents
+), thumb AS (
+  SELECT doc_id, n_bytes, c,
+         GREATEST(1, (w * 64) // GREATEST(w, h)) AS ow,
+         GREATEST(1, (h * 64) // GREATEST(w, h)) AS oh
+  FROM dims
+)
+SELECT doc_id,
+       c || 'x' || ow || 'x' || oh AS fingerprint,
+       n_bytes,
+       CAST(COUNT(*) OVER bucket AS BIGINT) AS bucket_size,
+       CAST(FIRST_VALUE(doc_id) OVER bucket AS BIGINT) AS canonical_doc_id,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+              PARTITION BY c, ow, oh ORDER BY n_bytes DESC, doc_id ASC
+            ) = 1 THEN 1 ELSE 0 END AS INT) AS keep
+FROM thumb
+WINDOW bucket AS (
+  PARTITION BY c, ow, oh ORDER BY n_bytes DESC, doc_id ASC
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+""",
+    tags=("multimodal", "dedup", "pipeline", "mapInPandas"),
+)
+def multimodal_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multimodal curation pipeline under ONE oracle
+    (VERDICT.md r7 stretch #7): decode (Arrow mapInPandas, the fake
+    extractor whose pseudo-dims are sha256-digest arithmetic) →
+    thumbnail-plan (fit-in-64-box integer resize, JVM-side from the
+    decoded dims) → near-dup collapse by PERCEPTUAL FINGERPRINT
+    (channels × thumb-shape bucket): within each fingerprint bucket
+    keep the highest-resolution copy (max payload bytes, doc_id
+    tiebreak) as canonical — the image-dedup keep-best discipline.
+
+    One user-keyed exchange: all three window expressions share the
+    same (fingerprint, order) spec, so Spark plans a single shuffle +
+    sort; bucket fan-out is bounded by the fingerprint cardinality
+    (≤ 3·64·64), never all-pairs — the bucket-scoped shape that holds
+    at 100 TB. DuckDB re-derives decode, resize plan, and the keep
+    decision from the hex digest, so the composed oracle covers the
+    full pipeline end to end (positive operands: DuckDB's flooring
+    ``//`` and Spark's ``floor`` agree).
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(d, "text", "doc_id"))
+    longer = F.greatest("width", "height")
+    thumb = feats.select(
+        "doc_id",
+        "n_bytes",
+        "channels",
+        F.greatest(F.lit(1), F.floor(F.col("width") * 64 / longer))
+        .cast("long")
+        .alias("out_w"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * 64 / longer))
+        .cast("long")
+        .alias("out_h"),
+    )
+    ordered = Window.partitionBy("channels", "out_w", "out_h").orderBy(
+        F.col("n_bytes").desc(), F.col("doc_id").asc()
+    )
+    full = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return thumb.select(
+        "doc_id",
+        F.concat_ws("x", "channels", "out_w", "out_h").alias("fingerprint"),
+        "n_bytes",
+        F.count(F.lit(1)).over(full).cast("long").alias("bucket_size"),
+        F.first("doc_id").over(full).cast("long").alias("canonical_doc_id"),
+        F.when(F.row_number().over(ordered) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )

@@ -98,39 +98,31 @@ def _load_all_plan_modules() -> None:
 # evidence, rotated each round until every oracle-backed query has had
 # a green driver row.
 #
-# Round-7 window (50), executing the registry's own round-7 queue
-# (VERDICT.md r6 next-round #1): retire ALL pre-r04 evidence —
-#   - the 9 r02 stragglers (the six window_* queries, the two
-#     EXTRA_BENCH TPC-H extras, text_token_stats);
-#   - the full 38-query r03 block (events family, the TPC-H sweep
-#     q2/q4-q6/q8-q17/q19-q22, ANN ivf/ivfpq/lsh-histogram,
-#     dedup_span_windows, agg_median_percentile,
-#     join_fuzzy_levenshtein, multimodal_decode_features,
-#     pysource_synthetic_agg, pipeline_curate_corpus,
-#     pandas_udaf_weighted_avg, quality_constraint_audit,
-#     scalar_try_arithmetic, text_gopher_quality,
-#     window_rolling_median);
-#   - round-7 debuts (same-round rule):
-#     dedup_semantic_clusters_trained (k∝n SemDeDup with a TRAINED
-#     codebook at the k = n/64 schedule, VERDICT r6 #3) and
-#     events_session_funnel_attribution (composed sessionize → funnel
-#     → first-touch attribution under one composed oracle, VERDICT
-#     r6 #6);
-#   - split_cluster_leakage_safe: third round-7 debut (cluster-keyed
-#     train/eval split — near-dup families never straddle the split),
-#     taking the 50th slot.
+# Round-8 window (50), executing the registry's own round-8 queue
+# (VERDICT.md r7 next-round #1): retire ALL pre-r05 evidence —
+#   - window_rolling_median (r03 — displaced in round 7, promised the
+#     head of this queue; ADVICE r7 adds a pytest-pinned evidence-age
+#     gate, tests/test_evidence_age.py, so displacement can never
+#     silently drop a stale query again);
+#   - the full 35-query r04 block (aggregates/stats pack, text
+#     tf-idf/lm/pmi/pii/zipf/inverted-index, sampling trio, multimodal
+#     resize/frame, layout_zorder, sketches, embed centroids/PCA,
+#     scalar array/HOF packs, quality/quantize, stream_windowed_topk,
+#     join_lateral_top_order, events_rollup_cascade, flagship, q3,
+#     window distinct-count/ratio tricks, sim_lsh_ann_topk);
+#   - round-8 debuts (same-round rule): multimodal_pipeline_neardup
+#     (composed decode → thumbnail-plan → perceptual-bucket keep-best
+#     under ONE oracle, VERDICT r7 stretch #7) and sim_ann_recall_at_k
+#     (recall@5 of the IVF index vs brute-force ground truth — ANN
+#     quality measurement as a first-class query);
+#   - 12 fill slots from the r05 block in REGISTRATION order (the
+#     pandas pack, range_join_bucketed, the BPE iteratives, UDTF,
+#     agg_distinct_counts, cube/rollup/grouping-sets/pivot,
+#     agg_salted_two_phase) — the head of the round-9 queue is the
+#     REMAINING 38 r05 queries.
 # After this window lands green, no registered query carries evidence
-# older than r03 (window_rolling_median alone stays at its green r03
-# row — displaced late in round 7 by the sim_cosine_topk perf rewrite,
-# see the in-window note — and is FIRST in the round-8 queue).
-# Round-8 queue note: window_rolling_median, then the remaining 34 r04 queries
-# (agg packs, joins family, text tf-idf/lm/pmi, multimodal
-# resize/frames, graph, sinks), then the r05 block — plus, as always,
-# any query whose plan/oracle changes in round 8 and round-8 debuts.
-# (The IVF-PQ code-frame caching initially queued for round 8 landed
-# in round 7 after all: plain .cache() substitution leaves the
-# analyzed-plan fingerprints unchanged — 0 changed per the gate — so
-# no window slot was needed; both oracles re-verified at sf0.01.)
+# older than r05, and the evidence-age gate enforces exactly that
+# bound structurally (latest evidence ≥ latest_round − 2 or in-window).
 # The plan-fingerprint gate (tests/test_plan_freshness.py +
 # PLAN_HASHES.json) FAILS the suite if a changed plan is not in
 # this window, so the round-5 freeze-gap class cannot recur silently
@@ -138,66 +130,68 @@ def _load_all_plan_modules() -> None:
 # queries fold the body's source closure into their fingerprints;
 # refresh the snapshot (tools/plan_hashes.py --write) when rotating.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round-7 debuts (same-round rule) ---
-    "dedup_semantic_clusters_trained",
-    "events_session_funnel_attribution",
-    # --- the 9 r02 stragglers: oldest evidence in the repo ---
-    "window_first_last",
-    "window_lag_lead",
-    "window_range_frame_30d",
-    "window_rank_dense_ntile",
-    "window_running_total",
-    "window_topk_per_customer",
-    "tpch_q7_nation_volume",
-    "tpch_q18_large_orders",
-    "text_token_stats",
-    # --- the full r03 block ---
-    "agg_median_percentile",
-    "dedup_span_windows",
-    "events_cohort_retention",
-    "events_funnel_view_click_purchase",
-    "events_longest_streak",
-    "events_rolling_wau",
-    "events_time_to_convert",
-    "events_transition_matrix",
-    "join_fuzzy_levenshtein",
-    "multimodal_decode_features",
-    "pandas_udaf_weighted_avg",
-    "pipeline_curate_corpus",
-    "pysource_synthetic_agg",
-    "quality_constraint_audit",
-    "scalar_try_arithmetic",
-    "sim_ivf_ann_topk",
-    "sim_ivfpq_topk",
-    "sim_lsh_bucket_histogram",
-    "text_gopher_quality",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_filter",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # --- round-7 late perf change (same-round rule): brute_force_topk
-    # now precomputes per-side norms (bit-identical sims, 0.99→0.63 s
-    # warm) — the changed plan rides this window. Displaced to make the
-    # slot: window_rolling_median, which keeps its green r03 driver row,
-    # an unchanged plan fingerprint, AND a bench-extras timed execution
-    # every round (the same mitigation VERDICT r6 accepted for the
-    # TPC-H extras); it heads the round-8 queue instead.
-    "sim_cosine_topk",
-    # --- round-7 late debut (same-round rule): leakage-safe split ---
+    # --- round-8 debuts (same-round rule) ---
+    "multimodal_pipeline_neardup",
+    "sim_ann_recall_at_k",
+    # --- the r03 straggler: oldest evidence in the repo ---
+    "window_rolling_median",
+    # --- the full r04 block ---
+    "agg_cube_grouping_id",
+    "agg_histogram_totalprice",
+    "agg_mode_per_group",
+    "agg_pricing_summary",
+    "agg_profile_orders_columns",
+    "agg_stats_by_brand",
+    "agg_stats_correlation",
+    "embed_label_centroids",
+    "embed_pca_power_iteration",
+    "events_rollup_cascade",
+    "flagship_revenue_by_nation",
+    "join_lateral_top_order",
+    "layout_zorder_tiles",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "quality_perplexity_filter",
+    "quantize_embeddings_int8",
+    "sample_deterministic_count",
+    "sample_stratified_by_lang",
+    "sample_weighted_priority",
+    "scalar_array_pack",
+    "scalar_higher_order_pack",
+    "sim_lsh_ann_topk",
+    "sketch_countmin_terms",
+    "stream_windowed_topk",
+    "text_bigram_lm",
+    "text_inverted_index",
+    "text_lang_rollup",
+    "text_pii_redaction",
+    "text_pmi_collocations",
+    "text_tfidf_topk",
+    "text_zipf_slope",
+    "tpch_q3_shipping_priority",
+    "window_distinct_count_trick",
+    "window_ratio_to_report",
+    # --- r05 fills, registration order (round-9 queue: the rest) ---
+    "pandas_grouped_zscore",
+    "pandas_asof_join",
+    "range_join_bucketed",
+    "text_bpe_merges",
+    "text_bpe_vocab_apply",
+    "udtf_chunk_windows",
+    "agg_distinct_counts",
+    "agg_cube",
+    "agg_rollup",
+    # --- round-8 source-closure drift (same-round rule): the build
+    # ledger (buildstats.record_build, VERDICT r7 stretch #8) now
+    # instruments the memoized cluster-index build inside
+    # _fp_cluster_labels, which sits in the source closure of the
+    # three checkpoint-tail CC consumers — their fingerprints drift,
+    # so they ride this window, displacing the last three r05 fills
+    # (agg_grouping_sets, agg_pivot, agg_salted_two_phase → head of
+    # the round-9 queue; their r05 evidence stays within the age
+    # gate's floor until then).
+    "curation_cluster_keep_best",
+    "dedup_connected_components",
     "split_cluster_leakage_safe",
 )
 

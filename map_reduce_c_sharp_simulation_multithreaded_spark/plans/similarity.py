@@ -517,10 +517,17 @@ def sim_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_key = (sf_dir, _embeddings_fingerprint(sf_dir), 8, 3, 64)
     cents = _TRAINED_CODEBOOKS.get(memo_key)
     if cents is None:
+        import time as _time
+
+        from ..buildstats import record_build
+
+        t0 = _time.perf_counter()
         cents = train_kmeans_codebook(
             e, "embedding", n_centroids=8, n_iter=3, dim=64,
             id_col="vec_id", sum_quantize=1e-6,
         )
+        record_build("kmeans_codebook", _time.perf_counter() - t0,
+                     "sim_ivf_trained_topk k=8")
         _TRAINED_CODEBOOKS[memo_key] = cents
     return ivf_topk(
         e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
@@ -828,10 +835,17 @@ def _trained_semdedup_codebook(emb: DataFrame, sf_dir: str) -> list[list[float]]
     memo_key = ("semdedup", sf_dir, _embeddings_fingerprint(sf_dir), k, 3, 64)
     cents = _TRAINED_CODEBOOKS.get(memo_key)
     if cents is None:
+        import time as _time
+
+        from ..buildstats import record_build
+
+        t0 = _time.perf_counter()
         cents = train_kmeans_codebook(
             emb, "embedding", n_centroids=k, n_iter=3, dim=64,
             id_col="vec_id", sum_quantize=1e-6,
         )
+        record_build("kmeans_codebook", _time.perf_counter() - t0,
+                     f"semdedup_trained k={k}")
         _TRAINED_CODEBOOKS[memo_key] = cents
     return cents
 
@@ -945,4 +959,72 @@ def sim_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
         k=5, k_prime=20, n_centroids=16, n_probe=4, dim=64,
         m_sub=8, k_codes=16,
+    )
+
+
+def _recall_oracle(k: int = 5) -> str:
+    """Recall@k oracle: the brute-force ground-truth SQL and the
+    generated IVF SQL nested as derived tables, left-joined per
+    (query, neighbor) and aggregated per query — the composed oracle
+    re-derives BOTH retrieval stages and the quality metric itself."""
+    return f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({_TOPK_ORACLE})),
+approx AS (SELECT query_id, neighbor_id FROM ({_ivf_oracle(k=k)}))
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+@register(
+    "sim_ann_recall_at_k",
+    oracle=_recall_oracle(),
+    tags=("similarity", "ivf", "quality", "pipeline"),
+)
+def sim_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval QUALITY measurement — recall@5 of the IVF index
+    against brute-force ground truth, per query, as a first-class
+    query ("measure, don't guess" applied to the index itself): the
+    evaluation every production ANN deployment runs on a sampled
+    query set before trusting the index at corpus scale.
+
+    Composition: exact top-5 (broadcast 20-query side, one candidate
+    scan) ⨝ IVF top-5 (cell-pruned) on (query, neighbor), then a
+    per-query hit count. Ground truth is bounded by the SAMPLED query
+    set (20×n, broadcast), never all-pairs — at 100 TB the sample
+    stays fixed while the candidate scan distributes, which is what
+    makes recall measurement affordable at scale. The oracle nests
+    the two existing generated SQLs, so every stage is re-derived
+    independently end to end.
+    """
+    pin_session(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    truth = brute_force_topk(q, e, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        e, q, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4, dim=64
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+                "n_hits"
+            ),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
     )

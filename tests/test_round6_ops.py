@@ -9,6 +9,7 @@ collapses to the fixed-k query at the k floor.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from map_reduce_c_sharp_simulation_multithreaded_spark.plans.mlprep import (
@@ -182,7 +183,15 @@ def test_semdedup_scaled_equals_fixed_at_floor(spark, sf_dir):
         _semdedup_scaled_k,
     )
 
-    assert _semdedup_scaled_k(sf_dir) == 16
+    k = _semdedup_scaled_k(sf_dir)
+    if k != 16:
+        # Data-dependent premise (VERDICT r7 next-round #6): at a
+        # non-floor corpus (MRCS_TEST_SF_DIR override, e.g. sf0.01 →
+        # k=78) scaled and fixed INTENTIONALLY diverge — that gap is
+        # the whole point of the k∝n schedule — so the floor-equality
+        # claim has nothing to check there.
+        pytest.skip(f"non-floor corpus: k∝n schedule resolves to k={k}, "
+                    f"floor premise (k=16) only holds at sf0.001")
     qs = registry.all_queries()
     fixed = qs["dedup_semantic_clusters"].fn(spark, sf_dir)
     scaled = qs["dedup_semantic_clusters_scaled"].fn(spark, sf_dir)

@@ -171,6 +171,10 @@ def test_brute_force_topk_matches_numpy_ranking(spark, vecs):
         np.linalg.norm(a, axis=1)[:, None] * np.linalg.norm(a, axis=1)[None, :]
     )
     for q in range(min(2, len(a))):
+        # Python round() is half-even, Spark round() is HALF_UP — but an
+        # exact decimal half-point at 6 places needs a 5^7 denominator,
+        # unreachable from a binary double, so the modes cannot diverge
+        # here and the rounded ranks are comparable.
         mine = sorted(
             ((round(sims[q, c], 6), -c) for c in range(len(a)) if c != q),
             reverse=True,

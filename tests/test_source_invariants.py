@@ -42,6 +42,10 @@ ALLOWED = {
     # connected-components convergence probe: take(1) on the
     # changed-labels join — at most one row per iteration
     os.path.join("plans", "advanced.py"): (1, "take(1) convergence probe"),
+    # host-speed calibration probe (VERDICT r7 #4): collect() of ONE
+    # scalar (sum over a synthetic range) — measurement harness only,
+    # never on a query path
+    "session.py": (1, "host_speed_probe single-scalar collect"),
 }
 
 

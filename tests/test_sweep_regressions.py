@@ -29,14 +29,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 # Known-accepted regressions: {query: reason}. Empty is the goal.
-ALLOWLIST: dict[str, str] = {
-    "range_join_bucketed": (
-        "r6 warm 0.517s was a lucky sample: four independent r7 runs "
-        "measure 0.63-0.96s minimum with the plan fingerprint unchanged "
-        "all round; isolated min-of-4 is 0.628s = 1.21x, inside the bar "
-        "(SCALE.md round-7 audit, contention-noise class)"
-    ),
-}
+# (range_join_bucketed's r6 lucky-sample entry was removed in round 8:
+# the final r07 artifact passes the gate clean, so the entry was stale
+# and could only mask a real future regression on that query.)
+ALLOWLIST: dict[str, str] = {}
 
 
 def _latest_sweeps() -> list[str]:
@@ -67,3 +63,35 @@ def test_no_query_regressed_vs_prior_sweep():
         + "; ".join(f"{n} {pw}s->{cw}s" for n, pw, cw in flagged)
         + " — fix the plan or allowlist with a written reason"
     )
+
+
+def test_host_norm_calibration_rules():
+    """The calibration normalizer (VERDICT.md r7 next-round #4):
+    missing fields → 1.0 (pre-r08 artifacts keep their old semantics);
+    a slow-host epoch scales the bar by the measured ratio, clamped to
+    [0.5, 2.0]; and a uniform 1.45× epoch (SCALE.md's measured case)
+    stops flagging a query that merely rode the host."""
+    from sweep_times import compare_sweeps, host_norm
+
+    assert host_norm({}, {}) == 1.0
+    assert host_norm({"calibration_sec": 0.4}, {}) == 1.0
+    assert host_norm({"calibration_sec": 0.4},
+                     {"calibration_sec": 0.58}) == pytest.approx(1.45)
+    assert host_norm({"calibration_sec": 0.4},
+                     {"calibration_sec": 4.0}) == 2.0  # clamp
+    assert host_norm({"calibration_sec": 4.0},
+                     {"calibration_sec": 0.4}) == 0.5  # clamp
+
+    prev = {"calibration_sec": 0.4, "queries": {"q": {"warm": 1.0}}}
+    # 1.45s on a 1.45x-slower host: host epoch, NOT a regression
+    cur_slow_host = {
+        "calibration_sec": 0.58,
+        "queries": {"q": {"warm": 1.45, "cold": 1.5}},
+    }
+    assert compare_sweeps(prev, cur_slow_host) == []
+    # 2.4s on the same-speed host: a real regression, still flagged
+    cur_regressed = {
+        "calibration_sec": 0.4,
+        "queries": {"q": {"warm": 2.4, "cold": 2.5}},
+    }
+    assert compare_sweeps(prev, cur_regressed) == [("q", 1.0, 2.4)]

@@ -39,6 +39,7 @@ import argparse
 import ast
 import hashlib
 import importlib
+import importlib.util
 import inspect
 import json
 import os
@@ -122,14 +123,27 @@ def _local_imports(f) -> list:
         tree = ast.parse(textwrap.dedent(inspect.getsource(f)))
     except (OSError, TypeError, SyntaxError):
         return []
-    mod_parts = (getattr(f, "__module__", "") or "").split(".")
+    # Relative imports resolve against the module's PACKAGE, which for a
+    # function defined in a package __init__.py is the module itself —
+    # naive "strip `level` components off __module__" would strip the
+    # package too and silently drop the import from the closure
+    # (ADVICE r7). importlib.util.resolve_name applies the real rule.
+    f_module = getattr(f, "__module__", "") or ""
+    mod_obj = sys.modules.get(f_module)
+    package = getattr(mod_obj, "__package__", None)
+    if package is None:  # pragma: no cover - module not imported
+        package = f_module.rpartition(".")[0]
     out = []
     for node in ast.walk(tree):
         if isinstance(node, ast.ImportFrom):
             modname = node.module or ""
             if node.level:
-                base = mod_parts[: len(mod_parts) - node.level]
-                modname = ".".join(base + ([modname] if modname else []))
+                try:
+                    modname = importlib.util.resolve_name(
+                        "." * node.level + modname, package
+                    )
+                except (ImportError, ValueError):  # pragma: no cover
+                    continue
             if not modname.startswith(_PKG):
                 continue
             try:

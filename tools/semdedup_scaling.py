@@ -61,7 +61,14 @@ def trained_cells(emb, k: int):
     Training runs on the base corpus: replication repeats the same
     unit vectors, so the base distribution IS the scaled distribution
     (only seed ids differ), and the replica-exactness argument above
-    holds for any codebook."""
+    holds for any codebook.
+
+    Past k≈256 the per-round assignment inside training itself goes
+    through the broadcast-codebook join (``broadcast_assign=True`` —
+    the assign_cells_broadcast shape; VERDICT.md r7 next-round #2): a
+    k=2000×64 literal expression is past the point where codegen-able
+    plans end, which is exactly why the 64× trained row was previously
+    argued, not measured."""
     from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
         assign_cells_broadcast,
         train_kmeans_codebook,
@@ -69,7 +76,7 @@ def trained_cells(emb, k: int):
 
     cents = train_kmeans_codebook(
         emb, "embedding", n_centroids=k, n_iter=3, dim=64,
-        id_col="vec_id", sum_quantize=1e-6,
+        id_col="vec_id", sum_quantize=1e-6, broadcast_assign=k > 256,
     )
     return assign_cells_broadcast(emb, "embedding", cents)
 
@@ -142,13 +149,12 @@ def main() -> int:
         n = n_base * scale
         kn = max(16, n // args.cell_size)
         modes = [("fixed", 16, False), ("k∝n", kn, False)]
-        if args.trained and scale <= 8:
-            # trained row at the same schedule; 64× (k=2000) skipped —
-            # a 2000-centroid literal assignment expression is the
-            # regime where assignment itself becomes the broadcast
-            # codebook join (assign_cells_broadcast), and training it
-            # here adds minutes for no new information: the 8× row
-            # already shows the occupancy gap at schedule scale
+        if args.trained:
+            # trained row at the same schedule, ALL scales: past k≈256
+            # training assigns via the broadcast-codebook join
+            # (trained_cells routes broadcast_assign=k>256), so the
+            # 64× row (k=2000, where sha-random leaves ~43% of cells
+            # empty) is measured, not argued (VERDICT.md r7 #2)
             modes.append(("k∝n+km", kn, True))
         for mode, k, trained in modes:
             nn, cells, mean, mx, ssq = occupancy(base, k, scale,

@@ -45,22 +45,43 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from map_reduce_c_sharp_simulation_multithreaded_spark import buildstats
 from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
-from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark
+from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark, host_speed_probe
 
 REGRESSION_RATIO = 1.5
 REGRESSION_FLOOR_SEC = 0.25
 
 
+def host_norm(prev: dict, cur: dict) -> float:
+    """Host-speed normalizer (VERDICT.md r7 next-round #4): the ratio
+    of the two artifacts' recorded calibration constants
+    (session.host_speed_probe — a fixed CPU-bound probe), clamped to
+    [0.5, 2.0] so a broken calibration can at most halve/double the
+    bar, never disable it. 1.0 when either artifact predates the
+    field. A slow-host epoch (SCALE.md measured identical code
+    uniformly 1.4-1.5× slower) raises cur's calibration by the same
+    factor as its query times, so dividing the observed ratio by this
+    normalizer separates "slow host" from "slow plan" mechanically —
+    previously human adjudication."""
+    pc, cc = prev.get("calibration_sec"), cur.get("calibration_sec")
+    if not pc or not cc:
+        return 1.0
+    return min(2.0, max(0.5, cc / pc))
+
+
 def compare_sweeps(prev: dict, cur: dict) -> list[tuple[str, float, float]]:
     """(name, prev_warm, cur_warm) for every query in BOTH artifacts
     whose warm time grew >REGRESSION_RATIO× from a prior warm of at
-    least REGRESSION_FLOOR_SEC. Shared by --diff and the pytest gate."""
+    least REGRESSION_FLOOR_SEC — after normalizing the prior warm by
+    the host-speed calibration ratio. Shared by --diff and the pytest
+    gate."""
     out = []
+    norm = host_norm(prev, cur)
     pq, cq = prev.get("queries", {}), cur.get("queries", {})
     for name in sorted(set(pq) & set(cq)):
         pw, cw = pq[name]["warm"], cq[name]["warm"]
-        if pw >= REGRESSION_FLOOR_SEC and cw > REGRESSION_RATIO * pw:
+        if pw >= REGRESSION_FLOOR_SEC and cw > REGRESSION_RATIO * pw * norm:
             out.append((name, pw, cw))
     return out
 
@@ -84,6 +105,8 @@ def main() -> int:
     loadavg_start = [round(v, 2) for v in os.getloadavg()]
     spark = get_spark("mrcs_sweep")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    calibration = host_speed_probe(spark)
+    print(f"# host_speed_probe: {calibration}s", file=sys.stderr)
 
     def evaluate(df) -> None:
         if args.collect:
@@ -100,6 +123,8 @@ def main() -> int:
     # round diffs compare each query at the same session age.
     qs = registry.all_queries()
     res: dict[str, tuple[float, float]] = {}
+    builds: dict[str, list[dict]] = {}
+    buildstats.drain()  # clear anything a prior import-time path left
     for name in registry.registration_order():
         q = qs[name]
         ts: list[float] = []
@@ -111,6 +136,15 @@ def main() -> int:
                 print(f"ERR {name}: {type(e).__name__}: {e}", file=sys.stderr)
                 break
             ts.append(time.perf_counter() - t0)
+        # one-time memoized BUILD steps (codebook training, the cluster
+        # index) self-report via the build ledger: attach them to the
+        # query whose invocation paid them, so a cold build in the
+        # artifact is labeled as BUILD, never misread as plan cost
+        # (VERDICT.md r7 stretch #8 — the FAISS train/add/search split,
+        # now explicit in the committed record)
+        paid = buildstats.drain()
+        if paid:
+            builds[name] = paid
         if ts:
             res[name] = (round(min(ts), 3), round(ts[0], 3))
 
@@ -128,8 +162,22 @@ def main() -> int:
         "warm_total_sec": round(total, 3),
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(v, 2) for v in os.getloadavg()],
+        "calibration_sec": calibration,
         "queries": {
-            n: {"warm": warm, "cold": cold}
+            n: {
+                "warm": warm,
+                "cold": cold,
+                **(
+                    {
+                        "build_sec": round(
+                            sum(b["sec"] for b in builds[n]), 3
+                        ),
+                        "builds": builds[n],
+                    }
+                    if n in builds
+                    else {}
+                ),
+            }
             for n, (warm, cold) in sorted(res.items())
         },
     }
