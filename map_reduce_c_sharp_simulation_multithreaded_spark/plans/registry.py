@@ -98,31 +98,26 @@ def _load_all_plan_modules() -> None:
 # evidence, rotated each round until every oracle-backed query has had
 # a green driver row.
 #
-# Round-8 window (50), executing the registry's own round-8 queue
-# (VERDICT.md r7 next-round #1): retire ALL pre-r05 evidence —
-#   - window_rolling_median (r03 — displaced in round 7, promised the
-#     head of this queue; ADVICE r7 adds a pytest-pinned evidence-age
-#     gate, tests/test_evidence_age.py, so displacement can never
-#     silently drop a stale query again);
-#   - the full 35-query r04 block (aggregates/stats pack, text
-#     tf-idf/lm/pmi/pii/zipf/inverted-index, sampling trio, multimodal
-#     resize/frame, layout_zorder, sketches, embed centroids/PCA,
-#     scalar array/HOF packs, quality/quantize, stream_windowed_topk,
-#     join_lateral_top_order, events_rollup_cascade, flagship, q3,
-#     window distinct-count/ratio tricks, sim_lsh_ann_topk);
-#   - round-8 debuts (same-round rule): multimodal_pipeline_neardup
-#     (composed decode → thumbnail-plan → perceptual-bucket keep-best
-#     under ONE oracle, VERDICT r7 stretch #7) and sim_ann_recall_at_k
-#     (recall@5 of the IVF index vs brute-force ground truth — ANN
-#     quality measurement as a first-class query);
-#   - 12 fill slots from the r05 block in REGISTRATION order (the
-#     pandas pack, range_join_bucketed, the BPE iteratives, UDTF,
-#     agg_distinct_counts, cube/rollup/grouping-sets/pivot,
-#     agg_salted_two_phase) — the head of the round-9 queue is the
-#     REMAINING 38 r05 queries.
-# After this window lands green, no registered query carries evidence
-# older than r05, and the evidence-age gate enforces exactly that
-# bound structurally (latest evidence ≥ latest_round − 2 or in-window).
+# Round-9 window (50), executing the queue the evidence-age gate
+# (tests/test_evidence_age.py) named the moment CORRECTNESS_r08.json
+# landed (latest=8 ⇒ floor r06): ALL 41 queries whose latest driver
+# evidence is r05 — the parity trio, dedup_minhash_lsh + the
+# simhash/incremental/quota family, the full join-variant pack
+# (broadcast/salted/bucketed/nonequi/outer/semi/anti/cross/composite),
+# the filter pack, grouping-sets/pivot/salted-two-phase (the three
+# displaced r05 fills from round 8's drift note — saved by THIS
+# rotation, as the corrected note below says),
+# sim_ivf_trained_topk + sim_ivfpq_rerank_topk, the JSON/ORC/
+# partitioned source/sink roundtrips, split_train_test_hash,
+# subquery_correlated_avg, unpivot_part_attrs, scalar_string_pack,
+# having_clause, multimodal_binary_meta, arrow_batch_doc_stats,
+# pack_sequences_running_sum, curation_mix_weights — plus this
+# round's debut (same-round rule) and fills from the r06 block head
+# in REGISTRATION order. After this window lands green, the oldest
+# evidence anywhere is r06; with latest=9 the gate's floor becomes
+# r07, so the round-10 queue is exactly the REMAINING r06 block
+# (registration order) — 38 queries plus any round-10 debuts/drift,
+# comfortably within 50 slots.
 # The plan-fingerprint gate (tests/test_plan_freshness.py +
 # PLAN_HASHES.json) FAILS the suite if a changed plan is not in
 # this window, so the round-5 freeze-gap class cannot recur silently
@@ -130,70 +125,62 @@ def _load_all_plan_modules() -> None:
 # queries fold the body's source closure into their fingerprints;
 # refresh the snapshot (tools/plan_hashes.py --write) when rotating.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round-8 debuts (same-round rule) ---
-    "multimodal_pipeline_neardup",
-    "sim_ann_recall_at_k",
-    # --- the r03 straggler: oldest evidence in the repo ---
-    "window_rolling_median",
-    # --- the full r04 block ---
-    "agg_cube_grouping_id",
-    "agg_histogram_totalprice",
-    "agg_mode_per_group",
-    "agg_pricing_summary",
-    "agg_profile_orders_columns",
-    "agg_stats_by_brand",
-    "agg_stats_correlation",
-    "embed_label_centroids",
-    "embed_pca_power_iteration",
-    "events_rollup_cascade",
-    "flagship_revenue_by_nation",
-    "join_lateral_top_order",
-    "layout_zorder_tiles",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "quality_perplexity_filter",
-    "quantize_embeddings_int8",
-    "sample_deterministic_count",
-    "sample_stratified_by_lang",
-    "sample_weighted_priority",
-    "scalar_array_pack",
-    "scalar_higher_order_pack",
-    "sim_lsh_ann_topk",
-    "sketch_countmin_terms",
-    "stream_windowed_topk",
-    "text_bigram_lm",
-    "text_inverted_index",
-    "text_lang_rollup",
-    "text_pii_redaction",
-    "text_pmi_collocations",
-    "text_tfidf_topk",
-    "text_zipf_slope",
-    "tpch_q3_shipping_priority",
-    "window_distinct_count_trick",
-    "window_ratio_to_report",
-    # --- r05 fills, registration order (round-9 queue: the rest) ---
-    "pandas_grouped_zscore",
-    "pandas_asof_join",
-    "range_join_bucketed",
-    "text_bpe_merges",
-    "text_bpe_vocab_apply",
-    "udtf_chunk_windows",
-    "agg_distinct_counts",
-    "agg_cube",
-    "agg_rollup",
-    # --- round-8 source-closure drift (same-round rule): the build
-    # ledger (buildstats.record_build, VERDICT r7 stretch #8) now
-    # instruments the memoized cluster-index build inside
-    # _fp_cluster_labels, which sits in the source closure of the
-    # three checkpoint-tail CC consumers — their fingerprints drift,
-    # so they ride this window, displacing the last three r05 fills
-    # (agg_grouping_sets, agg_pivot, agg_salted_two_phase → head of
-    # the round-9 queue; their r05 evidence stays within the age
-    # gate's floor until then).
-    "curation_cluster_keep_best",
-    "dedup_connected_components",
-    "split_cluster_leakage_safe",
+    # --- the full 41-query r05-evidence block (the gate's queue),
+    # alphabetical = the gate's own failure-message order ---
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_salted_two_phase",
+    "arrow_batch_doc_stats",
+    "curation_mix_weights",
+    "dedup_exact_keep_first",
+    "dedup_incremental_index",
+    "dedup_minhash_lsh",
+    "dedup_simhash_band_pairs",
+    "dedup_simhash_signatures",
+    "dedup_source_quota",
+    "filter_null_safe_eq",
+    "filter_predicate_pack",
+    "filter_rlike_regex",
+    "having_clause",
+    "join_anti_customers_without_big_orders",
+    "join_broadcast_region_revenue",
+    "join_bucketed_colocated",
+    "join_composite_key",
+    "join_cross_region_nation",
+    "join_full_outer_nation_coverage",
+    "join_inner_supplier_nation",
+    "join_left_orders_per_customer",
+    "join_nonequi_late_ship",
+    "join_salted_skew",
+    "join_semi_customers_with_orders",
+    "multimodal_binary_meta",
+    "pack_sequences_running_sum",
+    "parity_decimal_money_sum",
+    "parity_donations_by_state",
+    "parity_last_wins_dim",
+    "parity_null_default_sum",
+    "scalar_string_pack",
+    "sim_ivf_trained_topk",
+    "sim_ivfpq_rerank_topk",
+    "sink_partitioned_roundtrip",
+    "source_json_roundtrip",
+    "source_orc_roundtrip",
+    "split_train_test_hash",
+    "subquery_correlated_avg",
+    "unpivot_part_attrs",
+    # --- fills: head of the r06 block in REGISTRATION order
+    # (the remaining 38 r06 queries are the round-10 queue) ---
+    "text_langid_heuristic",
+    "text_quality_score",
+    "text_term_frequency",
+    "text_char_ngram_stats",
+    "text_fingerprint_groups",
+    "text_bpe_token_count",
+    "text_winnowing_fingerprints",
+    "graph_pagerank_directed",
+    "graph_pagerank_suppliers",
 )
+
 
 
 def registration_order() -> list[str]:

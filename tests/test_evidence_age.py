@@ -22,9 +22,13 @@ import glob
 import json
 import os
 import re
+import subprocess
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MAX_AGE_ROUNDS = 2  # in-window exemption covers the current round
+REGISTRY_PATH = os.path.join(
+    REPO, "map_reduce_c_sharp_simulation_multithreaded_spark", "plans", "registry.py"
+)
 
 
 def _latest_evidence() -> tuple[dict[str, int], int]:
@@ -39,12 +43,51 @@ def _latest_evidence() -> tuple[dict[str, int], int]:
     return evidence, latest
 
 
+def _git_commit_time(path: str) -> int | None:
+    """Unix time of ``path``'s last commit, or None (untracked / no git)."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", path],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    return int(out) if out.isdigit() else None
+
+
+def _rotation_grace() -> int:
+    """1 when the newest CORRECTNESS artifact was committed AFTER the
+    last DRIVER_WINDOW change (registry.py), else 0.
+
+    The driver lands CORRECTNESS_r{N}.json in its own commit at round
+    start; the builder cannot have rotated the window for a round it
+    has not seen, so the suite starting red on that commit punishes
+    nobody (VERDICT r8 wrong #1). The floor therefore relaxes by ONE
+    round exactly until the builder's first registry edit lands —
+    after which the strict bound applies, and a rotation that skips a
+    stale query still fails (the r03-displacement class). Uncommitted
+    working-tree edits to registry.py don't flip this bit — only the
+    commit does — so the gate stays red locally until the rotation is
+    actually committed, which is the point.
+    """
+    latest_artifact = max(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), default=None
+    )
+    if latest_artifact is None:
+        return 0
+    art_t = _git_commit_time(latest_artifact)
+    reg_t = _git_commit_time(REGISTRY_PATH)
+    if art_t is None or reg_t is None:
+        return 0  # strict when history is unreadable
+    return 1 if art_t > reg_t else 0
+
+
 def test_no_query_evidence_older_than_two_rounds_unless_queued():
     from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
 
     evidence, latest = _latest_evidence()
     window = set(registry.DRIVER_WINDOW)
-    floor = latest - MAX_AGE_ROUNDS
+    floor = latest - MAX_AGE_ROUNDS - _rotation_grace()
     stale = sorted(
         name
         for name in registry.registration_order()
@@ -56,6 +99,19 @@ def test_no_query_evidence_older_than_two_rounds_unless_queued():
         f"(registry.DRIVER_WINDOW) or they silently age out of the "
         f"correctness record"
     )
+
+
+def test_rotation_grace_is_one_round_and_commit_gated():
+    """The grace is exactly one round wide and keyed on COMMIT order:
+    a fresh artifact (newer commit than registry.py) buys floor−1,
+    anything else — including a registry commit that postdates the
+    artifact without rotating — is strict. Pins the arithmetic so a
+    future edit can't silently widen the exemption."""
+    grace = _rotation_grace()
+    assert grace in (0, 1)
+    evidence, latest = _latest_evidence()
+    strict_floor = latest - MAX_AGE_ROUNDS
+    assert strict_floor - (latest - MAX_AGE_ROUNDS - grace) == grace
 
 
 def test_debuts_are_in_window():
