@@ -9,6 +9,7 @@ Output: {"metric": ..., "value": total_sec, "unit": "sec",
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -17,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from map_reduce_c_sharp_simulation_multithreaded_spark import buildstats
 from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
 from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark, host_speed_probe
 
@@ -127,6 +129,14 @@ def main() -> int:
     # two extra samples per query lower the min's variance at ~15s
     # added wall); the extras set keeps four (40+ queries, the sweep
     # artifact is their real perf record).
+    # BUILD ledger (ADVICE r8): EXTRA_BENCH queries can pay one-time
+    # memoized builds (e.g. dedup_semantic_clusters_trained's codebook)
+    # on their first pass; drain after EVERY timed query so the cold
+    # number is labeled, not misread as plan cost — the same split
+    # sweep_times.py already records.
+    builds: dict[str, list[dict]] = {}
+    buildstats.drain()  # clear anything an import-time path left
+
     def run_set(
         names: list[str], passes: int = 4
     ) -> tuple[dict[str, float], dict[str, float]]:
@@ -136,10 +146,15 @@ def main() -> int:
                 t0 = time.perf_counter()
                 all_q[name].fn(spark, sf_dir).collect()
                 runs[name].append(time.perf_counter() - t0)
+                paid = buildstats.drain()
+                if paid:
+                    builds.setdefault(name, []).extend(paid)
         times = {n: round(min(r), 3) for n, r in runs.items()}
         cold = {n: round(r[0], 3) for n, r in runs.items()}
         for name in names:
-            print(f"# {name}: {times[name]}s warm / {cold[name]}s cold",
+            tag = (f" (+{sum(b['sec'] for b in builds[name]):.2f}s BUILD)"
+                   if name in builds else "")
+            print(f"# {name}: {times[name]}s warm / {cold[name]}s cold{tag}",
                   file=sys.stderr)
         return times, cold
 
@@ -169,6 +184,11 @@ def main() -> int:
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(v, 2) for v in os.getloadavg()],
         "calibration_sec": calibration,
+        "cpu_count": os.cpu_count(),
+        # one-time memoized builds paid during timed passes (ADVICE r8):
+        # labeled here so a cold codebook training is never read as the
+        # paying query's plan cost
+        "builds": builds,
     }
     print("DETAIL " + json.dumps(detail), file=sys.stderr)
     artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -187,7 +207,34 @@ def main() -> int:
         # round-over-round headline ratio by the ratio of this field
         # before reading it as a plan change (host-epoch normalizer)
         "calibration_sec": calibration,
+        "cpu_count": os.cpu_count(),
     }
+
+    # Calibrated headline watch (VERDICT.md r8 next-round #3): compare
+    # this run's total against the newest committed BENCH_r{N}.json with
+    # the SAME host_norm division compare_sweeps applies — round 8
+    # committed a 1.36× "regression" that was entirely a host epoch, and
+    # the headline channel had no normalizer to say so. Stderr-only:
+    # advisory context for the human/judge, never a changed exit code.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prior_paths = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    if prior_paths:
+        try:
+            from tools.sweep_times import host_norm
+
+            with open(prior_paths[-1], encoding="utf-8") as fh:
+                prev = (json.load(fh).get("parsed") or {})
+            if prev.get("value"):
+                ratio = out["value"] / prev["value"]
+                norm = host_norm(prev, out)
+                print(
+                    f"# headline watch vs {os.path.basename(prior_paths[-1])}: "
+                    f"raw {ratio:.2f}x, host_norm {norm:.2f}, "
+                    f"normalized {ratio / norm:.2f}x", file=sys.stderr,
+                )
+        except Exception as e:  # advisory only — never fail the bench
+            print(f"# headline watch unavailable: {e}", file=sys.stderr)
+
     print(json.dumps(out))
     return 0
 

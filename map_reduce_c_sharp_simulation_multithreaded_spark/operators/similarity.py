@@ -272,6 +272,43 @@ def _renormalize_cells(
     return new_cents
 
 
+BROADCAST_ASSIGN_CUTOVER_K = 256
+"""Lloyd-assignment cutover: above this many centroids the trainer
+defaults to the broadcast-codebook join instead of the codebook-literal
+expression. SCALE.md's occupancy study measured the literal path's
+plan/codegen growth with k (a k=2000×64 codebook is a 128 000-literal
+expression); tools/semdedup_scaling.py has routed k>256 through the
+broadcast join since round 8. 256×64 = 16 384 literals is comfortably
+inside codegen limits; the next schedule step (500+) is not."""
+
+
+def _resolve_assign_mode(
+    n_centroids: int, id_col: str | None, broadcast_assign: bool | None
+) -> bool:
+    """True → broadcast-codebook Lloyd assignment, False → literal.
+
+    Validates BEFORE any Spark job runs (ADVICE r8: the old check sat
+    after seed selection, wasting a full scan on an argument error).
+    ``None`` picks by k: literal up to BROADCAST_ASSIGN_CUTOVER_K,
+    broadcast above it (which then REQUIRES id_col — at that k the
+    literal path is the documented wrong plan, so the error tells the
+    caller to supply a key rather than silently degrading;
+    ``broadcast_assign=False`` remains the explicit escape hatch)."""
+    if broadcast_assign is None:
+        broadcast_assign = n_centroids > BROADCAST_ASSIGN_CUTOVER_K
+        if broadcast_assign and id_col is None:
+            raise ValueError(
+                f"n_centroids={n_centroids} exceeds the literal-codebook "
+                f"cutover ({BROADCAST_ASSIGN_CUTOVER_K}); pass id_col so "
+                f"assignment can run as a broadcast join, or force "
+                f"broadcast_assign=False to accept the literal plan"
+            )
+    if broadcast_assign and id_col is None:
+        raise ValueError("broadcast_assign requires id_col (vectors must "
+                         "carry a key the assignment can group on)")
+    return broadcast_assign
+
+
 def train_kmeans_codebook(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -280,7 +317,7 @@ def train_kmeans_codebook(
     dim: int = 64,
     id_col: str | None = None,
     sum_quantize: float | None = None,
-    broadcast_assign: bool = False,
+    broadcast_assign: bool | None = None,
 ) -> list[list[float]]:
     """Spherical k-means (Lloyd) codebook for the IVF coarse quantizer.
 
@@ -310,9 +347,10 @@ def train_kmeans_codebook(
     half-grid point could round apart; same accepted risk as the
     quantized-NLL oracle in plans/text.py).
 
-    ``broadcast_assign=True`` (requires ``id_col``) routes each Lloyd
-    round's assignment through the broadcast-codebook join of
-    :func:`assign_cells_broadcast` instead of the codebook-literal
+    ``broadcast_assign`` (default ``None`` = select by k, see
+    :func:`_resolve_assign_mode`; ``True`` requires ``id_col``) routes
+    each Lloyd round's assignment through the broadcast-codebook join
+    of :func:`assign_cells_broadcast` instead of the codebook-literal
     expression — mandatory once k×dim outgrows a literal (a k=2000×64
     codebook is a 128 000-literal expression; plan size and codegen
     grow with k). Dot arithmetic and first-max tiebreak are identical
@@ -322,6 +360,9 @@ def train_kmeans_codebook(
     the per-(cell, position) sums — both paths train the IDENTICAL
     codebook (pytest-pinned, tests/test_round8_ops.py).
     """
+    broadcast_assign = _resolve_assign_mode(
+        n_centroids, id_col, broadcast_assign
+    )
     # bind the norm to its own column BEFORE the per-position lambda —
     # an aggregate referenced inside transform() re-evaluates per
     # position (the O(dim^2) trap)
@@ -348,9 +389,6 @@ def train_kmeans_codebook(
         .limit(n_centroids)
         .collect()
     ]
-    if broadcast_assign and id_col is None:
-        raise ValueError("broadcast_assign requires id_col (vectors must "
-                         "carry a key the assignment can group on)")
     cents = [list(map(float, s)) for s in seeds]
     per_pos_sums = [
         F.sum(F.element_at("_uv", i + 1)).alias(f"s{i}") for i in range(dim)

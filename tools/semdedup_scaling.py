@@ -63,9 +63,10 @@ def trained_cells(emb, k: int):
     (only seed ids differ), and the replica-exactness argument above
     holds for any codebook.
 
-    Past k≈256 the per-round assignment inside training itself goes
-    through the broadcast-codebook join (``broadcast_assign=True`` —
-    the assign_cells_broadcast shape; VERDICT.md r7 next-round #2): a
+    Past k=256 (BROADCAST_ASSIGN_CUTOVER_K — now the trainer's OWN
+    default selection, VERDICT.md r8 next-round #6) the per-round
+    assignment inside training goes through the broadcast-codebook
+    join (the assign_cells_broadcast shape): a
     k=2000×64 literal expression is past the point where codegen-able
     plans end, which is exactly why the 64× trained row was previously
     argued, not measured."""
@@ -76,8 +77,8 @@ def trained_cells(emb, k: int):
 
     cents = train_kmeans_codebook(
         emb, "embedding", n_centroids=k, n_iter=3, dim=64,
-        id_col="vec_id", sum_quantize=1e-6, broadcast_assign=k > 256,
-    )
+        id_col="vec_id", sum_quantize=1e-6,
+    )  # assignment mode selected by k (the trainer's cutover default)
     return assign_cells_broadcast(emb, "embedding", cents)
 
 
@@ -150,9 +151,9 @@ def main() -> int:
         kn = max(16, n // args.cell_size)
         modes = [("fixed", 16, False), ("k∝n", kn, False)]
         if args.trained:
-            # trained row at the same schedule, ALL scales: past k≈256
-            # training assigns via the broadcast-codebook join
-            # (trained_cells routes broadcast_assign=k>256), so the
+            # trained row at the same schedule, ALL scales: past the
+            # k=256 cutover the trainer itself selects the broadcast-
+            # codebook join (BROADCAST_ASSIGN_CUTOVER_K default), so the
             # 64× row (k=2000, where sha-random leaves ~43% of cells
             # empty) is measured, not argued (VERDICT.md r7 #2)
             modes.append(("k∝n+km", kn, True))

@@ -65,7 +65,26 @@ def host_norm(prev: dict, cur: dict) -> float:
     normalizer separates "slow host" from "slow plan" mechanically —
     previously human adjudication."""
     pc, cc = prev.get("calibration_sec"), cur.get("calibration_sec")
-    if not pc or not cc:
+    if pc is None or cc is None:
+        return 1.0  # field predates calibration — uncalibrated compare
+    if pc == 0 or cc == 0:
+        # a zero constant is a BROKEN probe, not a missing field —
+        # falling through truthiness to 1.0 would silently disable
+        # normalization exactly when the record is corrupt (ADVICE r8)
+        raise ValueError(
+            f"calibration_sec is 0 (prev={pc!r}, cur={cc!r}) — broken "
+            f"host_speed_probe record; refuse to compare uncalibrated"
+        )
+    # the probe measures cores × clock: a CORE-COUNT change between
+    # artifacts shifts it for every query — including shuffle/IO-bound
+    # ones that don't scale with cores — indistinguishably from a clock
+    # epoch (ADVICE r8). When both artifacts record cpu_count and they
+    # differ, normalization is confounded: compare raw and say so.
+    pn, cn = prev.get("cpu_count"), cur.get("cpu_count")
+    if pn is not None and cn is not None and pn != cn:
+        print(f"# host_norm: cpu_count changed {pn} -> {cn}; "
+              f"calibration confounded, comparing UNNORMALIZED",
+              file=sys.stderr)
         return 1.0
     return min(2.0, max(0.5, cc / pc))
 
@@ -163,6 +182,9 @@ def main() -> int:
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(v, 2) for v in os.getloadavg()],
         "calibration_sec": calibration,
+        # the probe measures cores × clock; recording the core count
+        # lets host_norm tell a topology change from a clock epoch
+        "cpu_count": os.cpu_count(),
         "queries": {
             n: {
                 "warm": warm,
