@@ -178,7 +178,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_bpe_token_count",
     "text_winnowing_fingerprints",
     "graph_pagerank_directed",
-    "graph_pagerank_suppliers",
+    # --- round-9 debut (same-round rule): planted-cluster ANN recall
+    # (displaces the last r06 fill, graph_pagerank_suppliers — r06
+    # evidence, head of the round-10 queue) ---
+    "sim_ann_recall_planted",
 )
 
 

@@ -51,10 +51,15 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-_TOPK_ORACLE = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+def _brute_topk_sql(k: int = 5, src: str = "embeddings",
+                    pre_cte: str = "") -> str:
+    """Brute-force cosine top-k oracle, parameterized on the source
+    relation so derived corpora (the planted-cluster fixture) reuse it
+    verbatim. ``pre_cte`` is spliced after WITH (must end with ", ")."""
+    return f"""
+WITH {pre_cte}q AS (SELECT vec_id AS query_id, embedding AS qv FROM {src}
            WHERE vec_id < 20),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM {src}),
 scored AS (
   SELECT query_id, neighbor_id,
          ROUND({_cos_sql('qv', 'cv')}, 6) AS sim
@@ -68,8 +73,11 @@ ranked AS (
          ) AS INT) AS rn
   FROM scored
 )
-SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= 5
+SELECT query_id, neighbor_id, sim, rn FROM ranked WHERE rn <= {k}
 """
+
+
+_TOPK_ORACLE = _brute_topk_sql()
 
 
 @register(
@@ -224,11 +232,13 @@ def _ivf_cells_cte(
     n_probe: int,
     dim: int,
     centroids: list[list[float]] | None = None,
+    src: str = "embeddings",
 ) -> str:
     """Shared IVF cell CTEs (cents/scores/assigned/probes) — used by
     the plain-IVF, IVF-PQ, and trained-codebook oracles. ``centroids``
     overrides the sha256-derived defaults with explicit rows (the
-    trained codebook rendered as literals)."""
+    trained codebook rendered as literals); ``src`` swaps the corpus
+    relation (the planted-cluster fixture)."""
     from ..operators.similarity import _deterministic_centroids
 
     if centroids is None:
@@ -240,7 +250,7 @@ def _ivf_cells_cte(
     return f"""cents(cell, cv) AS (VALUES {rows}),
 scores AS (
   SELECT e.vec_id, c.cell, {dot} AS s
-  FROM embeddings e CROSS JOIN cents c
+  FROM {src} e CROSS JOIN cents c
 ),
 assigned AS (
   SELECT vec_id, cell FROM (
@@ -264,6 +274,8 @@ def _ivf_oracle(
     dim: int = 64,
     centroids: list[list[float]] | None = None,
     k: int = 5,
+    src: str = "embeddings",
+    pre_cte: str = "",
 ) -> str:
     """IVF-ANN oracle with the centroids embedded as literals
     (sha256-derived defaults, or an explicit trained codebook).
@@ -272,17 +284,19 @@ def _ivf_oracle(
     probe list = reversed (score, cell) sort (tie breaks cell DESC),
     then the same rounded-cosine rerank as the brute-force oracle. The
     projections are index-ordered product-sums on both engines, so cell
-    assignment agrees bit-for-bit."""
-    cells = _ivf_cells_cte(n_centroids, n_probe, dim, centroids)
+    assignment agrees bit-for-bit. ``src``/``pre_cte`` swap in a
+    derived corpus (the planted-cluster fixture); ``pre_cte`` is
+    spliced after WITH and must end with ", "."""
+    cells = _ivf_cells_cte(n_centroids, n_probe, dim, centroids, src=src)
     return f"""
-WITH {cells},
+WITH {pre_cte}{cells},
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          ROUND({_cos_sql('q.embedding', 'n.embedding')}, 6) AS sim
   FROM probes p
   JOIN assigned a ON a.cell = p.cell
-  JOIN embeddings q ON q.vec_id = p.query_id
-  JOIN embeddings n ON n.vec_id = a.vec_id
+  JOIN {src} q ON q.vec_id = p.query_id
+  JOIN {src} n ON n.vec_id = a.vec_id
   WHERE p.query_id <> a.vec_id
 )
 SELECT query_id, neighbor_id, sim,
@@ -1012,9 +1026,114 @@ def sim_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = ivf_topk(
         e, q, "vec_id", "embedding", k=5, n_centroids=16, n_probe=4, dim=64
-    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return _recall_frame(truth, approx)
+
+
+# --- planted-cluster ANN fixture (VERDICT.md r8 next-round #5) -------
+#
+# sim_ann_recall_at_k measures recall honestly but the synthetic
+# near-uniform embeddings cap it near the n_probe/n_centroids chance
+# floor — the corpus cannot show an index EARNING its keep. This
+# fixture derives a deterministic clustered corpus from vec_id alone
+# (no new data files; TESTDATA.md tables stay the only inputs): each
+# vector is a mixture of up to three of 16 block-sparse cluster
+# directions plus a one-position noise spike,
+#
+#   pv[j] = 0.5·[j∕4 = vec_id mod 16]                       (primary)
+#         + 0.85·((vec_id mod 7)/7)·[j∕4 = (vec_id∕16) mod 16]
+#         + 0.6·((vec_id mod 5)/5)·[j∕4 = (3·vec_id+5) mod 16]
+#         + ±0.15·[j = 7·vec_id mod 64]                     (noise)
+#
+# (∕ = integer division). The VARIABLE mixture weights are the point:
+# high-secondary rows sit near (or past) cell boundaries, so a query's
+# true neighbors spread over up to three cells and recall climbs with
+# n_probe — measured at sf0.01: 0.81 / 0.955 / 0.995 / 1.0 at n_probe
+# 1/2/4/16 — instead of pinning at 1.0 (tight clusters) or the chance
+# floor (uniform corpus). Every term is exact integer arithmetic and
+# IEEE-double products evaluated in the same order on both engines, so
+# the DuckDB oracle rebuilds the corpus bit-for-bit.
+
+
+def _planted_embedding(vid) -> Column:
+    """The planted mixture vector as a pure JVM-side array expression
+    (sequence + transform — no UDF, no extra scan). Term order and
+    associativity ((t1+t2)+t3)+t4 mirror :func:`_planted_cte` exactly:
+    identical IEEE-double operation order is what lets the oracle
+    reproduce the floats bit-for-bit."""
+    c1 = vid % 16
+    c2 = F.floor(vid / F.lit(16)) % 16
+    c3 = ((vid * 3) + 5) % 16
+    noise_pos = (vid * 7) % 64
+
+    def val(j):
+        blk = F.floor(j / F.lit(4))
+        t1 = F.when(blk == c1, F.lit(0.5)).otherwise(F.lit(0.0))
+        t2 = F.when(
+            blk == c2, (F.lit(0.85) * (vid % 7)) / F.lit(7.0)
+        ).otherwise(F.lit(0.0))
+        t3 = F.when(
+            blk == c3, (F.lit(0.6) * (vid % 5)) / F.lit(5.0)
+        ).otherwise(F.lit(0.0))
+        t4 = F.when(
+            j == noise_pos,
+            F.when(vid % 2 == 0, F.lit(0.15)).otherwise(F.lit(-0.15)),
+        ).otherwise(F.lit(0.0))
+        return ((t1 + t2) + t3) + t4
+
+    return F.transform(F.sequence(F.lit(0), F.lit(63)), val)
+
+
+def _planted_cte() -> str:
+    """DuckDB CTE rebuilding the planted corpus from vec_id — splice
+    as ``pre_cte`` into the parameterized oracles (``src="planted"``).
+    Every fractional constant is CAST to DOUBLE up front: DuckDB parses
+    bare decimal literals as DECIMAL, whose exact arithmetic would
+    diverge from Spark's IEEE doubles."""
+    val = (
+        "((("
+        "(CASE WHEN (j // 4) = (vec_id % 16) "
+        "THEN CAST(0.5 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+        " + (CASE WHEN (j // 4) = ((vec_id // 16) % 16) "
+        "THEN ((CAST(0.85 AS DOUBLE) * (vec_id % 7)) / CAST(7 AS DOUBLE)) "
+        "ELSE CAST(0 AS DOUBLE) END))"
+        " + (CASE WHEN (j // 4) = (((vec_id * 3) + 5) % 16) "
+        "THEN ((CAST(0.6 AS DOUBLE) * (vec_id % 5)) / CAST(5 AS DOUBLE)) "
+        "ELSE CAST(0 AS DOUBLE) END))"
+        " + (CASE WHEN j = ((vec_id * 7) % 64) "
+        "THEN (CASE WHEN (vec_id % 2) = 0 THEN CAST(0.15 AS DOUBLE) "
+        "ELSE CAST(-0.15 AS DOUBLE) END) ELSE CAST(0 AS DOUBLE) END))"
+    )
     return (
-        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        "planted AS (SELECT vec_id, "
+        f"list_transform(range(0, 64), j -> {val}) AS embedding "
+        "FROM embeddings), "
+    )
+
+
+def _block_centroids(
+    n_centroids: int = 16, dim: int = 64, amp: float = 0.5
+) -> list[list[float]]:
+    """The 16 block-sparse cluster directions as an explicit codebook
+    (amp=0.5 on the 4 positions of each block — exactly representable
+    doubles, identical literals on both engines)."""
+    width = dim // n_centroids
+    return [
+        [amp if c * width <= d < (c + 1) * width else 0.0
+         for d in range(dim)]
+        for c in range(n_centroids)
+    ]
+
+
+def _recall_frame(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of ``approx`` against ``truth`` on
+    (query_id, neighbor_id) — the aggregation stage shared by both
+    recall queries."""
+    hits = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(hits, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_truth"),
@@ -1028,3 +1147,76 @@ def sim_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def _planted_recall_oracle(k: int = 10, n_probe: int = 4) -> str:
+    """Recall@k on the planted corpus: both nested stages (brute-force
+    ground truth, block-centroid IVF) re-derive the planted vectors
+    from vec_id inside their own CTEs, so the oracle tests corpus
+    construction, both retrieval stages, and the metric end to end."""
+    truth = _brute_topk_sql(k=k, src="planted", pre_cte=_planted_cte())
+    approx = _ivf_oracle(
+        n_centroids=16, n_probe=n_probe, dim=64,
+        centroids=_block_centroids(), k=k,
+        src="planted", pre_cte=_planted_cte(),
+    )
+    return f"""
+WITH truth AS (SELECT query_id, neighbor_id FROM ({truth})),
+approx AS (SELECT query_id, neighbor_id FROM ({approx}))
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+"""
+
+
+def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding) planted-cluster corpus — one scan of the
+    embeddings table, vector built as an array expression."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", _planted_embedding(F.col("vec_id")).alias("embedding")
+    )
+
+
+def planted_recall(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_probe: int = 4
+) -> DataFrame:
+    """Recall@k of block-centroid IVF vs brute force on the planted
+    corpus, parameterized on n_probe — the registered query pins
+    n_probe=4; tools/ann_probe_curve.py sweeps the dial."""
+    e = planted_corpus(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20)
+    truth = brute_force_topk(q, e, "vec_id", "embedding", k=k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(
+        e, q, "vec_id", "embedding", k=k, n_probe=n_probe, dim=64,
+        centroids=_block_centroids(),
+    )
+    return _recall_frame(truth, approx)
+
+
+@register(
+    "sim_ann_recall_planted",
+    oracle=_planted_recall_oracle(),
+    tags=("similarity", "ivf", "quality", "pipeline"),
+)
+def sim_ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall@10 on the planted-cluster corpus (n_probe=4 of 16
+    cells) — the companion to sim_ann_recall_at_k that retires its
+    chance-floor caveat: on a corpus with real cluster structure the
+    SAME cell-pruned index design measures ~0.995 recall at 4/16
+    probes (vs the uniform corpus's ~0.27 at a 0.25 floor), and the
+    n_probe dial becomes a measurable quality/cost frontier
+    (tools/ann_probe_curve.py sweeps it: 0.81 → 1.0). Scale shape is
+    unchanged from the recall@k debut: ground truth bounded by the
+    broadcast 20-query sample, candidates pruned cell-wise."""
+    pin_session(spark)
+    return planted_recall(spark, sf_dir, k=10, n_probe=4)

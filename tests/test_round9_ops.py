@@ -38,3 +38,43 @@ class TestAssignModeCutover:
     def test_explicit_true_requires_id_col(self):
         with pytest.raises(ValueError, match="id_col"):
             _resolve_assign_mode(8, None, True)
+
+
+class TestPlantedRecall:
+    """The planted-cluster corpus retires the r8 chance-floor caveat:
+    on data with real cluster structure the SAME IVF design measures
+    recall far above the n_probe/n_centroids floor, and the n_probe
+    dial is a visible quality/cost frontier (measured at both test
+    SFs: 0.81 / 0.955 / 0.995 at n_probe 1/2/4 — the embeddings table
+    ships 500 rows at sf0.001 and sf0.01, so the values coincide)."""
+
+    @pytest.fixture(scope="class")
+    def curve(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+            planted_recall,
+        )
+
+        return {
+            npb: planted_recall(spark, sf_dir, k=10, n_probe=npb)
+            .agg(F.avg("recall"))
+            .collect()[0][0]
+            for npb in (1, 2, 4)
+        }
+
+    def test_recall_at_4_probes_certifies_the_index(self, curve):
+        # the verdict's done-bar: >= ~0.8 at n_probe=4; measured 0.995
+        assert curve[4] >= 0.9
+
+    def test_n_probe_dial_is_visible(self, curve):
+        # strictly climbing, and probe-1 clearly below saturation —
+        # the frontier exists, unlike the uniform corpus where every
+        # setting pins near the chance floor
+        assert curve[1] < curve[2] < curve[4]
+        assert curve[1] < 0.95
+
+    def test_far_above_chance_floor(self, curve):
+        # chance floor at n_probe=1 is 1/16 of the corpus; measured
+        # 0.81 — the index is earning its keep on clustered data
+        assert curve[1] >= 0.5
