@@ -20,7 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from map_reduce_c_sharp_simulation_multithreaded_spark import buildstats
 from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
-from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark, host_speed_probe
+from map_reduce_c_sharp_simulation_multithreaded_spark.session import (
+    get_spark,
+    host_speed_probe,
+    host_speed_probe_single,
+)
 
 
 # Join-heavy TPC-H shapes + one streaming query, timed alongside the
@@ -88,6 +92,9 @@ EXTRA_BENCH = (
     # the ANN recall@k quality measurement
     "multimodal_pipeline_neardup",
     "sim_ann_recall_at_k",
+    # round-9 new surface: planted-cluster recall (the corpus with
+    # structure the index can actually exploit)
+    "sim_ann_recall_planted",
 )
 
 
@@ -111,7 +118,9 @@ def main() -> int:
     # uniformly 1.4-1.5x slower in one SCALE.md-documented window)
     # before reading a headline swing as a plan change.
     calibration = host_speed_probe(spark)
-    print(f"# host_speed_probe: {calibration}s", file=sys.stderr)
+    calibration_single = host_speed_probe_single(spark)
+    print(f"# host_speed_probe: {calibration}s parallel / "
+          f"{calibration_single}s single-thread", file=sys.stderr)
 
     all_q = registry.all_queries()
     headline = sorted(registry.headline_queries())
@@ -184,6 +193,7 @@ def main() -> int:
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(v, 2) for v in os.getloadavg()],
         "calibration_sec": calibration,
+        "calibration_single_sec": calibration_single,
         "cpu_count": os.cpu_count(),
         # one-time memoized builds paid during timed passes (ADVICE r8):
         # labeled here so a cold codebook training is never read as the
@@ -207,6 +217,7 @@ def main() -> int:
         # round-over-round headline ratio by the ratio of this field
         # before reading it as a plan change (host-epoch normalizer)
         "calibration_sec": calibration,
+        "calibration_single_sec": calibration_single,
         "cpu_count": os.cpu_count(),
     }
 

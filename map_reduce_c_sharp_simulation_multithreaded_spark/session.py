@@ -83,6 +83,35 @@ def host_speed_probe(spark: SparkSession, passes: int = 3) -> float:
     return round(best, 4)
 
 
+def host_speed_probe_single(spark: SparkSession, passes: int = 3) -> float:
+    """SINGLE-THREAD companion to :func:`host_speed_probe` (round 9).
+
+    The parallel probe measures all-core execution throughput — and
+    round 9 found an epoch it is BLIND to: sub-second sf0.1 queries
+    are dominated by single-threaded driver work (Catalyst analysis,
+    whole-stage codegen, JIT compilation), which can slow 1.2–1.6×
+    while the 32-thread probe holds at ~0.45 s (measured this round:
+    headline plans ~1.07× their r7 walls, complex-plan and streaming
+    queries 1.5–2×, first passes spiking 2–3× over steady state —
+    the plan-complexity-proportional signature, not an execution one).
+    This probe pins the same arithmetic to ONE task
+    (``numPartitions=1``), so its round-over-round ratio tracks
+    single-thread speed. Recorded as ``calibration_single_sec`` in
+    sweep/bench artifacts from round 9 on; r7/r8 artifacts predate it,
+    so the first usable cross-round pair is r9→r10.
+    """
+    import time as _time
+
+    best = float("inf")
+    for _ in range(passes):
+        t0 = _time.perf_counter()
+        spark.range(0, 200_000_000, 1, 1).selectExpr(
+            "sum((id * id) % 1000003)"
+        ).collect()
+        best = min(best, _time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def pin_session(spark: SparkSession) -> SparkSession:
     """Pin runtime-settable confs on a session we did not create.
 

@@ -78,3 +78,42 @@ class TestPlantedRecall:
         # chance floor at n_probe=1 is 1/16 of the corpus; measured
         # 0.81 — the index is earning its keep on clustered data
         assert curve[1] >= 0.5
+
+
+class TestRound9Tools:
+    """Cheap structural pins for the two round-9 measurement tools
+    (their heavy paths produce the committed STREAM_BENCH.json /
+    ANN_CURVE.json artifacts; full runs are not pytest material)."""
+
+    def test_stream_bench_percentile(self):
+        import tools.stream_bench as sb
+
+        xs = [5.0, 1.0, 3.0, 2.0, 4.0]
+        assert sb._pctl(xs, 0.5) == 3.0
+        assert sb._pctl(xs, 1.0) == 5.0
+        assert sb._pctl([7.0], 0.95) == 7.0
+
+    def test_stream_bench_mirrors_cover_the_state_shapes(self):
+        # one mirror per stateful-operator class: windowed agg (x2),
+        # bounded-state dedup, applyInPandasWithState, stream-stream
+        # join — the five shapes whose per-batch latency matters
+        import tools.stream_bench as sb
+
+        assert set(sb.MIRRORS) == {
+            "tumbling_counts", "sliding_avg", "dedup_within_watermark",
+            "stateful_user_totals", "interval_join",
+        }
+
+    def test_block_centroids_are_orthonormal_blocks(self):
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+            _block_centroids,
+        )
+
+        cents = _block_centroids()
+        assert len(cents) == 16 and all(len(c) == 64 for c in cents)
+        # unit norm, disjoint supports
+        for c, row in enumerate(cents):
+            assert sum(v * v for v in row) == 1.0
+            assert [i for i, v in enumerate(row) if v] == list(
+                range(4 * c, 4 * c + 4)
+            )

@@ -47,7 +47,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from map_reduce_c_sharp_simulation_multithreaded_spark import buildstats
 from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
-from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark, host_speed_probe
+from map_reduce_c_sharp_simulation_multithreaded_spark.session import (
+    get_spark,
+    host_speed_probe,
+    host_speed_probe_single,
+)
 
 REGRESSION_RATIO = 1.5
 REGRESSION_FLOOR_SEC = 0.25
@@ -125,7 +129,9 @@ def main() -> int:
     spark = get_spark("mrcs_sweep")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     calibration = host_speed_probe(spark)
-    print(f"# host_speed_probe: {calibration}s", file=sys.stderr)
+    calibration_single = host_speed_probe_single(spark)
+    print(f"# host_speed_probe: {calibration}s parallel / "
+          f"{calibration_single}s single-thread", file=sys.stderr)
 
     def evaluate(df) -> None:
         if args.collect:
@@ -182,6 +188,7 @@ def main() -> int:
         "loadavg_start": loadavg_start,
         "loadavg_end": [round(v, 2) for v in os.getloadavg()],
         "calibration_sec": calibration,
+        "calibration_single_sec": calibration_single,
         # the probe measures cores × clock; recording the core count
         # lets host_norm tell a topology change from a clock epoch
         "cpu_count": os.cpu_count(),
@@ -212,6 +219,17 @@ def main() -> int:
     if args.diff:
         with open(args.diff, encoding="utf-8") as fh:
             prev = json.load(fh)
+        # advisory: the gate normalizes by the PARALLEL probe; print
+        # the single-thread ratio too when both artifacts carry it —
+        # round 9 found a driver/JIT epoch the parallel probe is blind
+        # to (see session.host_speed_probe_single), and this line is
+        # what makes that adjudication mechanical next time
+        ps, cs = prev.get("calibration_single_sec"), artifact.get(
+            "calibration_single_sec")
+        if ps and cs:
+            print(f"# single-thread calibration ratio: {cs / ps:.3f} "
+                  f"(parallel: {host_norm(prev, artifact):.3f})",
+                  file=sys.stderr)
         regressions = compare_sweeps(prev, artifact)
         for name, pw, cw in regressions:
             print(f"REGRESSION {name}: {pw}s -> {cw}s "
