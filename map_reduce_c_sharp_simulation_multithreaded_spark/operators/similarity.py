@@ -758,6 +758,7 @@ def ivfpq_topk(
     dim: int = 64,
     m_sub: int = 8,
     k_codes: int = 16,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS-standard composition): IVF cells prune the
     candidate set to ~n_probe/n_centroids of the corpus, and product-
@@ -773,7 +774,9 @@ def ivfpq_topk(
     the PQ ranking itself is the contract, differentially tested
     against a DuckDB oracle built from the same codebook literals.
     """
-    centroids = _deterministic_centroids(n_centroids, dim)
+    if centroids is None:  # same override contract as ivf_topk
+        centroids = _deterministic_centroids(n_centroids, dim)
+    n_centroids = len(centroids)
     books = _pq_codebooks(m_sub, k_codes, dim // m_sub)
     scores = centroid_scores(F.col(vec_col), centroids)
     assigned = F.array_position(scores, F.array_max(scores)).cast("int") - 1
@@ -843,6 +846,7 @@ def ivfpq_rerank_topk(
     dim: int = 64,
     m_sub: int = 8,
     k_codes: int = 16,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Two-stage FAISS-style retrieval: IVF-PQ shortlists k' candidates
     by asymmetric code distance (cheap, compressed domain), then only
@@ -854,7 +858,7 @@ def ivfpq_rerank_topk(
     cand = ivfpq_topk(
         df, queries, id_col, vec_col,
         k=k_prime, n_centroids=n_centroids, n_probe=n_probe,
-        dim=dim, m_sub=m_sub, k_codes=k_codes,
+        dim=dim, m_sub=m_sub, k_codes=k_codes, centroids=centroids,
     ).select("query_id", "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")

@@ -42,10 +42,11 @@ ALLOWED = {
     # connected-components convergence probe: take(1) on the
     # changed-labels join — at most one row per iteration
     os.path.join("plans", "advanced.py"): (1, "take(1) convergence probe"),
-    # host-speed calibration probe (VERDICT r7 #4): collect() of ONE
-    # scalar (sum over a synthetic range) — measurement harness only,
-    # never on a query path
-    "session.py": (1, "host_speed_probe single-scalar collect"),
+    # host-speed calibration probes (VERDICT r7 #4; r9 adds the
+    # single-thread companion): collect() of ONE scalar each (sum over
+    # a synthetic range) — measurement harness only, never on a query
+    # path
+    "session.py": (2, "host_speed_probe/_single one-scalar collects"),
 }
 
 

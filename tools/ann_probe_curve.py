@@ -1,16 +1,23 @@
 #!/usr/bin/env python
-"""Recall-vs-n_probe frontier on the planted-cluster corpus
+"""ANN quality/cost frontier on the planted-cluster corpus
 (VERDICT.md r8 stretch #8) — the FAISS tuning loop as a reproducible
-artifact.
+artifact, across every index family the engine ships.
 
-For each codebook (the analytic 16-block centroids the registered
-query uses, and a codebook TRAINED on the planted corpus via
-train_kmeans_codebook — its one-time cost labeled BUILD through the
-build ledger) sweep n_probe and record mean recall@10 against
-brute-force ground truth plus warm query wall. The curve is the
-quality/cost dial the uniform-corpus fixture could never show: recall
-climbs 0.81 → 1.0 across probes while scanned-cell fraction grows
-n_probe/16.
+Four families, each with its own recall/cost dial, all measured as
+mean recall@10 against the same brute-force ground truth:
+
+- ivf_block     — IVF with the analytic 16-block codebook, dial n_probe
+- ivf_trained   — IVF with a codebook TRAINED on the corpus
+                  (train_kmeans_codebook; one-time cost labeled BUILD
+                  through the build ledger), dial n_probe
+- ivfpq_rerank  — IVF-PQ shortlist (k'=20, compressed-domain ADC) +
+                  exact rerank, block coarse codebook, dial n_probe.
+                  PQ sub-codebooks stay sha-derived: their magnitude
+                  mismatch vs the planted data is exactly the
+                  documented PQ worst case, and the rerank stage's
+                  recovery is what this row measures
+- lsh           — multi-probe hyperplane LSH (8 planes), dial
+                  probe_hamming (bucket-flip radius)
 
     python tools/ann_probe_curve.py [--sf DIR] [--json ANN_CURVE.json]
 """
@@ -31,6 +38,8 @@ from map_reduce_c_sharp_simulation_multithreaded_spark import buildstats
 from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
+    ivfpq_rerank_topk,
+    lsh_topk,
     train_kmeans_codebook,
 )
 from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
@@ -48,14 +57,13 @@ N_PROBES = (1, 2, 3, 4, 8, 16)
 K = 10
 
 
-def measure(spark, corpus, truth, centroids, n_probe: int) -> dict:
+def measure(spark, corpus, truth, search, extra: dict) -> dict:
+    """Mean recall@10 of ``search(corpus, queries)`` vs ``truth`` plus
+    a warm second-run wall; ``extra`` rides into the record."""
     q = corpus.filter(F.col("vec_id") < 20)
 
     def run():
-        approx = ivf_topk(
-            corpus, q, "vec_id", "embedding", k=K, n_probe=n_probe,
-            dim=64, centroids=centroids,
-        )
+        approx = search(corpus, q)
         return (
             _recall_frame(truth, approx)
             .agg(F.avg("recall").alias("r"))
@@ -69,7 +77,7 @@ def measure(spark, corpus, truth, centroids, n_probe: int) -> dict:
     return {
         "recall": round(float(recall), 4),
         "warm_sec": round(warm, 3),
-        "cell_fraction": round(n_probe / len(centroids), 4),
+        **extra,
     }
 
 
@@ -95,8 +103,7 @@ def main() -> int:
     )
 
     buildstats.drain()
-    books: dict[str, tuple[list[list[float]], list[dict]]] = {}
-    books["block"] = (_block_centroids(), buildstats.drain())
+    block = _block_centroids()
     t0 = time.perf_counter()
     trained = train_kmeans_codebook(
         corpus, "embedding", n_centroids=16, n_iter=3, dim=64,
@@ -105,17 +112,49 @@ def main() -> int:
     buildstats.record_build(
         "kmeans_codebook", time.perf_counter() - t0, "ann_probe_curve k=16"
     )
-    books["trained"] = (trained, buildstats.drain())
+    trained_builds = buildstats.drain()
+
+    def ivf_search(cents):
+        return lambda npb: (
+            lambda c, q: ivf_topk(
+                c, q, "vec_id", "embedding", k=K, n_probe=npb, dim=64,
+                centroids=cents,
+            )
+        )
+
+    def pq_search(npb):
+        return lambda c, q: ivfpq_rerank_topk(
+            c, q, "vec_id", "embedding", k=K, k_prime=20, n_probe=npb,
+            dim=64, m_sub=8, k_codes=16, centroids=block,
+        )
+
+    def lsh_search(radius):
+        return lambda c, q: lsh_topk(
+            c, q, "vec_id", "embedding", k=K, n_planes=8, dim=64,
+            probe_hamming=radius,
+        )
+
+    families = {
+        "ivf_block": ("n_probe", N_PROBES, ivf_search(block),
+                      lambda d: {"cell_fraction": round(d / 16, 4)}, []),
+        "ivf_trained": ("n_probe", N_PROBES, ivf_search(trained),
+                        lambda d: {"cell_fraction": round(d / 16, 4)},
+                        trained_builds),
+        "ivfpq_rerank": ("n_probe", (1, 2, 4, 8), pq_search,
+                         lambda d: {"cell_fraction": round(d / 16, 4)}, []),
+        "lsh": ("probe_hamming", (0, 1, 2, 3), lsh_search,
+                lambda d: {}, []),
+    }
 
     results: dict[str, dict] = {}
-    for name, (cents, builds) in books.items():
+    for name, (dial, dials, mk, extra_fn, builds) in families.items():
         curve = {}
-        for npb in N_PROBES:
-            curve[str(npb)] = measure(spark, corpus, truth, cents, npb)
-            c = curve[str(npb)]
-            print(f"{name:8s} n_probe={npb:2d}  recall {c['recall']:.4f}  "
-                  f"warm {c['warm_sec']}s  cells {c['cell_fraction']}")
-        results[name] = {"curve": curve, "builds": builds}
+        for d in dials:
+            curve[str(d)] = measure(spark, corpus, truth, mk(d), extra_fn(d))
+            c = curve[str(d)]
+            print(f"{name:14s} {dial}={d:2d}  recall {c['recall']:.4f}  "
+                  f"warm {c['warm_sec']}s")
+        results[name] = {"dial": dial, "curve": curve, "builds": builds}
 
     artifact = {
         "sf_dir": args.sf,
@@ -126,7 +165,7 @@ def main() -> int:
         "calibration_sec": calibration,
         "calibration_single_sec": calibration_single,
         "cpu_count": os.cpu_count(),
-        "codebooks": results,
+        "families": results,
     }
     if args.json:
         with open(args.json, "w", encoding="utf-8") as fh:
