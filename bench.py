@@ -93,8 +93,10 @@ EXTRA_BENCH = (
     "multimodal_pipeline_neardup",
     "sim_ann_recall_at_k",
     # round-9 new surface: planted-cluster recall (the corpus with
-    # structure the index can actually exploit)
+    # structure the index can actually exploit) and trained-PQ
+    # retrieval (the measured answer to the sha-codebook plateau)
     "sim_ann_recall_planted",
+    "sim_ivfpq_trained_topk",
 )
 
 

@@ -759,6 +759,7 @@ def ivfpq_topk(
     m_sub: int = 8,
     k_codes: int = 16,
     centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS-standard composition): IVF cells prune the
     candidate set to ~n_probe/n_centroids of the corpus, and product-
@@ -777,7 +778,8 @@ def ivfpq_topk(
     if centroids is None:  # same override contract as ivf_topk
         centroids = _deterministic_centroids(n_centroids, dim)
     n_centroids = len(centroids)
-    books = _pq_codebooks(m_sub, k_codes, dim // m_sub)
+    if books is None:  # sha default; or train_pq_codebooks output
+        books = _pq_codebooks(m_sub, k_codes, dim // m_sub)
     scores = centroid_scores(F.col(vec_col), centroids)
     assigned = F.array_position(scores, F.array_max(scores)).cast("int") - 1
     # The encoded candidate frame (cell assignment + PQ codes over the
@@ -847,6 +849,7 @@ def ivfpq_rerank_topk(
     m_sub: int = 8,
     k_codes: int = 16,
     centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Two-stage FAISS-style retrieval: IVF-PQ shortlists k' candidates
     by asymmetric code distance (cheap, compressed domain), then only
@@ -859,6 +862,7 @@ def ivfpq_rerank_topk(
         df, queries, id_col, vec_col,
         k=k_prime, n_centroids=n_centroids, n_probe=n_probe,
         dim=dim, m_sub=m_sub, k_codes=k_codes, centroids=centroids,
+        books=books,
     ).select("query_id", "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -883,3 +887,182 @@ def ivfpq_rerank_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim", "rn")
     )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m_sub: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    sum_quantize: float | None = 1e-6,
+) -> list[list[list[float]]]:
+    """Per-subspace TRAINED PQ codebooks (classic L2 Lloyd, not the
+    spherical variant — PQ assigns by squared L2 and updates by MEAN,
+    so :func:`train_kmeans_codebook`'s normalize-everything contract
+    would be wrong here).
+
+    Round 9's four-family frontier measured WHY this exists: with
+    sha-derived sub-codebooks, IVF-PQ recall on the planted corpus
+    plateaus at ~0.61 regardless of n_probe — magnitude-mismatched
+    codes are the documented PQ worst case, and no amount of probing
+    recovers neighbors the compressed domain cannot rank. Training the
+    sub-codebooks on the data closes that gap (pinned in pytest).
+
+    Execution shape: the (id, double-cast vector) projection is cached
+    once; each subspace trains independently — seeds are the k_codes
+    sub-vectors with the smallest md5("pqseed:m:" || id) digests, each
+    Lloyd round is ONE aggregation (argmin assignment via the same
+    ``_sub_dists`` expression ``pq_encode`` uses at query time →
+    per-(cell, position) sums + counts), and only the m_sub × k_codes
+    × sub_dim codebook floats visit the driver. FAISS trains PQ on a
+    bounded sample regardless of corpus size; at 100 TB the caller
+    passes a sampled ``df`` and this stays O(sample) per round.
+
+    REPLAYABLE like the spherical trainer: id-derived seeds plus
+    ``sum_quantize`` (snapping each per-(cell, position) sum so
+    partial-aggregation merge order cannot leak ulp drift; counts are
+    exact integers and the mean is one double division) make the books
+    a deterministic function of the (id, vector) multiset —
+    :func:`replay_pq_codebooks` reproduces them bit-for-bit outside
+    Spark, which is what lets the trained-PQ query carry a generated
+    DuckDB oracle.
+    """
+    sub_dim = dim // m_sub
+    vecs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "_v"
+            ),
+        )
+        .cache()
+    )
+    books: list[list[list[float]]] = []
+    spark = df.sparkSession
+    for m in range(m_sub):
+        seed_key = F.md5(
+            F.concat(F.lit(f"pqseed:{m}:"), F.col("_id").cast("string"))
+        )
+        sub = F.slice(F.col("_v"), m * sub_dim + 1, sub_dim)
+        seeds = [
+            [float(x) for x in r["_s"]]
+            for r in vecs.select(sub.alias("_s"), seed_key.alias("_k"))
+            .orderBy("_k")
+            .limit(k_codes)
+            .collect()
+        ]
+        book = seeds
+        k_actual = len(book)
+        per_pos = [
+            F.sum(F.element_at("_s", d + 1)).alias(f"s{d}")
+            for d in range(sub_dim)
+        ]
+        for _ in range(n_iter):
+            # same per-code fold ``pq_encode``'s _sub_dists runs at
+            # query time (index-ordered (x−y)·(x−y)), applied to the
+            # pre-sliced sub-vector
+            dists = F.transform(
+                _array_lit(book),
+                lambda cent: _fold_sum(
+                    F.zip_with(
+                        sub, cent, lambda x, y: (x - y) * (x - y)
+                    )
+                ),
+            )
+            assigned = (
+                F.array_position(dists, F.array_min(dists)).cast("int") - 1
+            )
+            rows = (
+                vecs.select(assigned.alias("_cell"), sub.alias("_s"))
+                .groupBy("_cell")
+                .agg(F.count(F.lit(1)).alias("_n"), *per_pos)
+                .collect()
+            )
+            new_book = [list(c) for c in book]
+            for r in rows:
+                acc = []
+                for d in range(sub_dim):
+                    s = r[f"s{d}"]
+                    if sum_quantize:
+                        s = round(s / sum_quantize) * sum_quantize
+                    acc.append(s / r["_n"])
+                new_book[r["_cell"]] = acc
+            book = new_book
+        books.append([row[:] for row in book[:k_actual]])
+    vecs.unpersist()
+    return books
+
+
+def replay_pq_codebooks(
+    rows: list[tuple],
+    m_sub: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 3,
+    sum_quantize: float = 1e-6,
+) -> list[list[list[float]]]:
+    """Pure-Python replay of :func:`train_pq_codebooks` — the PQ
+    analogue of :func:`replay_kmeans_codebook`, used to GENERATE the
+    trained-PQ DuckDB oracle from raw (id, vector) rows.
+
+    Float-semantics mirror: sub-vector elements go through
+    float32→double exactly as Spark's cast (the parquet read already
+    yields those doubles), distances fold ``(x − y)·(x − y)`` in index
+    order, assignment is first-min (Spark's
+    array_position-on-array_min), per-(cell, position) sums snap to
+    the same grid (absorbing partial-aggregation order), counts are
+    exact ints, and the mean is the same single double division.
+    Empty cells keep their previous centroid, matching the trainer's
+    merge of only-observed cells.
+    """
+    import hashlib
+
+    books = []
+    for m in range(m_sub):
+        subs = []
+        for vid, vec in rows:
+            lo = m * (len(vec) // m_sub)
+            hi = lo + (len(vec) // m_sub)
+            subs.append((vid, [float(x) for x in vec[lo:hi]]))
+        seeds = sorted(
+            subs,
+            key=lambda r: hashlib.md5(
+                f"pqseed:{m}:{r[0]}".encode()
+            ).hexdigest(),
+        )[:k_codes]
+        book = [list(s[1]) for s in seeds]
+        k_actual = len(book)
+        sub_dim = len(book[0]) if book else 0
+        for _ in range(n_iter):
+            sums = [[0.0] * sub_dim for _ in range(k_actual)]
+            counts = [0] * k_actual
+            for _vid, sv in subs:
+                best, bi = None, 0
+                for c in range(k_actual):
+                    cen = book[c]
+                    s = 0.0
+                    for d in range(sub_dim):
+                        diff = sv[d] - cen[d]
+                        s = s + diff * diff
+                    if best is None or s < best:
+                        best, bi = s, c
+                cell = sums[bi]
+                for d in range(sub_dim):
+                    cell[d] += sv[d]
+                counts[bi] += 1
+            new_book = [list(c) for c in book]
+            for c in range(k_actual):
+                if not counts[c]:
+                    continue
+                acc = []
+                for d in range(sub_dim):
+                    s = sums[c][d]
+                    if sum_quantize:
+                        s = round(s / sum_quantize) * sum_quantize
+                    acc.append(s / counts[c])
+                new_book[c] = acc
+            book = new_book
+        books.append(book)
+    return books

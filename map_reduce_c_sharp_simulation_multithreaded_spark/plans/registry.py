@@ -177,11 +177,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_fingerprint_groups",
     "text_bpe_token_count",
     "text_winnowing_fingerprints",
-    "graph_pagerank_directed",
-    # --- round-9 debut (same-round rule): planted-cluster ANN recall
-    # (displaces the last r06 fill, graph_pagerank_suppliers — r06
-    # evidence, head of the round-10 queue) ---
+    # --- round-9 debuts (same-round rule): planted-cluster ANN recall
+    # and trained-PQ retrieval (displace the last two r06 fills,
+    # graph_pagerank_directed/_suppliers — r06 evidence, head of the
+    # round-10 queue) ---
     "sim_ann_recall_planted",
+    "sim_ivfpq_trained_topk",
 )
 
 

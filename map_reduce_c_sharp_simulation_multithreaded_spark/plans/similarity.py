@@ -357,16 +357,20 @@ def _ivfpq_oracle(
     m_sub: int = 8,
     k_codes: int = 16,
     k: int = 5,
+    books: list[list[list[float]]] | None = None,
 ) -> str:
     """IVF-PQ oracle: same IVF cell CTEs, plus the PQ codebooks as a
     128-row VALUES table. Candidate codes are per-subspace argmins
     (first-min tiebreak = ORDER BY dist, k), the asymmetric distance is
     the m-ordered list fold so the float association matches the
-    engine's zip_with fold bit-for-bit before ROUND."""
+    engine's zip_with fold bit-for-bit before ROUND. ``books``
+    overrides the sha defaults with an explicit (trained) set, same
+    contract as the operator."""
     from ..operators.similarity import _pq_codebooks
 
     sub_dim = dim // m_sub
-    books = _pq_codebooks(m_sub, k_codes, sub_dim)
+    if books is None:
+        books = _pq_codebooks(m_sub, k_codes, sub_dim)
     rows = ", ".join(
         f"({m}, {k}, {_plane_literal_sql(cent)})"
         for m, book in enumerate(books)
@@ -1220,3 +1224,88 @@ def sim_ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 20-query sample, candidates pruned cell-wise."""
     pin_session(spark)
     return planted_recall(spark, sf_dir, k=10, n_probe=4)
+
+
+# --- trained PQ sub-codebooks (round 9) ------------------------------
+#
+# The four-family frontier (ANN_CURVE.json) measured WHY: sha-derived
+# sub-codebooks cap IVF-PQ recall at ~0.61 on the planted corpus no
+# matter how many cells are probed — compressed-domain ranking can't
+# recover what magnitude-mismatched codes can't distinguish. Training
+# the sub-codebooks per subspace (classic L2 Lloyd, FAISS's PQ
+# training) closes the gap; like the coarse trained codebook, training
+# is REPLAYABLE (id-derived seeds, 1e-6 sum grid, exact-int counts,
+# one double division per mean), so a pure-Python replay generates the
+# DuckDB oracle and the retrieval stage is differentially tested end
+# to end.
+
+
+def _trained_pq_books(
+    e: DataFrame, sf_dir: str
+) -> list[list[list[float]]]:
+    """Memoized per dataset fingerprint, exactly like the trained
+    coarse codebooks: PQ training is index BUILD (one-time, labeled in
+    the build ledger); encode+search pay per query."""
+    memo_key = ("pq", sf_dir, _embeddings_fingerprint(sf_dir), 8, 16, 3)
+    books = _TRAINED_CODEBOOKS.get(memo_key)
+    if books is None:
+        import time as _time
+
+        from ..buildstats import record_build
+        from ..operators.similarity import train_pq_codebooks
+
+        t0 = _time.perf_counter()
+        books = train_pq_codebooks(
+            e, "embedding", m_sub=8, k_codes=16, dim=64, n_iter=3,
+            id_col="vec_id", sum_quantize=1e-6,
+        )
+        record_build("pq_codebooks", _time.perf_counter() - t0,
+                     "sim_ivfpq_trained_topk m=8 k=16")
+        _TRAINED_CODEBOOKS[memo_key] = books
+    return books
+
+
+def _trained_ivfpq_oracle(sf_dir: str) -> str:
+    """GENERATED oracle: replay the per-subspace PQ training in pure
+    Python from the raw parquet rows (bit-equal to the Spark trainer —
+    pinned in pytest), render the trained books as the VALUES table,
+    and let DuckDB re-derive encodes, ADC tables, and ranking."""
+    import duckdb
+
+    from ..operators.similarity import replay_pq_codebooks
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    books = replay_pq_codebooks(
+        rows, m_sub=8, k_codes=16, n_iter=3, sum_quantize=1e-6
+    )
+    return _ivfpq_oracle(k=5, books=books)
+
+
+@register(
+    "sim_ivfpq_trained_topk",
+    oracle=_trained_ivfpq_oracle,
+    tags=("similarity", "ivf", "pq", "topk", "iterative",
+          "custom-operator"),
+)
+def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via IVF-PQ with TRAINED sub-codebooks — the completed
+    FAISS training story: round 5 trained the coarse quantizer, round
+    9 trains the fine one (per-subspace L2 Lloyd, replayable mode,
+    build cost labeled through the ledger). Query plan is byte-
+    identical to sim_ivfpq_topk — only the 128 codebook literals
+    change — which is the whole point: codebook QUALITY is a swap-in,
+    not a replan. On the planted corpus the trained books lift
+    compressed-domain recall above the sha plateau (pytest-pinned;
+    ANN_CURVE.json carries the measured frontier)."""
+    pin_session(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=4, dim=64, m_sub=8, k_codes=16,
+        books=_trained_pq_books(e, sf_dir),
+    )

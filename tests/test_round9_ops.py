@@ -117,3 +117,79 @@ class TestRound9Tools:
             assert [i for i, v in enumerate(row) if v] == list(
                 range(4 * c, 4 * c + 4)
             )
+
+
+class TestTrainedPQ:
+    """Trained PQ sub-codebooks (the measured answer to the sha
+    plateau): replay bit-equality makes the generated oracle honest,
+    and planted-corpus recall shows the training earning its keep in
+    the compressed domain."""
+
+    def test_replay_is_bit_equal_to_trainer(self, spark, sf_dir):
+        import duckdb
+
+        from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+            replay_pq_codebooks,
+            train_pq_codebooks,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings")
+        trained = train_pq_codebooks(
+            e, "embedding", m_sub=8, k_codes=16, dim=64, n_iter=3,
+            id_col="vec_id", sum_quantize=1e-6,
+        )
+        rows = duckdb.sql(
+            "SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+        replayed = replay_pq_codebooks(
+            rows, m_sub=8, k_codes=16, n_iter=3, sum_quantize=1e-6
+        )
+        assert trained == replayed
+
+    def test_trained_books_lift_compressed_recall_on_planted(
+        self, spark, sf_dir
+    ):
+        import pyspark.sql.functions as F
+
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+            brute_force_topk,
+            ivfpq_rerank_topk,
+            train_pq_codebooks,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+            _block_centroids,
+            _recall_frame,
+            planted_corpus,
+        )
+
+        corpus = planted_corpus(spark, sf_dir).cache()
+        q = corpus.filter(F.col("vec_id") < 20)
+        truth = brute_force_topk(
+            q, corpus, "vec_id", "embedding", k=10
+        ).select("query_id", "neighbor_id")
+
+        def recall(books):
+            approx = ivfpq_rerank_topk(
+                corpus, q, "vec_id", "embedding", k=10, k_prime=20,
+                n_probe=4, dim=64, m_sub=8, k_codes=16,
+                centroids=_block_centroids(), books=books,
+            )
+            return (
+                _recall_frame(truth, approx)
+                .agg(F.avg("recall"))
+                .collect()[0][0]
+            )
+
+        sha = recall(None)  # the measured ~0.61 plateau
+        trained_books = train_pq_codebooks(
+            corpus, "embedding", m_sub=8, k_codes=16, dim=64, n_iter=3,
+            id_col="vec_id", sum_quantize=1e-6,
+        )
+        lifted = recall(trained_books)
+        corpus.unpersist()
+        # trained sub-codebooks must clearly beat the sha plateau and
+        # reach high absolute recall with exact rerank on top
+        assert lifted > sha + 0.1
+        assert lifted >= 0.85

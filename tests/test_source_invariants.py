@@ -31,10 +31,12 @@ ALLOWED = {
     # differential-test comparator: materializes BOTH engines' results
     # at sf<=0.1 by design — never on a query path
     "oracle.py": (1, "test harness comparator"),
-    # k-means training: per-round materialization is the k x dim
-    # codebook (plain floats), the documented iterative-small-state
-    # pattern (SCALE.md); never rows of the corpus
-    os.path.join("operators", "similarity.py"): (2, "k x dim codebook"),
+    # k-means + PQ training: per-round materialization is the k x dim
+    # coarse codebook and, for train_pq_codebooks, the k_codes seeds
+    # plus k_codes x sub_dim per-cell sums — all plain-float codebook
+    # state, the documented iterative-small-state pattern (SCALE.md);
+    # never rows of the corpus (at 100 TB the caller passes a sample)
+    os.path.join("operators", "similarity.py"): (4, "codebook floats"),
     # strict-join missing-key probe: take(1) on a left-anti join —
     # at most ONE row crosses to the driver (reference throw semantics,
     # D/Program.cs:310)

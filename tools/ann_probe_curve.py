@@ -14,8 +14,10 @@ mean recall@10 against the same brute-force ground truth:
                   exact rerank, block coarse codebook, dial n_probe.
                   PQ sub-codebooks stay sha-derived: their magnitude
                   mismatch vs the planted data is exactly the
-                  documented PQ worst case, and the rerank stage's
-                  recovery is what this row measures
+                  documented PQ worst case — this row IS the plateau
+- ivfpq_trained — same retrieval with sub-codebooks TRAINED on the
+                  corpus (train_pq_codebooks, BUILD-labeled): the
+                  measured answer to the plateau
 - lsh           — multi-probe hyperplane LSH (8 planes), dial
                   probe_hamming (bucket-flip radius)
 
@@ -41,6 +43,7 @@ from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity impo
     ivfpq_rerank_topk,
     lsh_topk,
     train_kmeans_codebook,
+    train_pq_codebooks,
 )
 from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
     _block_centroids,
@@ -122,11 +125,23 @@ def main() -> int:
             )
         )
 
-    def pq_search(npb):
-        return lambda c, q: ivfpq_rerank_topk(
-            c, q, "vec_id", "embedding", k=K, k_prime=20, n_probe=npb,
-            dim=64, m_sub=8, k_codes=16, centroids=block,
-        )
+    t0 = time.perf_counter()
+    trained_books = train_pq_codebooks(
+        corpus, "embedding", m_sub=8, k_codes=16, dim=64, n_iter=3,
+        id_col="vec_id", sum_quantize=1e-6,
+    )
+    buildstats.record_build(
+        "pq_codebooks", time.perf_counter() - t0, "ann_probe_curve m=8 k=16"
+    )
+    pq_builds = buildstats.drain()
+
+    def pq_search(books):
+        def mk(npb):
+            return lambda c, q: ivfpq_rerank_topk(
+                c, q, "vec_id", "embedding", k=K, k_prime=20, n_probe=npb,
+                dim=64, m_sub=8, k_codes=16, centroids=block, books=books,
+            )
+        return mk
 
     def lsh_search(radius):
         return lambda c, q: lsh_topk(
@@ -140,8 +155,11 @@ def main() -> int:
         "ivf_trained": ("n_probe", N_PROBES, ivf_search(trained),
                         lambda d: {"cell_fraction": round(d / 16, 4)},
                         trained_builds),
-        "ivfpq_rerank": ("n_probe", (1, 2, 4, 8), pq_search,
+        "ivfpq_rerank": ("n_probe", (1, 2, 4, 8), pq_search(None),
                          lambda d: {"cell_fraction": round(d / 16, 4)}, []),
+        "ivfpq_trained": ("n_probe", (1, 2, 4, 8), pq_search(trained_books),
+                          lambda d: {"cell_fraction": round(d / 16, 4)},
+                          pq_builds),
         "lsh": ("probe_hamming", (0, 1, 2, 3), lsh_search,
                 lambda d: {}, []),
     }
