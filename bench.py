@@ -97,6 +97,7 @@ EXTRA_BENCH = (
     # retrieval (the measured answer to the sha-codebook plateau)
     "sim_ann_recall_planted",
     "sim_ivfpq_trained_topk",
+    "sim_ivfpq_residual_topk",
 )
 
 

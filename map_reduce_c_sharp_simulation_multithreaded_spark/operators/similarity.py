@@ -760,6 +760,7 @@ def ivfpq_topk(
     k_codes: int = 16,
     centroids: list[list[float]] | None = None,
     books: list[list[list[float]]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS-standard composition): IVF cells prune the
     candidate set to ~n_probe/n_centroids of the corpus, and product-
@@ -774,6 +775,14 @@ def ivfpq_topk(
     of the PQ top-k' (k' > k) would recover most residual recall; here
     the PQ ranking itself is the contract, differentially tested
     against a DuckDB oracle built from the same codebook literals.
+
+    ``residual=True`` is FAISS's actual IVFPQ encoding: codes quantize
+    the RESIDUAL ``x − centroid[cell]`` instead of the raw vector, so
+    the sub-codebooks only have to cover what the coarse quantizer
+    left unexplained — a much tighter distribution per cell. The query
+    side then needs one ADC table per PROBED cell (the query residual
+    differs per cell), n_probe× more table-build work per query but
+    the same per-candidate lookup cost; FAISS pays exactly this.
     """
     if centroids is None:  # same override contract as ivf_topk
         centroids = _deterministic_centroids(n_centroids, dim)
@@ -791,10 +800,24 @@ def ivfpq_topk(
     # cand expression) and later invocations all hit one entry — the
     # pagerank input-edge discipline. Invisible to the analyzed plan
     # (fingerprint-stable); measured 2.2 s → ~1.3 s warm at sf0.1.
+    cents_lit = _array_lit(centroids)
+
+    def _residual(vec: Column, cell: Column) -> Column:
+        # (float→double widen, then one double subtraction) per element
+        # — the oracle's CAST(x) − cv[d] reproduces it bit-for-bit
+        return F.zip_with(
+            vec,
+            F.element_at(cents_lit, cell + 1),
+            lambda x, y: x.cast("double") - y,
+        )
+
+    enc_vec = (
+        _residual(F.col(vec_col), assigned) if residual else F.col(vec_col)
+    )
     cand = df.select(
         F.col(id_col).alias("neighbor_id"),
         assigned.alias("_cell"),
-        pq_encode(F.col(vec_col), books).alias("_codes"),
+        pq_encode(enc_vec, books).alias("_codes"),
     ).cache()
     idx = F.sequence(F.lit(0), F.lit(n_centroids - 1))
     ranked_cells = F.reverse(
@@ -805,11 +828,26 @@ def ivfpq_topk(
         )
     )
     probe = F.transform(F.slice(ranked_cells, 1, n_probe), lambda p: p["i"])
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        pq_adc_tables(F.col(vec_col), books).alias("_tabs"),
-        F.explode(probe).alias("_cell"),
-    )
+    if residual:
+        # ADC tables are per (query, probed cell): explode first, then
+        # build the table from that cell's query residual
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(probe).alias("_cell"),
+        ).select(
+            "query_id",
+            "_cell",
+            pq_adc_tables(
+                _residual(F.col("_qv"), F.col("_cell")), books
+            ).alias("_tabs"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            pq_adc_tables(F.col(vec_col), books).alias("_tabs"),
+            F.explode(probe).alias("_cell"),
+        )
     adc = F.aggregate(
         F.zip_with(
             F.col("_codes"),
@@ -850,6 +888,7 @@ def ivfpq_rerank_topk(
     k_codes: int = 16,
     centroids: list[list[float]] | None = None,
     books: list[list[list[float]]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """Two-stage FAISS-style retrieval: IVF-PQ shortlists k' candidates
     by asymmetric code distance (cheap, compressed domain), then only
@@ -862,7 +901,7 @@ def ivfpq_rerank_topk(
         df, queries, id_col, vec_col,
         k=k_prime, n_centroids=n_centroids, n_probe=n_probe,
         dim=dim, m_sub=m_sub, k_codes=k_codes, centroids=centroids,
-        books=books,
+        books=books, residual=residual,
     ).select("query_id", "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -1066,3 +1105,50 @@ def replay_pq_codebooks(
             book = new_book
         books.append(book)
     return books
+
+
+def residual_frame(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, residual) frame for residual-PQ training: each vector minus
+    its argmax-assigned coarse centroid — the distribution FAISS trains
+    its IVFPQ sub-codebooks on. Pure expression (no shuffle, no
+    training state); the assignment is the same first-max
+    ``array_position(scores, array_max(scores))`` every IVF path uses,
+    so the replay (:func:`replay_residual_rows`) agrees bit-for-bit."""
+    scores = centroid_scores(F.col(vec_col), centroids)
+    assigned = F.array_position(scores, F.array_max(scores)).cast("int") - 1
+    cents_lit = _array_lit(centroids)
+    resid = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cents_lit, assigned + 1),
+        lambda x, y: x.cast("double") - y,
+    )
+    return df.select(F.col(id_col).alias(id_col), resid.alias(vec_col))
+
+
+def replay_residual_rows(
+    rows: list[tuple], centroids: list[list[float]]
+) -> list[tuple]:
+    """Pure-Python mirror of :func:`residual_frame` over raw (id,
+    vector) rows — scores are index-ordered sequential double folds,
+    assignment is first-max (Spark's array_position-on-array_max), the
+    residual is one double subtraction per element. Feeds
+    :func:`replay_pq_codebooks` so the residual-trained oracle is
+    generated without Spark."""
+    out = []
+    for vid, vec in rows:
+        v = [float(x) for x in vec]
+        best_s, best_c = None, 0
+        for c, cent in enumerate(centroids):
+            s = 0.0
+            for d in range(len(cent)):
+                s = s + v[d] * cent[d]
+            if best_s is None or s > best_s:
+                best_s, best_c = s, c
+        cen = centroids[best_c]
+        out.append((vid, [v[d] - cen[d] for d in range(len(cen))]))
+    return out

@@ -176,13 +176,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_char_ngram_stats",
     "text_fingerprint_groups",
     "text_bpe_token_count",
-    "text_winnowing_fingerprints",
-    # --- round-9 debuts (same-round rule): planted-cluster ANN recall
-    # and trained-PQ retrieval (displace the last two r06 fills,
-    # graph_pagerank_directed/_suppliers — r06 evidence, head of the
+    # --- round-9 debuts (same-round rule): planted-cluster ANN recall,
+    # trained-PQ retrieval, and residual IVF-PQ (displace the last
+    # three r06 fills — graph_pagerank_directed/_suppliers and
+    # text_winnowing_fingerprints, all r06 evidence, head of the
     # round-10 queue) ---
     "sim_ann_recall_planted",
     "sim_ivfpq_trained_topk",
+    "sim_ivfpq_residual_topk",
 )
 
 

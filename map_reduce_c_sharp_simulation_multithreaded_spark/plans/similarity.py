@@ -358,6 +358,7 @@ def _ivfpq_oracle(
     k_codes: int = 16,
     k: int = 5,
     books: list[list[list[float]]] | None = None,
+    residual: bool = False,
 ) -> str:
     """IVF-PQ oracle: same IVF cell CTEs, plus the PQ codebooks as a
     128-row VALUES table. Candidate codes are per-subspace argmins
@@ -365,7 +366,13 @@ def _ivfpq_oracle(
     the m-ordered list fold so the float association matches the
     engine's zip_with fold bit-for-bit before ROUND. ``books``
     overrides the sha defaults with an explicit (trained) set, same
-    contract as the operator."""
+    contract as the operator. ``residual=True`` mirrors the operator's
+    FAISS-style residual encoding: every sub-distance subtracts the
+    coarse centroid component FIRST (left-associated ``CAST(x) − cv −
+    bv``, matching the engine's residual-then-L2 composition exactly),
+    candidates against their ASSIGNED cell's centroid and queries
+    against each PROBED cell's — so qdist gains a cell key and the
+    scored join matches on it."""
     from ..operators.similarity import _pq_codebooks
 
     sub_dim = dim // m_sub
@@ -376,20 +383,46 @@ def _ivfpq_oracle(
         for m, book in enumerate(books)
         for k, cent in enumerate(book)
     )
+
     # squared-L2 between an 8-dim embedding sub-vector and the codebook
     # row, index-ordered like the engine's zip_with fold. Element
     # indexing (embedding[i]), NOT a slice: list-slice bound conventions
     # have drifted across DuckDB versions; 1-based element access has
-    # not. j runs 1..sub_dim so every access is in range.
-    l2 = (
-        f"list_aggregate(list_transform(range(1, {sub_dim} + 1), "
-        f"j -> (CAST(e.embedding[CAST(b.m * {sub_dim} + j AS INT)] AS DOUBLE)"
-        " - b.cv[CAST(j AS INT)])"
-        f" * (CAST(e.embedding[CAST(b.m * {sub_dim} + j AS INT)] AS DOUBLE)"
-        " - b.cv[CAST(j AS INT)])), "
-        "'sum')"
-    )
+    # not. j runs 1..sub_dim so every access is in range. In residual
+    # mode the element is CAST(x) − ct.cv[idx] first (one extra double
+    # subtraction, left-assoc = the engine's zip_with residual) before
+    # the codebook subtraction.
+    def _l2(resid_cent: str | None) -> str:
+        elem = f"CAST(e.embedding[CAST(b.m * {sub_dim} + j AS INT)] AS DOUBLE)"
+        if resid_cent:
+            elem = (
+                f"({elem} - {resid_cent}[CAST(b.m * {sub_dim} + j AS INT)])"
+            )
+        diff = f"({elem} - b.cv[CAST(j AS INT)])"
+        return (
+            f"list_aggregate(list_transform(range(1, {sub_dim} + 1), "
+            f"j -> {diff} * {diff}), 'sum')"
+        )
+
     cells = _ivf_cells_cte(n_centroids, n_probe, dim)
+    if residual:
+        cand_from = (
+            "FROM embeddings e JOIN assigned a2 ON a2.vec_id = e.vec_id "
+            "JOIN cents ct ON ct.cell = a2.cell CROSS JOIN books b"
+        )
+        q_from = (
+            "FROM embeddings e JOIN probes p2 ON p2.query_id = e.vec_id "
+            "JOIN cents ct ON ct.cell = p2.cell CROSS JOIN books b"
+        )
+        qcell_col = ", p2.cell AS cell"
+        qcell_join = " AND q.cell = p.cell"
+        l2c = _l2("ct.cv")
+    else:
+        cand_from = "FROM embeddings e CROSS JOIN books b"
+        q_from = "FROM embeddings e CROSS JOIN books b WHERE e.vec_id < 20"
+        qcell_col = ""
+        qcell_join = ""
+        l2c = _l2(None)
     return f"""
 WITH {cells},
 books(m, k, cv) AS (VALUES {rows}),
@@ -397,12 +430,12 @@ cand_codes AS (
   SELECT vec_id, m, k AS code FROM (
     SELECT e.vec_id, b.m, b.k,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.m
-                              ORDER BY {l2} ASC, b.k ASC) AS rn
-    FROM embeddings e CROSS JOIN books b) WHERE rn = 1
+                              ORDER BY {l2c} ASC, b.k ASC) AS rn
+    {cand_from}) WHERE rn = 1
 ),
 qdist AS (
-  SELECT e.vec_id AS query_id, b.m, b.k, {l2} AS d
-  FROM embeddings e CROSS JOIN books b WHERE e.vec_id < 20
+  SELECT e.vec_id AS query_id{qcell_col}, b.m, b.k, {l2c} AS d
+  {q_from}
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -410,7 +443,8 @@ scored AS (
   FROM probes p
   JOIN assigned a ON a.cell = p.cell
   JOIN cand_codes cc ON cc.vec_id = a.vec_id
-  JOIN qdist q ON q.query_id = p.query_id AND q.m = cc.m AND q.k = cc.code
+  JOIN qdist q ON q.query_id = p.query_id AND q.m = cc.m
+   AND q.k = cc.code{qcell_join}
   WHERE p.query_id <> a.vec_id
   GROUP BY p.query_id, a.vec_id
 )
@@ -1308,4 +1342,104 @@ def sim_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
         k=5, n_centroids=16, n_probe=4, dim=64, m_sub=8, k_codes=16,
         books=_trained_pq_books(e, sf_dir),
+    )
+
+
+# --- residual IVF-PQ (round 9) ----------------------------------------
+#
+# FAISS's actual IVFPQ encodes the RESIDUAL x − centroid[cell], not the
+# raw vector: the sub-codebooks only cover what the coarse quantizer
+# left unexplained, a far tighter per-cell distribution. Sub-codebooks
+# are trained ON residuals (same replayable per-subspace Lloyd), the
+# query pays one ADC table per probed cell (its residual differs per
+# cell — FAISS pays exactly this), and the whole composition — coarse
+# assignment, residual, training, encode, per-cell ADC, ranking — is
+# re-derived by a generated DuckDB oracle from a pure-Python replay.
+
+
+def _trained_residual_pq_books(
+    e: DataFrame, sf_dir: str
+) -> list[list[list[float]]]:
+    """Memoized residual-trained sub-codebooks: train_pq_codebooks over
+    the (id, x − centroid[argmax cell]) frame, sha coarse centroids.
+    BUILD-labeled like every other one-time index cost."""
+    memo_key = ("pq_resid", sf_dir, _embeddings_fingerprint(sf_dir),
+                8, 16, 3)
+    books = _TRAINED_CODEBOOKS.get(memo_key)
+    if books is None:
+        import time as _time
+
+        from ..buildstats import record_build
+        from ..operators.similarity import (
+            _deterministic_centroids,
+            residual_frame,
+            train_pq_codebooks,
+        )
+
+        t0 = _time.perf_counter()
+        resid = residual_frame(
+            e, _deterministic_centroids(16, 64), "vec_id", "embedding"
+        )
+        books = train_pq_codebooks(
+            resid, "embedding", m_sub=8, k_codes=16, dim=64, n_iter=3,
+            id_col="vec_id", sum_quantize=1e-6,
+        )
+        record_build("pq_codebooks", _time.perf_counter() - t0,
+                     "sim_ivfpq_residual_topk m=8 k=16 residual")
+        _TRAINED_CODEBOOKS[memo_key] = books
+    return books
+
+
+def _residual_ivfpq_oracle(sf_dir: str) -> str:
+    """GENERATED oracle: replay coarse assignment + residuals + the
+    per-subspace PQ training in pure Python (each stage pinned
+    bit-equal to the Spark path in pytest), then render the residual-
+    mode IVF-PQ SQL with the trained books as literals."""
+    import duckdb
+
+    from ..operators.similarity import (
+        _deterministic_centroids,
+        replay_pq_codebooks,
+        replay_residual_rows,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    resid = replay_residual_rows(rows, _deterministic_centroids(16, 64))
+    books = replay_pq_codebooks(
+        resid, m_sub=8, k_codes=16, n_iter=3, sum_quantize=1e-6
+    )
+    return _ivfpq_oracle(k=5, books=books, residual=True)
+
+
+@register(
+    "sim_ivfpq_residual_topk",
+    oracle=_residual_ivfpq_oracle,
+    tags=("similarity", "ivf", "pq", "topk", "iterative",
+          "custom-operator"),
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via residual IVF-PQ — the composition FAISS actually
+    ships as IVFPQ: codes quantize x − centroid[cell] with sub-codebooks
+    trained on those residuals, and each query builds one ADC table per
+    probed cell. Same one-shuffle retrieval shape as sim_ivfpq_topk
+    (cells prune, codes rank, nibbles ship instead of floats); the
+    residual step is pure expression on both the candidate and query
+    sides. Honest planted-corpus measurement: residual-trained ≈
+    raw-trained (compressed-domain 0.785 vs 0.795, both ≫ sha 0.47 at
+    sf0.01) — BY CONSTRUCTION of the fixture, whose structure is
+    exactly the coarse codebook, leaving near-noise residuals; real
+    corpora carry within-cell structure, which is why FAISS defaults
+    to residual encoding. The floor-vs-sha lift is pinned in pytest;
+    ANN_CURVE.json carries the full frontier."""
+    pin_session(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=4, dim=64, m_sub=8, k_codes=16,
+        books=_trained_residual_pq_books(e, sf_dir), residual=True,
     )

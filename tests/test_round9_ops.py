@@ -193,3 +193,91 @@ class TestTrainedPQ:
         # reach high absolute recall with exact rerank on top
         assert lifted > sha + 0.1
         assert lifted >= 0.85
+
+
+class TestResidualIVFPQ:
+    """Residual IVF-PQ (FAISS's actual IVFPQ): replay bit-equality for
+    the full coarse-assign → residual → train chain, and a
+    compressed-domain recall floor on the planted corpus."""
+
+    def test_residual_chain_replay_is_bit_equal(self, spark, sf_dir):
+        import duckdb
+
+        from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import load_table
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+            _deterministic_centroids,
+            replay_pq_codebooks,
+            replay_residual_rows,
+            residual_frame,
+            train_pq_codebooks,
+        )
+
+        cents = _deterministic_centroids(16, 64)
+        e = load_table(spark, sf_dir, "embeddings")
+        trained = train_pq_codebooks(
+            residual_frame(e, cents, "vec_id", "embedding"),
+            "embedding", m_sub=8, k_codes=16, dim=64, n_iter=3,
+            id_col="vec_id", sum_quantize=1e-6,
+        )
+        rows = duckdb.sql(
+            "SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+        replayed = replay_pq_codebooks(
+            replay_residual_rows(rows, cents),
+            m_sub=8, k_codes=16, n_iter=3, sum_quantize=1e-6,
+        )
+        assert trained == replayed
+
+    def test_residual_compressed_domain_beats_sha_floor(
+        self, spark, sf_dir
+    ):
+        import pyspark.sql.functions as F
+
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+            brute_force_topk,
+            ivfpq_topk,
+            residual_frame,
+            train_pq_codebooks,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+            _block_centroids,
+            _recall_frame,
+            planted_corpus,
+        )
+
+        corpus = planted_corpus(spark, sf_dir).cache()
+        q = corpus.filter(F.col("vec_id") < 20)
+        truth = brute_force_topk(
+            q, corpus, "vec_id", "embedding", k=10
+        ).select("query_id", "neighbor_id")
+        block = _block_centroids()
+
+        def recall(books, residual):
+            approx = ivfpq_topk(
+                corpus, q, "vec_id", "embedding", k=10, n_probe=4,
+                dim=64, m_sub=8, k_codes=16, centroids=block,
+                books=books, residual=residual,
+            ).select("query_id", "neighbor_id")
+            return (
+                _recall_frame(truth, approx)
+                .agg(F.avg("recall"))
+                .collect()[0][0]
+            )
+
+        sha = recall(None, False)  # measured 0.47: raw sha books
+        resid_books = train_pq_codebooks(
+            residual_frame(corpus, block, "vec_id", "embedding"),
+            "embedding", m_sub=8, k_codes=16, dim=64, n_iter=3,
+            id_col="vec_id", sum_quantize=1e-6,
+        )
+        lifted = recall(resid_books, True)
+        corpus.unpersist()
+        # Residual-trained codes must clearly beat the raw sha books in
+        # the COMPRESSED domain (no rerank; measured 0.785 vs 0.47).
+        # NOT pinned above raw-trained: on this fixture the coarse
+        # codebook IS the planted structure, so residuals are
+        # near-noise and the two land within noise of each other —
+        # see the sim_ivfpq_residual_topk docstring.
+        assert lifted > sha + 0.2
+        assert lifted >= 0.7

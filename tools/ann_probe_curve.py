@@ -18,6 +18,11 @@ mean recall@10 against the same brute-force ground truth:
 - ivfpq_trained — same retrieval with sub-codebooks TRAINED on the
                   corpus (train_pq_codebooks, BUILD-labeled): the
                   measured answer to the plateau
+- ivfpq_residual— FAISS's shipping IVFPQ: codes over x − centroid[cell]
+                  with sub-codebooks trained ON residuals and one ADC
+                  table per probed cell. On THIS fixture residuals are
+                  near-noise (the planted structure IS the coarse
+                  codebook), so expect ≈ ivfpq_trained, not a lift
 - lsh           — multi-probe hyperplane LSH (8 planes), dial
                   probe_hamming (bucket-flip radius)
 
@@ -42,6 +47,7 @@ from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity impo
     ivf_topk,
     ivfpq_rerank_topk,
     lsh_topk,
+    residual_frame,
     train_kmeans_codebook,
     train_pq_codebooks,
 )
@@ -135,13 +141,26 @@ def main() -> int:
     )
     pq_builds = buildstats.drain()
 
-    def pq_search(books):
+    def pq_search(books, residual=False):
         def mk(npb):
             return lambda c, q: ivfpq_rerank_topk(
                 c, q, "vec_id", "embedding", k=K, k_prime=20, n_probe=npb,
                 dim=64, m_sub=8, k_codes=16, centroids=block, books=books,
+                residual=residual,
             )
         return mk
+
+    t0 = time.perf_counter()
+    resid_books = train_pq_codebooks(
+        residual_frame(corpus, block, "vec_id", "embedding"),
+        "embedding", m_sub=8, k_codes=16, dim=64, n_iter=3,
+        id_col="vec_id", sum_quantize=1e-6,
+    )
+    buildstats.record_build(
+        "pq_codebooks", time.perf_counter() - t0,
+        "ann_probe_curve residual m=8 k=16",
+    )
+    resid_builds = buildstats.drain()
 
     def lsh_search(radius):
         return lambda c, q: lsh_topk(
@@ -160,6 +179,10 @@ def main() -> int:
         "ivfpq_trained": ("n_probe", (1, 2, 4, 8), pq_search(trained_books),
                           lambda d: {"cell_fraction": round(d / 16, 4)},
                           pq_builds),
+        "ivfpq_residual": ("n_probe", (1, 2, 4, 8),
+                           pq_search(resid_books, residual=True),
+                           lambda d: {"cell_fraction": round(d / 16, 4)},
+                           resid_builds),
         "lsh": ("probe_hamming", (0, 1, 2, 3), lsh_search,
                 lambda d: {}, []),
     }
