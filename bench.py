@@ -98,6 +98,10 @@ EXTRA_BENCH = (
     "sim_ann_recall_planted",
     "sim_ivfpq_trained_topk",
     "sim_ivfpq_residual_topk",
+    # round-9 late debuts: SQ8 compressed-domain search (zero-training
+    # member of the quantization family) and BM25 retrieval
+    "sim_sq8_topk",
+    "text_bm25_topk",
 )
 
 

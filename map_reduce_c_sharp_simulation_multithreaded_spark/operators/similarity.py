@@ -1152,3 +1152,109 @@ def replay_residual_rows(
         cen = centroids[best_c]
         out.append((vid, [v[d] - cen[d] for d in range(len(cen))]))
     return out
+
+
+def sq8_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    k_prime: int = 15,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) two-stage search — the FAISS
+    ``IndexScalarQuantizer`` composition alongside the PQ family:
+    candidates are stored as per-vector symmetric int8 codes
+    (scale = max|v|/127, code = clamp(floor(v/scale + 0.5), ±127));
+    the shortlist is ranked by COMPRESSED-domain cosine; only the k'
+    survivors fetch full-precision vectors for the exact rerank.
+
+    The per-vector scale cancels out of cosine, so the approximate
+    score is literally ``cosine(int8_codes, float_query)`` — one fold
+    over the codes, no dequantization step at all. At 100 TB the scan
+    side touches only the 4×-smaller code column; full-precision
+    vectors are read k'-per-query through the shortlist join (the same
+    discipline as :func:`ivfpq_rerank_topk`, without the codebook
+    training the PQ path needs — SQ8 is the zero-training member of
+    the compression family). All math is JVM-side fold expressions;
+    codes are exact integers on any engine (floor(x+0.5) rounding, as
+    ``quantize_embeddings_int8``), so the shortlist is bit-reproducible.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias(
+            "_qv"
+        ),
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
+    scale = (
+        F.array_max(
+            F.transform(F.col(vec_col), lambda v: F.abs(v.cast("double")))
+        )
+        / F.lit(127.0)
+    )
+    cand = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        scale.alias("_scale"),
+    ).filter(F.col("_scale") > 0)
+    codes = F.transform(
+        F.col("_cv"),
+        lambda v: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(v.cast("double") / F.col("_scale") + F.lit(0.5)),
+            ),
+        ),
+    )
+    coded = cand.select("neighbor_id", codes.alias("_code")).withColumn(
+        "_cn", l2_norm(F.col("_code"))
+    )
+    approx = (
+        F.broadcast(q)
+        .crossJoin(coded)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("_code"), F.col("_qv"))
+                / (F.col("_cn") * F.col("_qn")),
+                sim_decimals,
+            ).alias("approx_sim"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id")
+    )
+    short = (
+        approx.withColumn("_arn", F.row_number().over(w1))
+        .filter(F.col("_arn") <= k_prime)
+        .drop("_arn")
+    )
+    full = df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_fv")
+    )
+    rer = (
+        short.join(full, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_sim",
+            F.round(
+                dot(F.col("_qv"), F.col("_fv"))
+                / (F.col("_qn") * l2_norm(F.col("_fv"))),
+                sim_decimals,
+            ).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "approx_sim", "sim", "rn")
+    )

@@ -169,21 +169,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "subquery_correlated_avg",
     "unpivot_part_attrs",
     # --- fills: head of the r06 block in REGISTRATION order
-    # (the remaining 38 r06 queries are the round-10 queue) ---
+    # (the remaining 40 r06 queries are the round-10 queue) ---
     "text_langid_heuristic",
     "text_quality_score",
     "text_term_frequency",
     "text_char_ngram_stats",
-    "text_fingerprint_groups",
-    "text_bpe_token_count",
     # --- round-9 debuts (same-round rule): planted-cluster ANN recall,
-    # trained-PQ retrieval, and residual IVF-PQ (displace the last
-    # three r06 fills — graph_pagerank_directed/_suppliers and
-    # text_winnowing_fingerprints, all r06 evidence, head of the
-    # round-10 queue) ---
+    # trained-PQ retrieval, residual IVF-PQ, SQ8 compressed-domain
+    # search, and BM25 retrieval (displace the last five r06 fills —
+    # graph_pagerank_directed/_suppliers, text_winnowing_fingerprints,
+    # text_fingerprint_groups, text_bpe_token_count, all r06 evidence,
+    # head of the round-10 queue) ---
     "sim_ann_recall_planted",
     "sim_ivfpq_trained_topk",
     "sim_ivfpq_residual_topk",
+    "sim_sq8_topk",
+    "text_bm25_topk",
 )
 
 

@@ -27,6 +27,7 @@ from ..operators.similarity import (
     hyperplane_bucket,
     ivf_topk,
     lsh_topk,
+    sq8_topk,
     train_kmeans_codebook,
 )
 from ..session import pin_session
@@ -1442,4 +1443,77 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
         k=5, n_centroids=16, n_probe=4, dim=64, m_sub=8, k_codes=16,
         books=_trained_residual_pq_books(e, sf_dir), residual=True,
+    )
+
+
+_SQ8_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 20),
+sc AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         list_aggregate(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS qscale
+  FROM embeddings
+),
+codes AS (
+  SELECT neighbor_id,
+         list_transform(cv, v -> greatest(CAST(-127 AS BIGINT),
+             least(CAST(127 AS BIGINT),
+                   CAST(floor(CAST(v AS DOUBLE) / qscale + 0.5)
+                        AS BIGINT)))) AS code
+  FROM sc WHERE qscale > 0
+),
+approx AS (
+  SELECT query_id, neighbor_id,
+         ROUND({_DOT.format(a='code', b='qv')} /
+               (sqrt(list_aggregate(list_transform(code,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * {_NORM.format(a='qv')}), 6) AS approx_sim
+  FROM q, codes WHERE query_id <> neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id, approx_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_sim DESC, neighbor_id) AS arn
+  FROM approx
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.approx_sim,
+         ROUND({_cos_sql('q.qv', 'e.embedding')}, 6) AS sim
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+  JOIN q ON q.query_id = s.query_id
+  WHERE s.arn <= 15
+)
+SELECT query_id, neighbor_id, approx_sim, sim, CAST(rn AS INT) AS rn
+FROM (
+  SELECT query_id, neighbor_id, approx_sim, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rn
+  FROM rer)
+WHERE rn <= 5
+"""
+
+
+@register(
+    "sim_sq8_topk",
+    oracle=_SQ8_ORACLE,
+    tags=("similarity", "topk", "quantization"),
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via scalar quantization (SQ8) + exact rerank — the
+    zero-training member of the compression family (PQ/IVF-PQ need
+    codebooks; SQ8 needs one max-abs fold per vector). The per-vector
+    scale cancels out of cosine, so the compressed-domain score is
+    cosine(int8 codes, float query): the 100 TB scan reads the
+    4×-smaller code column only, and full vectors are fetched
+    k'-per-query through the shortlist join. Codes are exact integers
+    under floor(x+0.5) rounding (same contract as
+    quantize_embeddings_int8), so the full oracle re-derives
+    quantization, compressed scoring, shortlist, and rerank in SQL."""
+    pin_session(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return sq8_topk(
+        e, e.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+        k=5, k_prime=15,
     )

@@ -1336,3 +1336,107 @@ def quality_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN -SUM(lq) DIV COUNT(*) <= 34000 THEN 1 ELSE 0 END"
         ).alias("kept"),
     )
+
+
+# BM25 parameters: the Robertson/Okapi defaults; the +1 inside the log
+# is the Lucene variant, keeping IDF positive for terms in most docs.
+_BM25_TERMS = ("join", "hash", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = r"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                t -> t <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM occ GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ
+       WHERE term IN ('join', 'hash', 'vector') GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ROUND(ln((stats.n - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+               6) AS c
+  FROM tf JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id, n_hit, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hit,
+         ROUND(SUM(c), 6) AS score,
+         ROW_NUMBER() OVER (ORDER BY ROUND(SUM(c), 6) DESC, doc_id) AS rnk
+  FROM contrib GROUP BY doc_id)
+WHERE rnk <= 10
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_BM25_ORACLE,
+    tags=("text", "aggregate", "window", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document retrieval for a fixed query — the standard
+    lexical ranking function (Okapi k1=1.2, b=0.75, Lucene's +1 IDF),
+    completing the retrieval family next to TF-IDF: three aggregates
+    (per-doc term frequency, per-term document frequency, doc-length /
+    corpus stats) joined, scored, and reduced to a global top-10.
+
+    Scale shape: dl/avgdl/N ride a broadcast one-row frame; the
+    df table is query-vocabulary-sized (broadcast); the global top-10
+    is orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    heaps, no full sort, no single-partition window over the corpus).
+    Float discipline: avgdl is an exact-integer-sum division; per-term
+    contributions are rounded to 6 BEFORE the sum, the summed score
+    rounded again before ranking, ties broken on doc_id — so a
+    last-ulp ln() difference between engines cannot flip a rank.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+    tf = (
+        occ.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = F.log(
+        (F.col("n") - F.col("dfreq") + F.lit(0.5))
+        / (F.col("dfreq") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0)
+        - F.lit(_BM25_B)
+        + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        tf.join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * (F.col("tf") * F.lit(2.2)) / denom, 6).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hit"),
+        F.round(F.sum("c"), 6).alias("score"),
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "n_hit", "score", "rnk"
+    )

@@ -281,3 +281,94 @@ class TestResidualIVFPQ:
         # see the sim_ivfpq_residual_topk docstring.
         assert lifted > sha + 0.2
         assert lifted >= 0.7
+
+
+class TestSQ8TopK:
+    """SQ8 compressed-domain search (the zero-training member of the
+    compression family): per-vector symmetric int8 codes whose scale
+    cancels out of cosine, shortlist in the compressed domain, exact
+    rerank. Value parity is the driver oracle's job; these pin the
+    quantization-error and recall contracts the plan relies on."""
+
+    @pytest.fixture(scope="class")
+    def result(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+            sq8_topk,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import (
+            load_table,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 20)
+        return sq8_topk(e, q, "vec_id", "embedding", k=5, k_prime=15).collect()
+
+    def test_shape(self, result):
+        from collections import Counter
+
+        per_q = Counter(r.query_id for r in result)
+        assert len(per_q) == 20
+        assert all(v == 5 for v in per_q.values())
+        for r in result:
+            assert 1 <= r.rn <= 5
+            assert r.neighbor_id != r.query_id
+
+    def test_quantization_error_bounded(self, result):
+        # 8-bit symmetric quantization of 64-dim vectors keeps the
+        # compressed-domain cosine within ~1% of the exact value —
+        # the reason a 15-wide shortlist suffices for top-5.
+        for r in result:
+            assert abs(r.approx_sim - r.sim) < 0.02
+
+    def test_recall_vs_brute_force(self, spark, sf_dir, result):
+        import pyspark.sql.functions as F
+
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+            brute_force_topk,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import (
+            load_table,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 20)
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(q, e, "vec_id", "embedding", k=5)
+            .select("query_id", "neighbor_id")
+            .collect()
+        }
+        got = {(r.query_id, r.neighbor_id) for r in result}
+        # int8 codes + 3x-overfetch rerank: recall@5 is essentially
+        # exact on real embeddings (measured 1.0 at both test SFs).
+        assert len(got & truth) / len(truth) >= 0.95
+
+
+class TestBM25TopK:
+    """BM25 retrieval invariants (value parity is oracle-checked):
+    Lucene +1 IDF keeps every contribution positive, ranks are a
+    dense 1..10, ordering is (score desc, doc_id), and n_hit is
+    bounded by the query vocabulary."""
+
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.text import (
+            text_bm25_topk,
+        )
+
+        return text_bm25_topk(spark, sf_dir).collect()
+
+    def test_rank_shape_and_order(self, rows):
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.text import (
+            _BM25_TERMS,
+        )
+
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 10
+        for a, b in zip(rows, rows[1:]):
+            assert (a.score, -a.doc_id) >= (b.score, -b.doc_id)
+        for r in rows:
+            assert r.score > 0  # +1 inside the log keeps IDF positive
+            assert 1 <= r.n_hit <= len(_BM25_TERMS)
