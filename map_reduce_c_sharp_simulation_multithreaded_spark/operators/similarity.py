@@ -811,13 +811,27 @@ def ivfpq_topk(
             lambda x, y: x.cast("double") - y,
         )
 
-    enc_vec = (
-        _residual(F.col(vec_col), assigned) if residual else F.col(vec_col)
-    )
+    if residual:
+        # Bind the residual vector ONCE per row (single-element-array
+        # trick, same as winnowing's code-array binding in
+        # operators/text.py): pq_encode's per-subspace slices reference
+        # their input 2×m_sub times, and an unbound residual expression
+        # re-evaluates the full coarse assignment (the n_centroids×dim
+        # fold inside ``assigned``) on every reference — measured 130 s
+        # → seconds for the cold sf0.1 encode, bit-identical codes.
+        enc_codes = F.element_at(
+            F.transform(
+                F.array(_residual(F.col(vec_col), assigned)),
+                lambda rv: pq_encode(rv, books),
+            ),
+            1,
+        )
+    else:
+        enc_codes = pq_encode(F.col(vec_col), books)
     cand = df.select(
         F.col(id_col).alias("neighbor_id"),
         assigned.alias("_cell"),
-        pq_encode(enc_vec, books).alias("_codes"),
+        enc_codes.alias("_codes"),
     ).cache()
     idx = F.sequence(F.lit(0), F.lit(n_centroids - 1))
     ranked_cells = F.reverse(
@@ -950,15 +964,18 @@ def train_pq_codebooks(
     recovers neighbors the compressed domain cannot rank. Training the
     sub-codebooks on the data closes that gap (pinned in pytest).
 
-    Execution shape: the (id, double-cast vector) projection is cached
-    once; each subspace trains independently — seeds are the k_codes
-    sub-vectors with the smallest md5("pqseed:m:" || id) digests, each
-    Lloyd round is ONE aggregation (argmin assignment via the same
-    ``_sub_dists`` expression ``pq_encode`` uses at query time →
-    per-(cell, position) sums + counts), and only the m_sub × k_codes
-    × sub_dim codebook floats visit the driver. FAISS trains PQ on a
-    bounded sample regardless of corpus size; at 100 TB the caller
-    passes a sampled ``df`` and this stays O(sample) per round.
+    Execution shape: subspaces train in LOCKSTEP, not sequentially —
+    the (m, seed-key, sub-vector) explosion is cached once, seeds for
+    all m_sub books come from ONE job (per-m row_number over the seed
+    digest, identical ranking to the old per-m orderBy+limit), and
+    each Lloyd round is ONE aggregation for ALL subspaces: per-row
+    argmin assignment against ``element_at(books, _m+1)`` → per-(m,
+    cell, position) sums + counts. m_sub × (1 + n_iter) scans collapse
+    to 1 + n_iter (measured 14–22 s → ~4 s at sf0.1, bit-identical
+    books); only the m_sub × k_codes × sub_dim codebook floats visit
+    the driver. FAISS trains PQ on a bounded sample regardless of
+    corpus size; at 100 TB the caller passes a sampled ``df`` and this
+    stays O(sample) per round.
 
     REPLAYABLE like the spherical trainer: id-derived seeds plus
     ``sum_quantize`` (snapping each per-(cell, position) sum so
@@ -970,68 +987,82 @@ def train_pq_codebooks(
     DuckDB oracle.
     """
     sub_dim = dim // m_sub
-    vecs = (
+    # one (m, seed-key, sub-vector) row per (vector, subspace): the
+    # explode input is the only projected column, so Generate does not
+    # re-evaluate anything against its fan-out (the posexplode trap)
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("_m"),
+                F.md5(
+                    F.concat(
+                        F.lit(f"pqseed:{m}:"), F.col("_id").cast("string")
+                    )
+                ).alias("_k"),
+                F.slice(F.col("_v"), m * sub_dim + 1, sub_dim).alias("_s"),
+            )
+            for m in range(m_sub)
+        ]
+    )
+    subs = (
         df.select(
             F.col(id_col).alias("_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
                 "_v"
             ),
         )
+        .select(F.explode(sub_structs).alias("_e"))
+        .select("_e._m", "_e._k", "_e._s")
         .cache()
     )
-    books: list[list[list[float]]] = []
-    spark = df.sparkSession
-    for m in range(m_sub):
-        seed_key = F.md5(
-            F.concat(F.lit(f"pqseed:{m}:"), F.col("_id").cast("string"))
+    # seeds for ALL subspaces in one job; per-m rank over the digest is
+    # the same ordering the old per-m orderBy+limit produced (md5 keys
+    # are unique per (m, id))
+    w_seed = Window.partitionBy("_m").orderBy("_k")
+    seed_rows = (
+        subs.withColumn("_rn", F.row_number().over(w_seed))
+        .filter(F.col("_rn") <= k_codes)
+        .select("_m", "_rn", "_s")
+        .collect()
+    )
+    books: list[list[list[float]]] = [[] for _ in range(m_sub)]
+    for r in sorted(seed_rows, key=lambda r: (r["_m"], r["_rn"])):
+        books[r["_m"]].append([float(x) for x in r["_s"]])
+    per_pos = [
+        F.sum(F.element_at("_s", d + 1)).alias(f"s{d}")
+        for d in range(sub_dim)
+    ]
+    for _ in range(n_iter):
+        # same per-code fold ``pq_encode``'s _sub_dists runs at query
+        # time (index-ordered (x−y)·(x−y)), with each row's book picked
+        # by its subspace index from the one nested literal
+        books_lit = _array_lit(books)
+        dists = F.transform(
+            F.element_at(books_lit, F.col("_m") + 1),
+            lambda cent: _fold_sum(
+                F.zip_with("_s", cent, lambda x, y: (x - y) * (x - y))
+            ),
         )
-        sub = F.slice(F.col("_v"), m * sub_dim + 1, sub_dim)
-        seeds = [
-            [float(x) for x in r["_s"]]
-            for r in vecs.select(sub.alias("_s"), seed_key.alias("_k"))
-            .orderBy("_k")
-            .limit(k_codes)
+        assigned = (
+            F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        )
+        rows = (
+            subs.select("_m", assigned.alias("_cell"), "_s")
+            .groupBy("_m", "_cell")
+            .agg(F.count(F.lit(1)).alias("_n"), *per_pos)
             .collect()
-        ]
-        book = seeds
-        k_actual = len(book)
-        per_pos = [
-            F.sum(F.element_at("_s", d + 1)).alias(f"s{d}")
-            for d in range(sub_dim)
-        ]
-        for _ in range(n_iter):
-            # same per-code fold ``pq_encode``'s _sub_dists runs at
-            # query time (index-ordered (x−y)·(x−y)), applied to the
-            # pre-sliced sub-vector
-            dists = F.transform(
-                _array_lit(book),
-                lambda cent: _fold_sum(
-                    F.zip_with(
-                        sub, cent, lambda x, y: (x - y) * (x - y)
-                    )
-                ),
-            )
-            assigned = (
-                F.array_position(dists, F.array_min(dists)).cast("int") - 1
-            )
-            rows = (
-                vecs.select(assigned.alias("_cell"), sub.alias("_s"))
-                .groupBy("_cell")
-                .agg(F.count(F.lit(1)).alias("_n"), *per_pos)
-                .collect()
-            )
-            new_book = [list(c) for c in book]
-            for r in rows:
-                acc = []
-                for d in range(sub_dim):
-                    s = r[f"s{d}"]
-                    if sum_quantize:
-                        s = round(s / sum_quantize) * sum_quantize
-                    acc.append(s / r["_n"])
-                new_book[r["_cell"]] = acc
-            book = new_book
-        books.append([row[:] for row in book[:k_actual]])
-    vecs.unpersist()
+        )
+        new_books = [[list(c) for c in bk] for bk in books]
+        for r in rows:
+            acc = []
+            for d in range(sub_dim):
+                s = r[f"s{d}"]
+                if sum_quantize:
+                    s = round(s / sum_quantize) * sum_quantize
+                acc.append(s / r["_n"])
+            new_books[r["_m"]][r["_cell"]] = acc
+        books = new_books
+    subs.unpersist()
     return books
 
 
