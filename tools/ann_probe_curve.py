@@ -25,6 +25,11 @@ mean recall@10 against the same brute-force ground truth:
                   codebook), so expect ≈ ivfpq_trained, not a lift
 - lsh           — multi-probe hyperplane LSH (8 planes), dial
                   probe_hamming (bucket-flip radius)
+- sq8           — scalar-quantized (int8) full scan + exact rerank,
+                  dial k_prime (shortlist width). No pruning and no
+                  training: the ACCURACY end of the compression trade
+                  (int8 cosine is near-lossless at 64 dims), priced at
+                  a full compressed-domain scan per query batch
 
     python tools/ann_probe_curve.py [--sf DIR] [--json ANN_CURVE.json]
 """
@@ -47,6 +52,7 @@ from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity impo
     ivf_topk,
     ivfpq_rerank_topk,
     lsh_topk,
+    sq8_topk,
     residual_frame,
     train_kmeans_codebook,
     train_pq_codebooks,
@@ -162,6 +168,11 @@ def main() -> int:
     )
     resid_builds = buildstats.drain()
 
+    def sq8_search(kp):
+        return lambda c, q: sq8_topk(
+            c, q, "vec_id", "embedding", k=K, k_prime=kp,
+        )
+
     def lsh_search(radius):
         return lambda c, q: lsh_topk(
             c, q, "vec_id", "embedding", k=K, n_planes=8, dim=64,
@@ -184,6 +195,8 @@ def main() -> int:
                            lambda d: {"cell_fraction": round(d / 16, 4)},
                            resid_builds),
         "lsh": ("probe_hamming", (0, 1, 2, 3), lsh_search,
+                lambda d: {}, []),
+        "sq8": ("k_prime", (10, 15, 20), sq8_search,
                 lambda d: {}, []),
     }
 
