@@ -1388,10 +1388,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-doc term frequency, per-term document frequency, doc-length /
     corpus stats) joined, scored, and reduced to a global top-10.
 
-    Scale shape: dl/avgdl/N ride a broadcast one-row frame; the
-    df table is query-vocabulary-sized (broadcast); the global top-10
-    is orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    Scale shape: the corpus is TOKENIZED ONCE — a single per-doc
+    aggregation carries dl plus one tf column per query term (the
+    vocabulary is a literal), cached at corpus-row-count size; dl/
+    avgdl/N then ride a broadcast one-row frame, the df table is
+    query-vocabulary-sized (broadcast), and the global top-10 is
+    orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
     heaps, no full sort, no single-partition window over the corpus).
+    (The naive three-subtree formulation — tf, dl, avgdl each from
+    their own explode — re-scans and re-tokenizes the corpus three
+    times; at 100 TB tokenization IS the query cost.)
     Float discipline: avgdl is an exact-integer-sum division; per-term
     contributions are rounded to 6 BEFORE the sum, the summed score
     rounded again before ranking, ties broken on doc_id — so a
@@ -1402,14 +1408,36 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
-    dl = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    docstats = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"_tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).cache()
+    # N counts ALL documents (a metadata-only parquet count), matching
+    # the oracle; avgdl averages over docs with ≥1 token, as occ does
     stats = d.agg(
         F.count(F.lit(1)).cast("double").alias("n")
-    ).crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+    ).crossJoin(docstats.agg(F.avg("dl").alias("avgdl")))
     tf = (
-        occ.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        docstats.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"_tf{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(_BM25_TERMS)
+                    ]
+                )
+            ).alias("_e"),
+        )
+        .select("doc_id", "dl", "_e.term", "_e.tf")
+        .filter(F.col("tf") > 0)
     )
     dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     idf = F.log(
@@ -1424,7 +1452,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contrib = (
         tf.join(F.broadcast(dfr), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
