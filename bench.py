@@ -102,6 +102,12 @@ EXTRA_BENCH = (
     # member of the quantization family) and BM25 retrieval
     "sim_sq8_topk",
     "text_bm25_topk",
+    # round-9 late perf pass: the tokenize-once text-retrieval
+    # restructure (same-round timed number; text_inverted_index is
+    # already above)
+    "text_tfidf_topk",
+    "text_bigram_lm",
+    "text_pmi_collocations",
 )
 
 

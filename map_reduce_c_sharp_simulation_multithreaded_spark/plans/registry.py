@@ -168,12 +168,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "split_train_test_hash",
     "subquery_correlated_avg",
     "unpivot_part_attrs",
-    # --- fills: head of the r06 block in REGISTRATION order
-    # (the remaining 40 r06 queries are the round-10 queue) ---
+    # --- round-9 CHANGED plans (freshness gate): the tokenize-once
+    # restructure of the text-retrieval family (marginals derived from
+    # the cached count tables instead of re-exploding the corpus).
+    # text_inverted_index/text_zipf_slope changed too but cache-only
+    # (fingerprint-invisible), so they stay in the round-10 queue.
+    # These take three of the four fill slots; the displaced r06 fills
+    # (text_quality_score, text_term_frequency, text_char_ngram_stats)
+    # rejoin the round-10 queue with the other r06-evidence queries ---
     "text_langid_heuristic",
-    "text_quality_score",
-    "text_term_frequency",
-    "text_char_ngram_stats",
+    "text_tfidf_topk",
+    "text_bigram_lm",
+    "text_pmi_collocations",
     # --- round-9 debuts (same-round rule): planted-cluster ANN recall,
     # trained-PQ retrieval, residual IVF-PQ, SQ8 compressed-domain
     # search, and BM25 retrieval (displace the last five r06 fills —

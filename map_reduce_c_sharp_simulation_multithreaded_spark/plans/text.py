@@ -731,11 +731,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) joined and window-ranked; the keyword-extraction primitive
     for corpus curation.
 
-    Scale + float shape: the DF table is vocabulary-sized — small
-    here, but web-scale corpora grow vocabularies into the hundreds of
-    millions, so the join is unhinted (AQE broadcasts while it fits,
-    shuffles when it doesn't); the corpus-size scalar rides a
-    broadcast cross join, not a collect. Scores are rounded to 6 BEFORE the ranking
+    Scale + float shape: the corpus is TOKENIZED ONCE — tf is the
+    cached base table and both marginals DERIVE from it exactly
+    (dfreq = row count per term, since tf holds one row per (doc,
+    term); n = distinct doc_ids in tf — a doc appears in occ iff it
+    appears in tf), instead of each re-exploding the corpus. The DF
+    table is vocabulary-sized — small here, but web-scale corpora grow
+    vocabularies into the hundreds of millions, so the join is
+    unhinted (AQE broadcasts while it fits, shuffles when it doesn't);
+    the corpus-size scalar rides a broadcast cross join, not a
+    collect. Scores are rounded to 6 BEFORE the ranking
     window with a term tiebreak, so a last-ulp difference between the
     two engines' ln() cannot flip a rank (the inputs to ln are exact
     small-integer ratios, identical on both sides).
@@ -745,9 +750,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
-    tf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = occ.groupBy("term").agg(F.countDistinct("doc_id").alias("dfreq"))
-    nn = occ.agg(
+    tf = (
+        occ.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    nn = tf.agg(
         F.countDistinct("doc_id").cast("double").alias("n")
     )
     scored = (
@@ -811,8 +820,12 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranking uses the RAW integer pair count (not the derived float) so
     the window order is exact; the probability is emitted alongside,
     a ratio of identical integers → identical doubles on both engines.
-    At 100 TB both aggregations are two-phase with map-side combine,
-    and the c1 join side is vocabulary-sized → broadcast.
+    The corpus is TOKENIZED ONCE: c2 is the cached base and the head
+    marginal DERIVES from it (n_head = Σ n_pair over w1 — an exact
+    integer identity), instead of a second explode + full-pair shuffle.
+    At 100 TB the derivation also shrinks c1's shuffle input from
+    every pair occurrence to the vocab²-bounded c2 rows; the c1 join
+    side is vocabulary-sized → broadcast.
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
@@ -827,8 +840,12 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = t.select(F.explode(pairs_arr).alias("s")).select(
         F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")
     )
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
-    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n_head"))
+    c2 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .cache()
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("n_pair").alias("n_head"))
     w = Window.partitionBy("w1").orderBy(
         F.col("n_pair").desc(), F.col("w2")
     )
@@ -894,8 +911,14 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ln argument is one double division of exact integer products
     (pair count × corpus total over the two marginals), identical on
     both engines; PMI rounds to 6 BEFORE the global top-30 cut with a
-    (w1, w2) tiebreak. Marginals are vocabulary-sized → broadcast; the
-    corpus total rides a broadcast cross join.
+    (w1, w2) tiebreak. The corpus is TOKENIZED ONCE: the unfiltered
+    pair-count table is the cached base and BOTH marginals plus the
+    corpus total derive from it as exact integer sums (n_left =
+    Σ n_pair over w1, n_right over w2, n = Σ n_pair) — the naive
+    formulation re-exploded the corpus FOUR times and shuffled every
+    pair occurrence three ways; the derived marginals shuffle only the
+    vocab²-bounded count rows. Marginals are vocabulary-sized →
+    broadcast; the corpus total rides a broadcast cross join.
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
@@ -910,14 +933,15 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = t.select(F.explode(pairs_arr).alias("s")).select(
         F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")
     )
-    c2 = (
+    c2_full = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= 10)
+        .cache()
     )
-    m1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n_left"))
-    m2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("n_right"))
-    nn = pairs.agg(F.count(F.lit(1)).alias("n"))
+    c2 = c2_full.filter(F.col("n_pair") >= 10)
+    m1 = c2_full.groupBy("w1").agg(F.sum("n_pair").alias("n_left"))
+    m2 = c2_full.groupBy("w2").agg(F.sum("n_pair").alias("n_right"))
+    nn = c2_full.agg(F.sum("n_pair").alias("n"))
     pmi = F.round(
         F.log(
             (F.col("n_pair") * F.col("n")).cast("double")
@@ -977,7 +1001,9 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows even for stopword-grade terms (collect-then-slice would
     materialize the full million-document posting array for every hot
     term). df/total_tf aggregate the UNCAPPED (tok, doc) table; both
-    groupBys shuffle on the same key. Postings render as a sorted
+    groupBys shuffle on the same key, and tf is CACHED so the stats
+    and postings branches share one tokenization pass instead of each
+    re-exploding the corpus. Postings render as a sorted
     pipe-joined string so the driver's canonicalizer can hash them
     (arrays are unhashable — the agg_collect_sorted lesson).
     """
@@ -986,7 +1012,11 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
     )
-    tf = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        toks.groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
     stats = tf.groupBy("tok").agg(
         F.count(F.lit(1)).alias("doc_freq"),
         F.sum("tf").alias("total_tf"),
@@ -1057,10 +1087,14 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
+    # cached: the totals and top-50 branches share one tokenization
+    # pass (cache is invisible to the analyzed plan — fingerprint-
+    # stable, same as the IVF-PQ code frame)
     tf = (
         d.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .cache()
     )
     totals = tf.agg(
         F.count(F.lit(1)).alias("n_vocab"),
