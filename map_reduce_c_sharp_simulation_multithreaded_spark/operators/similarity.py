@@ -994,11 +994,7 @@ def train_pq_codebooks(
         *[
             F.struct(
                 F.lit(m).alias("_m"),
-                F.md5(
-                    F.concat(
-                        F.lit(f"pqseed:{m}:"), F.col("_id").cast("string")
-                    )
-                ).alias("_k"),
+                F.col("_id").alias("_sid"),
                 F.slice(F.col("_v"), m * sub_dim + 1, sub_dim).alias("_s"),
             )
             for m in range(m_sub)
@@ -1012,15 +1008,26 @@ def train_pq_codebooks(
             ),
         )
         .select(F.explode(sub_structs).alias("_e"))
-        .select("_e._m", "_e._k", "_e._s")
+        .select("_e._m", "_e._sid", "_e._s")
         .cache()
     )
     # seeds for ALL subspaces in one job; per-m rank over the digest is
     # the same ordering the old per-m orderBy+limit produced (md5 keys
-    # are unique per (m, id))
+    # are unique per (m, id)). The digest is projected only HERE — the
+    # cached frame carries the 8-byte id, not a 32-char md5 string that
+    # every Lloyd scan would otherwise drag along dead.
+    seed_key = F.md5(
+        F.concat(
+            F.lit("pqseed:"),
+            F.col("_m").cast("string"),
+            F.lit(":"),
+            F.col("_sid").cast("string"),
+        )
+    )
     w_seed = Window.partitionBy("_m").orderBy("_k")
     seed_rows = (
-        subs.withColumn("_rn", F.row_number().over(w_seed))
+        subs.withColumn("_k", seed_key)
+        .withColumn("_rn", F.row_number().over(w_seed))
         .filter(F.col("_rn") <= k_codes)
         .select("_m", "_rn", "_s")
         .collect()

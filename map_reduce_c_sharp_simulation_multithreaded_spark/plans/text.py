@@ -1489,7 +1489,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            F.round(idf * (F.col("tf") * F.lit(2.2)) / denom, 6).alias("c"),
+            F.round(
+                idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / denom, 6
+            ).alias("c"),
         )
     )
     scored = contrib.groupBy("doc_id").agg(
