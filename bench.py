@@ -108,6 +108,8 @@ EXTRA_BENCH = (
     "text_tfidf_topk",
     "text_bigram_lm",
     "text_pmi_collocations",
+    # round-9 hybrid-retrieval debut
+    "retrieval_hybrid_rrf",
 )
 
 

@@ -176,7 +176,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # These take three of the four fill slots; the displaced r06 fills
     # (text_quality_score, text_term_frequency, text_char_ngram_stats)
     # rejoin the round-10 queue with the other r06-evidence queries ---
-    "text_langid_heuristic",
     "text_tfidf_topk",
     "text_bigram_lm",
     "text_pmi_collocations",
@@ -191,6 +190,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ivfpq_residual_topk",
     "sim_sq8_topk",
     "text_bm25_topk",
+    # hybrid-retrieval debut (displaces the last r06 fill,
+    # text_langid_heuristic, back to the round-10 queue)
+    "retrieval_hybrid_rrf",
 )
 
 

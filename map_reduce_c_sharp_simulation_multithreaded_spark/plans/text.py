@@ -1503,3 +1503,229 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "doc_id", "n_hit", "score", "rnk"
     )
+
+
+# Reciprocal Rank Fusion (Cormack et al. 2009): the standard hybrid-
+# retrieval combiner — each list contributes 1/(k + rank), k=60, and
+# documents missing from a list contribute 0. Rank-based, so the two
+# scores never need calibrating against each other.
+_RRF_K = 60
+_RRF_LIST_K = 20
+
+_HYBRID_RRF_ORACLE = r"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                t -> t <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM occ GROUP BY doc_id),
+stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+                 (SELECT AVG(dl) FROM dl) AS avgdl),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ
+       WHERE term IN ('join', 'hash', 'vector') GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ROUND(ln((stats.n - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+               6) AS c
+  FROM tf JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+),
+lex_scored AS (
+  SELECT doc_id, ROUND(SUM(c), 6) AS lex_score
+  FROM contrib GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS rn
+    FROM lex_scored)
+  WHERE rn <= 20
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sem_scored AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_aggregate(list_transform(list_zip(qv, embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                   'sum')
+               / (sqrt(list_aggregate(list_transform(qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+               6) AS sem_score
+  FROM embeddings, q WHERE vec_id <> 0
+),
+sem AS (
+  SELECT doc_id, CAST(rn AS INT) AS sem_rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY sem_score DESC, doc_id) AS rn
+    FROM sem_scored)
+  WHERE rn <= 20
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank),
+                        CAST(0 AS DOUBLE))
+               + COALESCE(CAST(1 AS DOUBLE) / (60 + s.sem_rank),
+                          CAST(0 AS DOUBLE)), 6) AS rrf
+  FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf, CAST(rn AS INT) AS rnk FROM (
+  SELECT doc_id, lex_rank, sem_rank, rrf,
+         ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rn
+  FROM fused)
+WHERE rn <= 10
+"""
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=_HYBRID_RRF_ORACLE,
+    tags=("text", "similarity", "retrieval", "pipeline"),
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 lexical
+    top-20 and the exact-cosine semantic top-20 (query = the vec_id 0
+    embedding; documents and embeddings share an id space) fuse as
+    Σ 1/(60 + rank) with missing-list contribution 0 — the standard
+    hybrid-search combiner (rank-based, so the two incomparable score
+    scales never need calibrating). This is the serving-side
+    composition BM25 and the ANN family exist FOR: lexical recall for
+    rare exact terms, embedding recall for paraphrase, RRF to merge.
+
+    Scale shape: each list is produced by its family's own 100 TB
+    discipline (BM25: tokenize-once cached docstats + broadcast stats;
+    cosine: one norm fold per side before the broadcast-query join) and
+    cut to 20 rows via orderBy+limit (TakeOrderedAndProject) BEFORE any
+    rank window, so the fusion join touches ≤40 rows regardless of
+    corpus size. In production the semantic list would come from the
+    IVF/SQ8 index instead of the exact scan — same contract, same
+    fusion. Float discipline: both per-list scores round to 6 before
+    their rank cut; RRF is a fixed-order two-term sum of exact
+    1/(60+rank) doubles, rounded before the final cut; all ties break
+    on doc_id.
+    """
+    pin_session(spark)
+    from ..operators.similarity import dot, l2_norm
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    # lexical list — the text_bm25_topk plan, kept to its top-20 cut
+    occ = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    docstats = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"_tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).cache()
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    ).crossJoin(docstats.agg(F.avg("dl").alias("avgdl")))
+    tf = (
+        docstats.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"_tf{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(_BM25_TERMS)
+                    ]
+                )
+            ).alias("_e"),
+        )
+        .select("doc_id", "dl", "_e.term", "_e.tf")
+        .filter(F.col("tf") > 0)
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = F.log(
+        (F.col("n") - F.col("dfreq") + F.lit(0.5))
+        / (F.col("dfreq") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0)
+        - F.lit(_BM25_B)
+        + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    lex_scored = (
+        tf.join(F.broadcast(dfr), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / denom, 6
+            ).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("lex_score"))
+    )
+    lex_top = lex_scored.orderBy(
+        F.col("lex_score").desc(), "doc_id"
+    ).limit(_RRF_LIST_K)
+    lex = lex_top.withColumn(
+        "lex_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("lex_score").desc(), "doc_id"))
+        .cast("int"),
+    ).select("doc_id", "lex_rank")
+
+    # semantic list — exact cosine to the fixed query embedding, one
+    # norm fold per side (the brute_force_topk discipline)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qv"),
+        l2_norm(F.col("embedding")).alias("_qn"),
+    )
+    cand = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("_cv"),
+        l2_norm(F.col("embedding")).alias("_cn"),
+    )
+    sem_scored = cand.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        F.round(
+            dot(F.col("_qv"), F.col("_cv"))
+            / (F.col("_qn") * F.col("_cn")),
+            6,
+        ).alias("sem_score"),
+    )
+    sem_top = sem_scored.orderBy(
+        F.col("sem_score").desc(), "doc_id"
+    ).limit(_RRF_LIST_K)
+    sem = sem_top.withColumn(
+        "sem_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("sem_score").desc(), "doc_id"))
+        .cast("int"),
+    ).select("doc_id", "sem_rank")
+
+    rrf_term = lambda rank: F.coalesce(  # noqa: E731 — tiny local
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(rank)), F.lit(0.0)
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(rrf_term("lex_rank") + rrf_term("sem_rank"), 6).alias(
+            "rrf"
+        ),
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+    return top.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.col("rrf").desc(), "doc_id"))
+        .cast("int"),
+    ).select("doc_id", "lex_rank", "sem_rank", "rrf", "rnk")

@@ -372,3 +372,40 @@ class TestBM25TopK:
         for r in rows:
             assert r.score > 0  # +1 inside the log keeps IDF positive
             assert 1 <= r.n_hit <= len(_BM25_TERMS)
+
+
+class TestHybridRRF:
+    """RRF fusion invariants (value parity is oracle-checked): rrf is
+    exactly the two-term reciprocal sum of the carried ranks, ranks are
+    within their list size, at least one rank is present per row, and
+    the output ordering is (rrf desc, doc_id)."""
+
+    @pytest.fixture(scope="class")
+    def rows(self, spark, sf_dir):
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.text import (
+            retrieval_hybrid_rrf,
+        )
+
+        return retrieval_hybrid_rrf(spark, sf_dir).collect()
+
+    def test_rrf_is_the_reciprocal_rank_sum(self, rows):
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.text import (
+            _RRF_K,
+            _RRF_LIST_K,
+        )
+
+        assert rows, "fusion produced no rows"
+        for r in rows:
+            expect = 0.0
+            for rank in (r.lex_rank, r.sem_rank):
+                if rank is not None:
+                    assert 1 <= rank <= _RRF_LIST_K
+                    expect += 1.0 / (_RRF_K + rank)
+            assert r.lex_rank is not None or r.sem_rank is not None
+            assert r.rrf == round(expect, 6)
+
+    def test_rank_shape_and_order(self, rows):
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 10
+        for a, b in zip(rows, rows[1:]):
+            assert (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id)
