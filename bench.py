@@ -110,6 +110,8 @@ EXTRA_BENCH = (
     "text_pmi_collocations",
     # round-9 hybrid-retrieval debut
     "retrieval_hybrid_rrf",
+    # round-10 debut: exact all-pairs Jaccard via prefix filtering
+    "dedup_jaccard_prefix_join",
 )
 
 

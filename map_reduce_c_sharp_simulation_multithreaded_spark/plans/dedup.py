@@ -18,6 +18,7 @@ from ..catalog import load_table
 from ..operators.dedup import (
     simhash_band_pairs,
     exact_dedup_keep_first,
+    jaccard_prefix_join_pairs,
     minhash_lsh_dedup_pairs,
     simhash64,
 )
@@ -119,6 +120,72 @@ def dedup_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0L END"
         ).alias("jaccard_e4"),
     )
+
+
+@register(
+    "dedup_jaccard_prefix_join",
+    oracle=r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(len(toks) - 2),
+                j -> toks[CAST(j + 1 AS INT)] || ' ' ||
+                     toks[CAST(j + 2 AS INT)] || ' ' ||
+                     toks[CAST(j + 3 AS INT)])
+           ELSE [] END) AS s
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+  )
+),
+t AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+-- BRUTE FORCE on purpose: prefix filtering is a lossless candidate
+-- scheme, so the exact all-pairs answer is the contract — the oracle
+-- needn't (and shouldn't) replay the pruning. The length-ratio join
+-- predicate is implied by J >= t, included only to bound oracle cost.
+scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+         len(list_filter(a.s, x -> list_contains(b.s, x))) AS n_inter
+  FROM t a JOIN t b
+    ON a.doc_id < b.doc_id
+   AND least(a.n, b.n) * 10000 >= greatest(a.n, b.n) * 6000
+)
+SELECT id_a, id_b, n_a, n_b, n_inter,
+       n_a + n_b - n_inter AS n_union,
+       n_inter * 10000 // (n_a + n_b - n_inter) AS jaccard_e4
+FROM scored
+WHERE n_inter * 10000 >= 6000 * (n_a + n_b - n_inter)
+""",
+    tags=("dedup", "ngram", "custom-operator"),
+)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs shingle-Jaccard join (threshold 0.6) via prefix
+    filtering — the AllPairs/PPJoin scheme: the deterministic
+    complement to dedup_minhash_lsh over the same word-3-gram kernel.
+    MinHash trades recall for speed; this query keeps exactness and
+    prunes instead, joining only on each set's rarest
+    ``n − ceil(0.6·n) + 1`` shingles (a shared-prefix pigeonhole
+    guarantees no qualifying pair is lost — see
+    ``operators.dedup.jaccard_prefix_join_pairs``).
+
+    Scale shape: one corpus-wide shingle-frequency count, one equi-join
+    keyed on PREFIX shingles only (frequent shingles — the quadratic
+    risk of a naive token join — are suffix by construction and never
+    generate candidates; candidate volume is Σ_prefix df², not n²), a
+    length-ratio filter inside the join, then per-row array-intersect
+    verification over survivors. The brute-force oracle is the point:
+    pruning is lossless, so Spark's pruned answer must hash-match
+    DuckDB's exhaustive one.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("s"),
+    )
+    return jaccard_prefix_join_pairs(sh, "doc_id", "s", threshold_e4=6000)
 
 
 def _md5hash60_sql(hx: str) -> str:

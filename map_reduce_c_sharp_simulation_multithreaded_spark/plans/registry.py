@@ -98,26 +98,27 @@ def _load_all_plan_modules() -> None:
 # evidence, rotated each round until every oracle-backed query has had
 # a green driver row.
 #
-# Round-9 window (50), executing the queue the evidence-age gate
-# (tests/test_evidence_age.py) named the moment CORRECTNESS_r08.json
-# landed (latest=8 ⇒ floor r06): ALL 41 queries whose latest driver
-# evidence is r05 — the parity trio, dedup_minhash_lsh + the
-# simhash/incremental/quota family, the full join-variant pack
-# (broadcast/salted/bucketed/nonequi/outer/semi/anti/cross/composite),
-# the filter pack, grouping-sets/pivot/salted-two-phase (the three
-# displaced r05 fills from round 8's drift note — saved by THIS
-# rotation, as the corrected note below says),
-# sim_ivf_trained_topk + sim_ivfpq_rerank_topk, the JSON/ORC/
-# partitioned source/sink roundtrips, split_train_test_hash,
-# subquery_correlated_avg, unpivot_part_attrs, scalar_string_pack,
-# having_clause, multimodal_binary_meta, arrow_batch_doc_stats,
-# pack_sequences_running_sum, curation_mix_weights — plus this
-# round's debut (same-round rule) and fills from the r06 block head
-# in REGISTRATION order. After this window lands green, the oldest
-# evidence anywhere is r06; with latest=9 the gate's floor becomes
-# r07, so the round-10 queue is exactly the REMAINING r06 block
-# (registration order) — 38 queries plus any round-10 debuts/drift,
-# comfortably within 50 slots.
+# Round-10 window (50), executing the queue the evidence-age gate
+# (tests/test_evidence_age.py) named the moment CORRECTNESS_r09.json
+# landed (latest=9 ⇒ strict floor r07): ALL 47 queries whose latest
+# driver evidence is r06 — the text-analysis block (langid, quality,
+# term-frequency, char-ngrams, fingerprints, BPE token count,
+# winnowing), the graph trio (pagerank ×2, BFS), approx/collect
+# aggregates, ngram-jaccard, contamination, two-phase quota, sharded
+# packing, the scalar packs, SCD2, the set-operation family,
+# neardup/semdedup pairs, the full streaming family (9 queries), asof
+# join, and sessionize — in REGISTRATION order (47 of 50 slots).
+# The remaining 3 slots: the one round-10 CHANGED plan (freshness
+# gate — the ADVICE r9 refactor extracts the shared _bm25_scored
+# pipeline; only retrieval_hybrid_rrf's fingerprint moved), the
+# round-10 debut (same-round rule), and a pre-pull from the head of
+# the r07 block. After this window lands green, the oldest evidence
+# anywhere is r07 (48 remaining queries); with latest=10 the floor
+# becomes r08, so the round-11 queue is that r07 remainder — 48 of
+# 50 slots, leaving TWO slots for round-11 debuts/changes: rounds
+# that restructure existing plans should pick queries already inside
+# the mandatory block (the r07 block includes tpch q2/q4/q6/q9-q17/
+# q19/q22, the window family, the events family, the mlprep family).
 # The plan-fingerprint gate (tests/test_plan_freshness.py +
 # PLAN_HASHES.json) FAILS the suite if a changed plan is not in
 # this window, so the round-5 freeze-gap class cannot recur silently
@@ -125,74 +126,69 @@ def _load_all_plan_modules() -> None:
 # queries fold the body's source closure into their fingerprints;
 # refresh the snapshot (tools/plan_hashes.py --write) when rotating.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- the full 41-query r05-evidence block (the gate's queue),
-    # alphabetical = the gate's own failure-message order ---
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_salted_two_phase",
-    "arrow_batch_doc_stats",
-    "curation_mix_weights",
-    "dedup_exact_keep_first",
-    "dedup_incremental_index",
-    "dedup_minhash_lsh",
-    "dedup_simhash_band_pairs",
-    "dedup_simhash_signatures",
-    "dedup_source_quota",
-    "filter_null_safe_eq",
-    "filter_predicate_pack",
-    "filter_rlike_regex",
-    "having_clause",
-    "join_anti_customers_without_big_orders",
-    "join_broadcast_region_revenue",
-    "join_bucketed_colocated",
-    "join_composite_key",
-    "join_cross_region_nation",
-    "join_full_outer_nation_coverage",
-    "join_inner_supplier_nation",
-    "join_left_orders_per_customer",
-    "join_nonequi_late_ship",
-    "join_salted_skew",
-    "join_semi_customers_with_orders",
-    "multimodal_binary_meta",
-    "pack_sequences_running_sum",
-    "parity_decimal_money_sum",
-    "parity_donations_by_state",
-    "parity_last_wins_dim",
-    "parity_null_default_sum",
-    "scalar_string_pack",
-    "sim_ivf_trained_topk",
-    "sim_ivfpq_rerank_topk",
-    "sink_partitioned_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "split_train_test_hash",
-    "subquery_correlated_avg",
-    "unpivot_part_attrs",
-    # --- round-9 CHANGED plans (freshness gate): the tokenize-once
-    # restructure of the text-retrieval family (marginals derived from
-    # the cached count tables instead of re-exploding the corpus).
-    # text_inverted_index/text_zipf_slope changed too but cache-only
-    # (fingerprint-invisible), so they stay in the round-10 queue.
-    # These take three of the four fill slots; the displaced r06 fills
-    # (text_quality_score, text_term_frequency, text_char_ngram_stats)
-    # rejoin the round-10 queue with the other r06-evidence queries ---
-    "text_tfidf_topk",
-    "text_bigram_lm",
-    "text_pmi_collocations",
-    # --- round-9 debuts (same-round rule): planted-cluster ANN recall,
-    # trained-PQ retrieval, residual IVF-PQ, SQ8 compressed-domain
-    # search, and BM25 retrieval (displace the last five r06 fills —
-    # graph_pagerank_directed/_suppliers, text_winnowing_fingerprints,
-    # text_fingerprint_groups, text_bpe_token_count, all r06 evidence,
-    # head of the round-10 queue) ---
-    "sim_ann_recall_planted",
-    "sim_ivfpq_trained_topk",
-    "sim_ivfpq_residual_topk",
-    "sim_sq8_topk",
-    "text_bm25_topk",
-    # hybrid-retrieval debut (displaces the last r06 fill,
-    # text_langid_heuristic, back to the round-10 queue)
+    # --- the full 47-query r06-evidence block (the gate's queue),
+    # REGISTRATION order ---
+    "text_langid_heuristic",
+    "text_quality_score",
+    "text_term_frequency",
+    "text_char_ngram_stats",
+    "text_fingerprint_groups",
+    "text_bpe_token_count",
+    "text_winnowing_fingerprints",
+    "graph_pagerank_directed",
+    "graph_pagerank_suppliers",
+    "graph_bfs_supplier_hops",
+    "agg_approx_distinct",
+    "agg_collect_sorted",
+    "agg_approx_percentile",
+    "dedup_ngram_jaccard_adjacent",
+    "contamination_eval_overlap",
+    "dedup_source_quota_two_phase",
+    "pack_sequences_sharded",
+    "subquery_scalar_avg",
+    "scalar_date_pack",
+    "scalar_math_pack",
+    "scalar_conditional_pack",
+    "scalar_json_pack",
+    "scalar_map_explode",
+    "scalar_posexplode_words",
+    "scd2_merge_customer_segment",
+    "set_union_distinct",
+    "set_union_all_reaggregate",
+    "set_intersect",
+    "set_except",
+    "distinct_pairs",
+    "orderby_limit_topk",
+    "sort_within_partitions_sample",
+    "set_except_all",
+    "sim_neardup_pairs",
+    "dedup_semantic_clusters",
+    "dedup_semantic_clusters_scaled",
+    "stream_tumbling_counts",
+    "stream_sliding_avg",
+    "stream_session_windows",
+    "stream_dedup_user_type",
+    "stream_stateful_user_totals",
+    "stream_static_join_enrich",
+    "stream_stream_interval_join",
+    "stream_foreachbatch_upsert",
+    "stream_dedup_within_watermark",
+    "asof_join_last_purchase",
+    "sessionize_events",
+    # --- round-10 CHANGED plan (freshness gate): the ADVICE r9
+    # refactor extracts the ONE shared _bm25_scored pipeline (Spark
+    # plan + oracle CTE block) out of the two retrieval queries that
+    # previously duplicated it. Only retrieval_hybrid_rrf's
+    # fingerprint moved (it now consumes the shared scorer's n_hit-
+    # bearing aggregate, pruned by Catalyst); text_bm25_topk's
+    # analyzed plan is IDENTICAL post-refactor (fingerprint unchanged,
+    # r09 evidence stands), so its would-be slot goes to the head of
+    # the r07 block instead, easing round-11's 49-query queue ---
     "retrieval_hybrid_rrf",
+    "text_token_stats",
+    # --- round-10 debut (same-round rule): exact all-pairs Jaccard
+    # self-join via AllPairs/PPJoin prefix filtering ---
+    "dedup_jaccard_prefix_join",
 )
 
 

