@@ -33,20 +33,12 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 # the final r07 artifact passes the gate clean, so the entry was stale
 # and could only mask a real future regression on that query.)
 #
-# SELF-RETIRING round-9 entry — round 10 MUST empty this dict and
-# compare r10→r9, the first pair calibrated on both probe axes:
-ALLOWLIST: dict[str, str] = {
-    "stream_windowed_topk": (
-        "1.52x vs the r7 artifact — SCALE.md 'Full-sweep timing audit "
-        "(round 9)': three same-day sweeps of identical code measured "
-        "148.8/171.5/116.0 s totals (36/55/1 flags); the epoch is "
-        "time-varying and driver/JIT-weighted, streaming is its most "
-        "sensitive shape, this query's plan hash is unchanged, and the "
-        "r7 artifact predates both calibration constants so the "
-        "comparison cannot be normalized. Retire via the calibrated "
-        "r10->r9 compare."
-    ),
-}
+# Round 10 retired the self-retiring round-9 stream_windowed_topk
+# entry exactly as prescribed: the r10→r9 compare — the FIRST pair
+# calibrated on both probe axes — flags ZERO queries, and that query
+# measured 1.195 s vs the r9 artifact's 1.251 s (its 1.52× was the
+# uncalibratable r9-vs-r7 comparison, confirmed epoch, not plan).
+ALLOWLIST: dict[str, str] = {}
 
 
 def _latest_sweeps() -> list[str]:
