@@ -110,8 +110,10 @@ EXTRA_BENCH = (
     "text_pmi_collocations",
     # round-9 hybrid-retrieval debut
     "retrieval_hybrid_rrf",
-    # round-10 debut: exact all-pairs Jaccard via prefix filtering
+    # round-10 debuts: exact all-pairs Jaccard via prefix filtering,
+    # DSIR importance weighting toward the Gopher-pass distribution
     "dedup_jaccard_prefix_join",
+    "curation_dsir_importance",
 )
 
 

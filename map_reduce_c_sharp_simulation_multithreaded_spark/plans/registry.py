@@ -110,15 +110,15 @@ def _load_all_plan_modules() -> None:
 # join, and sessionize — in REGISTRATION order (47 of 50 slots).
 # The remaining 3 slots: the one round-10 CHANGED plan (freshness
 # gate — the ADVICE r9 refactor extracts the shared _bm25_scored
-# pipeline; only retrieval_hybrid_rrf's fingerprint moved), the
-# round-10 debut (same-round rule), and a pre-pull from the head of
-# the r07 block. After this window lands green, the oldest evidence
-# anywhere is r07 (48 remaining queries); with latest=10 the floor
-# becomes r08, so the round-11 queue is that r07 remainder — 48 of
-# 50 slots, leaving TWO slots for round-11 debuts/changes: rounds
-# that restructure existing plans should pick queries already inside
-# the mandatory block (the r07 block includes tpch q2/q4/q6/q9-q17/
-# q19/q22, the window family, the events family, the mlprep family).
+# pipeline; only retrieval_hybrid_rrf's fingerprint moved) and the
+# two round-10 debuts (same-round rule). After this window lands
+# green, the oldest evidence anywhere is r07 (49 queries); with
+# latest=10 the floor becomes r08, so the round-11 queue is exactly
+# that r07 block — 49 of 50 slots, leaving ONE slot for a round-11
+# debut-or-change: rounds that restructure existing plans should
+# pick queries already inside the mandatory block (the r07 block
+# includes tpch q2/q4/q6/q9-q17/q19/q22, the window family, the
+# events family, the mlprep family).
 # The plan-fingerprint gate (tests/test_plan_freshness.py +
 # PLAN_HASHES.json) FAILS the suite if a changed plan is not in
 # this window, so the round-5 freeze-gap class cannot recur silently
@@ -182,13 +182,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # fingerprint moved (it now consumes the shared scorer's n_hit-
     # bearing aggregate, pruned by Catalyst); text_bm25_topk's
     # analyzed plan is IDENTICAL post-refactor (fingerprint unchanged,
-    # r09 evidence stands), so its would-be slot goes to the head of
-    # the r07 block instead, easing round-11's 49-query queue ---
+    # r09 evidence stands). The same discipline covers the Gopher
+    # refactor: _gopher_m/_gopher_pass_col are verbatim extractions,
+    # text_gopher_quality's plan is identical (r07 evidence stands,
+    # rides the round-11 queue on schedule) ---
     "retrieval_hybrid_rrf",
-    "text_token_stats",
-    # --- round-10 debut (same-round rule): exact all-pairs Jaccard
-    # self-join via AllPairs/PPJoin prefix filtering ---
+    # --- round-10 debuts (same-round rule): exact all-pairs Jaccard
+    # self-join via AllPairs/PPJoin prefix filtering, and DSIR
+    # hashed-bigram importance weighting toward the Gopher-pass
+    # target distribution ---
     "dedup_jaccard_prefix_join",
+    "curation_dsir_importance",
 )
 
 

