@@ -348,14 +348,19 @@ FROM m
 """
 
 
-def _gopher_m(d: DataFrame) -> DataFrame:
+def _gopher_m(d: DataFrame, toks: DataFrame | None = None) -> DataFrame:
     """The Gopher measurement frame (the ``m`` oracle CTE): per-doc
     repetition features, all computed as per-row array folds — the
     per-doc 2-gram mode is a sorted-array run-length fold
     (``top_repeated_shingle``), zero shuffles, where the naive
     explode→groupBy→argmax costs two. Shared by text_gopher_quality
-    and the DSIR target-distribution derivation."""
-    t = d.select(
+    and the DSIR target-distribution derivation. ``toks`` lets a
+    caller that ALSO needs the token arrays (DSIR's bigram stream)
+    supply one pre-tokenized — ideally cached — (doc_id, nc, tk)
+    frame, so the corpus is scanned and tokenized once; omitted, the
+    default path builds the identical frame inline (same analyzed
+    plan as before the parameter existed)."""
+    t = toks if toks is not None else d.select(
         "doc_id",
         F.length("text").alias("nc"),
         tokens(F.col("text")).alias("tk"),
@@ -481,7 +486,14 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     model (``lr``) is a 64-row broadcast frame built by one aggregate
     over the (doc, bucket) counts, and scoring is a broadcast join +
     one per-doc sum. Two shuffles total beyond the Gopher verdict:
-    the (doc_id, b) count and the final per-doc sum. Float
+    the (doc_id, b) count and the final per-doc sum. The corpus is
+    scanned and TOKENIZED ONCE (the cached ``toks`` frame feeds both
+    the verdict's array folds and the bigram explode); measured ≈
+    parity at fixture scale (3.2–4.1 s A/B band at sf0.1, interleaved
+    — the 31-word-vocabulary fixture makes tokenization nearly free),
+    the structural win is the removed second scan+tokenization, which
+    dominates at real document sizes (the round-9 text-retrieval
+    finding). Float
     discipline: each bucket's log-ratio is quantized to integer 1e-4
     nats while still per-bucket deterministic (the ratio is a product/
     quotient of exact integers, correctly rounded identically by both
@@ -491,13 +503,19 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    gv = _gopher_m(d).select(
+    # tokenize ONCE: the verdict's array folds and the bigram explode
+    # both read this cached frame — one corpus scan, one tokenization
+    # (the round-9 text-retrieval discipline; at 100 TB tokenization
+    # IS the query cost)
+    toks = d.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        tokens(F.col("text")).alias("tk"),
+    ).cache()
+    gv = _gopher_m(d, toks=toks).select(
         "doc_id", _gopher_pass_col().alias("gopher_pass")
     )
-    t = d.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
-        F.size("tk") >= 2
-    )
-    bx = t.select(
+    bx = toks.filter(F.size("tk") >= 2).select(
         "doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("gram")
     )
     # cached: feeds the model aggregate AND the scoring join

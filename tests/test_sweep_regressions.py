@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 # Round 10 retired the self-retiring round-9 stream_windowed_topk
 # entry exactly as prescribed: the r10→r9 compare — the FIRST pair
 # calibrated on both probe axes — flags ZERO queries, and that query
-# measured 1.195 s vs the r9 artifact's 1.251 s (its 1.52× was the
+# measured 1.061 s vs the r9 artifact's 1.251 s (its 1.52× was the
 # uncalibratable r9-vs-r7 comparison, confirmed epoch, not plan).
 ALLOWLIST: dict[str, str] = {}
 
