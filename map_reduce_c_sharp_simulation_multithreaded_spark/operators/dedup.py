@@ -129,15 +129,16 @@ def minhash_signatures(
     return shingle_sets.select(F.col(id_col), F.col("sh_set"), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
+def lsh_banded(
     signatures: DataFrame, id_col: str, bands: int = 8, rows: int = 4,
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """Band the signature and self-join per (band, band_hash) bucket.
+    """Banded LSH keys, one row per (doc, band): ``(id, band_id, bh)``.
 
-    Docs agreeing on all ``rows`` values of any band become a candidate
-    pair; the join key is (band_id, hash of the band slice) so bucket
-    size — not n² — bounds the work. In oracle mode the band key is the
+    The shared banding stage under both the self-join candidate
+    generator (:func:`lsh_candidate_pairs`) and the bipartite
+    train×eval decontamination join (plans.mlprep.
+    contamination_fuzzy_minhash). In oracle mode the band key is the
     comma-joined slice itself (exact, engine-replayable); production
     hashes the slice with xxhash64 so shuffle keys stay 8 bytes.
     """
@@ -158,9 +159,22 @@ def lsh_candidate_pairs(
             band_key(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"),
         ),
     )
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(bands_expr).alias("band")
     ).select(id_col, "band.band_id", "band.bh")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 8, rows: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Band the signature and self-join per (band, band_hash) bucket.
+
+    Docs agreeing on all ``rows`` values of any band become a candidate
+    pair; the join key is (band_id, hash of the band slice) so bucket
+    size — not n² — bounds the work.
+    """
+    banded = lsh_banded(signatures, id_col, bands, rows, hash_mode)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -205,13 +205,15 @@ def _md5hash60_sql(hx: str) -> str:
     )
 
 
-# DuckDB replay of the full MinHash+LSH pipeline under the md5-derived
-# 60-bit hash family: shingle hashes, the 32 (a_i·h+b_i) mod M
-# permutations (pure integer arithmetic — h >= 0, so DuckDB's % equals
-# Spark's pmod), banding on the comma-joined 4-row slice, the bucketed
-# candidate self-join, and the exact-Jaccard verify with integer-scaled
-# output (floor division cannot hit engine rounding ties).
-_MINHASH_ORACLE = rf"""
+# DuckDB replay of the MinHash signature pipeline under the
+# md5-derived 60-bit hash family: shingle hashes, the 32 (a_i·h+b_i)
+# mod M permutations (pure integer arithmetic — h >= 0, so DuckDB's %
+# equals Spark's pmod), banding on the comma-joined 4-row slice.
+# Shared CTE prefix for every oracle that replays the signature stage
+# (the near-dup self-join below; the bipartite decontamination join in
+# plans.mlprep) — one definition, so the replayed hash family cannot
+# drift between them.
+_MINHASH_CTES = rf"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS tk
@@ -240,7 +242,12 @@ banded AS (
          array_to_string(list_transform(range(4),
            r -> CAST(sg[CAST(bb.b * 4 + r + 1 AS INT)] AS VARCHAR)), ',') AS bh
   FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb
-),
+)"""
+
+# ... the bucketed candidate self-join and the exact-Jaccard verify
+# with integer-scaled output (floor division cannot hit engine
+# rounding ties).
+_MINHASH_ORACLE = _MINHASH_CTES + rf""",
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
   FROM banded a JOIN banded b2

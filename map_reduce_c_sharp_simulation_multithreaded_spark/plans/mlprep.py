@@ -15,8 +15,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from ..catalog import load_table
+from ..operators.dedup import (
+    doc_shingle_sets,
+    exact_jaccard,
+    lsh_banded,
+    minhash_signatures,
+)
 from ..operators.text import tokens, word_shingles
 from ..session import pin_session
+from .dedup import _MINHASH_CTES
 from .registry import register
 
 _SPLIT_ORACLE = """
@@ -226,6 +233,109 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_shared_13grams"),
             F.countDistinct("eval_id").alias("n_eval_docs_hit"),
             (F.countDistinct("eval_id") > 0).alias("contaminated"),
+        )
+    )
+
+
+# Fuzzy decontamination: the MinHash signature CTEs are imported from
+# plans.dedup (one definition of the replayed hash family), then the
+# candidate join is BIPARTITE train×eval instead of the near-dup
+# self-join, verified at the 0.8-Jaccard decontamination bar.
+_FUZZY_CONTAM_ORACLE = _MINHASH_CTES + """,
+cand AS (
+  SELECT DISTINCT t.doc_id AS id_a, e.doc_id AS id_b
+  FROM banded t JOIN banded e
+    ON t.band = e.band AND t.bh = e.bh
+  WHERE t.doc_id % 20 <> 7 AND e.doc_id % 20 = 7
+),
+sc AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(sa.hs, h -> list_contains(sb.hs, h))) AS n_inter,
+         len(sa.hs) + len(sb.hs)
+           - len(list_filter(sa.hs, h -> list_contains(sb.hs, h))) AS n_union
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a AS doc_id,
+       CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_eval_neardups,
+       CAST(MAX(n_inter * 10000 // n_union) AS BIGINT) AS top_jaccard_e4
+FROM sc
+WHERE n_inter * 10000 // n_union >= 8000
+GROUP BY id_a
+"""
+
+
+@register(
+    "contamination_fuzzy_minhash",
+    oracle=_FUZZY_CONTAM_ORACLE,
+    tags=("mlprep", "contamination", "dedup", "minhash", "custom-operator"),
+)
+def contamination_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train/eval decontamination: training documents whose
+    shingle-Jaccard to ANY held-out document (doc_id % 20 == 7, the
+    same split as the exact audit) is >= 0.8 — the near-duplicate
+    decontamination pass that catches reformatted or lightly edited
+    benchmark copies the exact 13-gram audit misses (and the standard
+    second stage next to it in production dataset reports).
+
+    Pipeline: shingle → 32-perm MinHash → 8×4 LSH bands (all per-row
+    expressions, zero shuffles) → BIPARTITE band join of train bands
+    against BROADCAST eval bands → exact-Jaccard verify on the
+    candidates → threshold 0.8 → per-doc audit aggregate.
+
+    The broadcast is the scale decision, and it is the OPPOSITE of the
+    exact audit's (contamination_eval_overlap carries no hint because
+    its join side is every 13-gram of the eval split — GBs at corpus
+    scale). Here the eval side is 8 band keys per eval document —
+    a few MBs for any real benchmark suite even at 100 TB of training
+    data — so the band join becomes a map-side hash join: the train
+    side's signatures stream through without ever shuffling, and
+    decontamination costs one scan of the training corpus. The verify
+    join is candidate-bounded (LSH bucket hits only, never n²).
+
+    Runs the md5-derived oracle-mode hash family (shared CTE prefix
+    with dedup_minhash_lsh — plans.dedup._MINHASH_CTES — so the
+    replayed signature stage cannot drift between the two oracles);
+    xxhash64 stays the production default in the underlying operators.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _fuzzy_contam_audit(d)
+
+
+def _fuzzy_contam_audit(d: DataFrame) -> DataFrame:
+    """The plan body over an arbitrary ``(doc_id, text)`` frame —
+    separated so the planted-contamination pytest can drive it."""
+    # Shingle sets feed both verify probes; signatures feed the banding
+    # once — same one-materialization discipline as the near-dup query.
+    sets_df = doc_shingle_sets(d, "doc_id", "text", 3, "md5").cache()
+    sig = minhash_signatures(
+        sets_df.select("doc_id", "sh_set"), "doc_id", 32
+    ).drop("sh_set")
+    banded = lsh_banded(sig, "doc_id", bands=8, rows=4, hash_mode="md5")
+    is_eval = F.col("doc_id") % 20 == 7
+    ev = banded.filter(is_eval).select(
+        F.col("doc_id").alias("id_b"), "band_id", "bh"
+    )
+    tr = banded.filter(~is_eval).select(
+        F.col("doc_id").alias("id_a"), "band_id", "bh"
+    )
+    cand = (
+        tr.join(F.broadcast(ev), ["band_id", "bh"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = exact_jaccard(cand, sets_df, "doc_id", scaled=True)
+    return (
+        verified.filter(F.col("jaccard_e4") >= 8000)
+        .groupBy("id_a")
+        .agg(
+            F.countDistinct("id_b").alias("n_eval_neardups"),
+            F.max("jaccard_e4").alias("top_jaccard_e4"),
+        )
+        .select(
+            F.col("id_a").alias("doc_id"), "n_eval_neardups", "top_jaccard_e4"
         )
     )
 

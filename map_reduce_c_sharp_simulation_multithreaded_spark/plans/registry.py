@@ -193,6 +193,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # target distribution ---
     "dedup_jaccard_prefix_join",
     "curation_dsir_importance",
+    # --- position 51 (the driver verifies the FIRST 50): the late
+    # round-10 debut rides ROUND 11's single free slot (round 11's
+    # mandatory queue is the 49-query r07-evidence block — adding this
+    # debut fills it to exactly 50). Until then its correctness
+    # evidence is the local differential harness at sf0.001/sf0.01
+    # (tools/verify_local.py) plus the planted-contamination pytest;
+    # every slot ahead of it is mandatory this round (47 r06-evidence
+    # queries + 1 changed plan + 2 debuts), so displacing one would
+    # trade driver evidence the gates require for evidence they don't
+    # yet. ---
+    "contamination_fuzzy_minhash",
 )
 
 

@@ -300,3 +300,127 @@ class TestSharedBm25Scorer:
         for r in hybrid:
             if r.lex_rank is not None:
                 assert lex_rank_of[r.doc_id] == r.lex_rank
+
+
+class TestFuzzyContamination:
+    """contamination_fuzzy_minhash: the bipartite near-dup
+    decontamination audit (eval split = doc_id % 20 == 7)."""
+
+    @staticmethod
+    def _audit(spark, rows):
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.mlprep import (
+            _fuzzy_contam_audit,
+        )
+
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: (r.n_eval_neardups, r.top_jaccard_e4)
+            for r in _fuzzy_contam_audit(d).collect()
+        }
+
+    def test_planted_copy_is_flagged_clean_doc_is_not(self, spark):
+        base = " ".join(f"w{i}" for i in range(30))
+        other = " ".join(f"v{i}" for i in range(30))
+        rows = [
+            (7, base),    # eval (7 % 20 == 7)
+            (1, base),    # train, verbatim benchmark copy → J = 1.0
+            (2, other),   # train, unrelated → not flagged
+            (21, base),   # train dup of TRAIN doc 1 — must still flag
+                          # only via its eval overlap, and it has one
+        ]
+        got = self._audit(spark, rows)
+        assert got == {1: (1, 10000), 21: (1, 10000)}
+
+    def test_light_edit_flagged_heavy_edit_not(self, spark):
+        # 40 tokens → 38 shingles; editing ONE middle token kills 3
+        # shingles each side: J = 35/41 = 0.8536 ≥ 0.8 (flagged);
+        # editing five spread tokens kills 15: J = 23/53 = 0.434 (not)
+        toks = [f"w{i}" for i in range(40)]
+        light = list(toks)
+        light[20] = "EDIT"
+        heavy = list(toks)
+        for j in range(5, 40, 7):
+            heavy[j] = f"EDIT{j}"
+        rows = [
+            (7, " ".join(toks)),
+            (1, " ".join(light)),
+            (2, " ".join(heavy)),
+        ]
+        got = self._audit(spark, rows)
+        assert set(got) == {1}
+        n_eval, j_e4 = got[1]
+        assert n_eval == 1 and j_e4 == 35 * 10000 // 41
+
+    def test_eval_docs_never_appear_in_the_audit(self, spark):
+        base = " ".join(f"w{i}" for i in range(30))
+        rows = [(7, base), (27, base), (1, base)]  # two eval dups
+        got = self._audit(spark, rows)
+        # doc 27 is eval (27 % 20 == 7): near-dup of eval doc 7 but the
+        # audit reports TRAINING docs only; doc 1 matches both evals
+        assert set(got) == {1}
+        assert got[1] == (2, 10000)
+
+    def test_matches_brute_force_on_real_corpus(self, spark, sf_dir):
+        """sf0.001: the LSH-pruned audit equals the exhaustive
+        train×eval Jaccard audit (checked non-vacuous: the fixture
+        plants cross near-dups)."""
+        from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import (
+            load_table,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+            doc_shingle_sets,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.mlprep import (
+            _fuzzy_contam_audit,
+        )
+
+        d = load_table(spark, sf_dir, "documents")
+        got = {
+            (r.doc_id, r.n_eval_neardups, r.top_jaccard_e4)
+            for r in _fuzzy_contam_audit(d).collect()
+        }
+        sets = doc_shingle_sets(d, "doc_id", "text", 3, "md5")
+        tr = sets.filter(F.col("doc_id") % 20 != 7).select(
+            F.col("doc_id").alias("id_a"), F.col("sh_set").alias("sa")
+        )
+        ev = sets.filter(F.col("doc_id") % 20 == 7).select(
+            F.col("doc_id").alias("id_b"), F.col("sh_set").alias("sb")
+        )
+        n_inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+        n_union = (
+            F.size("sa").cast("long") + F.size("sb").cast("long") - n_inter
+        )
+        brute = {
+            (r.doc_id, r.n_eval_neardups, r.top_jaccard_e4)
+            for r in tr.crossJoin(ev)
+            .select(
+                "id_a",
+                "id_b",
+                n_inter.alias("n_inter"),
+                n_union.alias("n_union"),
+            )
+            .selectExpr(
+                "id_a", "id_b", "n_inter * 10000L DIV n_union AS jaccard_e4"
+            )
+            .filter(F.col("jaccard_e4") >= 8000)
+            .groupBy(F.col("id_a").alias("doc_id"))
+            .agg(
+                F.countDistinct("id_b").alias("n_eval_neardups"),
+                F.max("jaccard_e4").alias("top_jaccard_e4"),
+            )
+            .collect()
+        }
+        assert got == brute and got  # non-vacuous
+
+    def test_eval_band_side_broadcasts(self, spark, sf_dir):
+        """The scale decision under the query: the candidate join must
+        be a broadcast hash join (eval band keys are MBs at any real
+        benchmark-suite size), so the training side never shuffles."""
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.mlprep import (
+            contamination_fuzzy_minhash,
+        )
+
+        plan = contamination_fuzzy_minhash(
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
