@@ -67,3 +67,90 @@ def test_prefix_join_equals_brute_force(spark, rows, te4):
         for r in jaccard_prefix_join_pairs(df, "id", "s", te4).collect()
     }
     assert got == _brute(rows, te4)
+
+
+# --- fuzzy decontamination audit (late round-10 debut) ---------------
+#
+# LSH is a candidate scheme with recall < 1 strictly between the
+# threshold and 1.0, so brute-force EQUALITY is not a law (the
+# registered query's fixture equality is pinned separately where it
+# was verified to hold). The laws that DO hold for every corpus:
+#   soundness — every audit row is derived from TRUE >= 0.8 train×eval
+#   pairs: the doc must have such pairs, the reported count cannot
+#   exceed the true count, and the reported max must be one of the
+#   doc's true pair values;
+#   completeness at J = 1 — identical shingle SETS give identical
+#   signatures, so every band matches and the pair cannot be missed;
+#   split discipline — only training docs (id % 20 != 7) appear.
+
+_TOKENS = [f"t{i}" for i in range(10)]
+_BASE = st.lists(st.sampled_from(_TOKENS), min_size=5, max_size=14)
+
+
+@st.composite
+def _contam_corpus(draw):
+    bases = draw(st.lists(_BASE, min_size=1, max_size=3))
+    n_docs = draw(st.integers(min_value=2, max_value=8))
+    rows = []
+    for i in range(n_docs):
+        toks = list(draw(st.sampled_from(bases)))
+        for _ in range(draw(st.integers(min_value=0, max_value=2))):
+            pos = draw(st.integers(min_value=0, max_value=len(toks) - 1))
+            toks[pos] = draw(st.sampled_from(_TOKENS))
+        is_eval = draw(st.booleans())
+        doc_id = 7 + 20 * i if is_eval else 1 + 20 * i
+        rows.append((doc_id, " ".join(toks)))
+    return rows
+
+
+def _shingles(text):
+    tk = text.split()
+    return {" ".join(tk[j:j + 3]) for j in range(len(tk) - 2)}
+
+
+def _brute_audit(rows):
+    sets = {i: _shingles(t) for i, t in rows}
+    sets = {i: s for i, s in sets.items() if s}
+    out = {}
+    for ia, sa in sets.items():
+        if ia % 20 == 7:
+            continue
+        js = []
+        for ib, sb in sets.items():
+            if ib % 20 != 7:
+                continue
+            inter = len(sa & sb)
+            j_e4 = inter * 10000 // (len(sa) + len(sb) - inter)
+            if j_e4 >= 8000:
+                js.append(j_e4)
+        if js:
+            out[ia] = (len(js), sorted(js))
+    return out, sets
+
+
+@SLOW
+@given(rows=_contam_corpus())
+def test_fuzzy_contam_audit_sound_and_exact_on_identical_sets(spark, rows):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.mlprep import (
+        _fuzzy_contam_audit,
+    )
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_eval_neardups, r.top_jaccard_e4)
+        for r in _fuzzy_contam_audit(d).collect()
+    }
+    brute, sets = _brute_audit(rows)
+    for doc_id, (n, top) in got.items():
+        assert doc_id % 20 != 7  # training docs only
+        assert doc_id in brute, doc_id  # no false flags
+        true_n, true_js = brute[doc_id]
+        assert 1 <= n <= true_n
+        assert top in true_js and top >= 8000
+    # completeness at J = 1: identical shingle sets cannot be missed
+    eval_sets = {i: s for i, s in sets.items() if i % 20 == 7}
+    for ia, sa in sets.items():
+        if ia % 20 == 7:
+            continue
+        if any(sa == sb for sb in eval_sets.values()):
+            assert got.get(ia, (0, 0))[1] == 10000, ia
