@@ -244,15 +244,10 @@ banded AS (
   FROM sig CROSS JOIN (SELECT unnest(range(8)) AS b) bb
 )"""
 
-# ... the bucketed candidate self-join and the exact-Jaccard verify
-# with integer-scaled output (floor division cannot hit engine
-# rounding ties).
-_MINHASH_ORACLE = _MINHASH_CTES + rf""",
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-  FROM banded a JOIN banded b2
-    ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id
-),
+# The exact-Jaccard verify over a ``cand(id_a, id_b)`` CTE — shared by
+# the self-join oracle below and the bipartite decontamination oracle
+# (plans.mlprep), so the verify arithmetic cannot drift between them.
+_JACCARD_VERIFY_CTE = """
 sc AS (
   SELECT c.id_a, c.id_b,
          len(list_filter(sa.hs, h -> list_contains(sb.hs, h))) AS n_inter,
@@ -261,7 +256,17 @@ sc AS (
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.id_a
   JOIN sh sb ON sb.doc_id = c.id_b
-)
+)"""
+
+# ... the bucketed candidate self-join and the exact-Jaccard verify
+# with integer-scaled output (floor division cannot hit engine
+# rounding ties).
+_MINHASH_ORACLE = _MINHASH_CTES + rf""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM banded a JOIN banded b2
+    ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+),{_JACCARD_VERIFY_CTE}
 SELECT id_a, id_b,
        CAST(n_inter * 10000 // n_union AS BIGINT) AS jaccard_e4
 FROM sc WHERE 2 * n_inter >= n_union

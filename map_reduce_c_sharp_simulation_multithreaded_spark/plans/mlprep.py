@@ -23,7 +23,7 @@ from ..operators.dedup import (
 )
 from ..operators.text import tokens, word_shingles
 from ..session import pin_session
-from .dedup import _MINHASH_CTES
+from .dedup import _JACCARD_VERIFY_CTE, _MINHASH_CTES
 from .registry import register
 
 _SPLIT_ORACLE = """
@@ -241,22 +241,13 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plans.dedup (one definition of the replayed hash family), then the
 # candidate join is BIPARTITE train×eval instead of the near-dup
 # self-join, verified at the 0.8-Jaccard decontamination bar.
-_FUZZY_CONTAM_ORACLE = _MINHASH_CTES + """,
+_FUZZY_CONTAM_ORACLE = _MINHASH_CTES + f""",
 cand AS (
   SELECT DISTINCT t.doc_id AS id_a, e.doc_id AS id_b
   FROM banded t JOIN banded e
     ON t.band = e.band AND t.bh = e.bh
   WHERE t.doc_id % 20 <> 7 AND e.doc_id % 20 = 7
-),
-sc AS (
-  SELECT c.id_a, c.id_b,
-         len(list_filter(sa.hs, h -> list_contains(sb.hs, h))) AS n_inter,
-         len(sa.hs) + len(sb.hs)
-           - len(list_filter(sa.hs, h -> list_contains(sb.hs, h))) AS n_union
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.id_a
-  JOIN sh sb ON sb.doc_id = c.id_b
-)
+),{_JACCARD_VERIFY_CTE}
 SELECT id_a AS doc_id,
        CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_eval_neardups,
        CAST(MAX(n_inter * 10000 // n_union) AS BIGINT) AS top_jaccard_e4
