@@ -309,6 +309,103 @@ def _resolve_assign_mode(
     return broadcast_assign
 
 
+def seed_kmeans_scalable(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    rounds: int = 5,
+    id_col: str | None = None,
+) -> list[list[float]]:
+    """Deterministic batched farthest-point seeding — the k-means||
+    shape (Bahmani et al., VLDB 2012) with the probabilistic
+    oversampling draw replaced by a deterministic batched k-center
+    step, so replayable-mode training stays a pure function of the
+    (id, vector) multiset.
+
+    Sequential k-means++/farthest-point seeding needs k DEPENDENT
+    passes over the data (each new seed depends on the last) — the
+    exact pattern that dies at k = n/64 on a 100 TB corpus. This
+    operator follows k-means||'s two-phase structure per round, with
+    ℓ = ⌈(k−1)/rounds⌉:
+    OVERSAMPLE — one scan scores every vector against the current
+    seed set (per-row expression, no shuffle) and a distributed
+    top-4ℓ (TakeOrdered — per-partition heads, never a full sort)
+    pulls the vectors farthest from their nearest seed, ties broken
+    by the md5 seed key; REDUCE — a driver-side greedy k-center pass
+    over that ≤4ℓ-row pool picks the ℓ actual seeds, re-scoring
+    candidates against seeds added WITHIN the batch (the step plain
+    batched farthest-point lacks — without it one round spends its
+    whole batch on near-duplicate extremes of a single uncovered
+    region; measured on the planted corpus at the default 5 rounds:
+    block coverage 8/16 without the reduction, 14/16 with it, vs
+    10/16 for the uniform md5 sample — and after ONE Lloyd round the
+    farthest-seeded codebook covers 15/16 blocks with a better
+    spherical objective than the uniform seed reaches in three
+    rounds, i.e. the init buys back two full passes over the corpus;
+    tools/seed_quality.py reproduces the table). O(rounds) scans total
+    instead of O(k) — the k-means|| trade — and the reduction pool is
+    4ℓ vectors of dim floats, driver-bounded the same way the
+    codebook itself is.
+
+    Spherical geometry (matches the Lloyd trainer): vectors are
+    l2-normalized and distance-to-seed-set is ``1 − max dot``. Seeds
+    are returned normalized, ready as ``train_kmeans_codebook``
+    initial centroids (``init="farthest"``). Identical duplicate
+    vectors can enter one batch together (same distance, adjacent
+    tie keys); the duplicate centroid then just trains into an empty
+    cell, which Lloyd's empty-cell rule already handles. Scoring uses
+    the centroid-literal expression — past the documented
+    BROADCAST_ASSIGN_CUTOVER_K the same batched scheme would route
+    scoring through the broadcast-codebook join of
+    :func:`assign_cells_broadcast`.
+    """
+    base_cols = [F.col(vec_col).alias("_v")] + (
+        [F.col(id_col).alias("_id")] if id_col is not None else []
+    )
+    if id_col is not None:
+        seed_key = F.md5(F.concat(F.lit("seed:"), F.col("_id").cast("string")))
+    else:
+        seed_key = F.md5(F.to_json(F.struct(F.col("_uv"))).cast("binary"))
+    vecs = (
+        df.select(*base_cols)
+        .withColumn("_n", F.greatest(l2_norm(F.col("_v")), F.lit(1e-12)))
+        .withColumn(
+            "_uv", F.transform("_v", lambda x: x.cast("double") / F.col("_n"))
+        )
+        .select("_uv", seed_key.alias("_k"))
+        .cache()
+    )
+    first = vecs.orderBy("_k").limit(1).collect()
+    if not first:
+        vecs.unpersist()
+        return []
+    cents = [list(map(float, first[0]["_uv"]))]
+    batch = max(1, -(-(n_centroids - 1) // max(1, rounds)))
+    while len(cents) < n_centroids:
+        need = min(batch, n_centroids - len(cents))
+        nearest = F.array_max(centroid_scores(F.col("_uv"), cents))
+        pool = (
+            vecs.select("_uv", nearest.alias("_s"), "_k")
+            .orderBy(F.col("_s").asc(), F.col("_k").asc())
+            .limit(4 * need)
+            .collect()
+        )
+        if not pool:
+            break
+        cand = [list(map(float, r["_uv"])) for r in pool]
+        # greedy k-center reduction: re-score the pool against seeds
+        # added within this batch (pure python over ≤4ℓ×dim floats)
+        for _ in range(min(need, len(cand))):
+            best_i, best_d = 0, float("inf")
+            for i, v in enumerate(cand):
+                d = max(sum(x * y for x, y in zip(v, c)) for c in cents)
+                if d < best_d:
+                    best_i, best_d = i, d
+            cents.append(cand.pop(best_i))
+    vecs.unpersist()
+    return cents
+
+
 def train_kmeans_codebook(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -318,6 +415,7 @@ def train_kmeans_codebook(
     id_col: str | None = None,
     sum_quantize: float | None = None,
     broadcast_assign: bool | None = None,
+    init: str = "md5",
 ) -> list[list[float]]:
     """Spherical k-means (Lloyd) codebook for the IVF coarse quantizer.
 
@@ -360,6 +458,8 @@ def train_kmeans_codebook(
     the per-(cell, position) sums — both paths train the IDENTICAL
     codebook (pytest-pinned, tests/test_round8_ops.py).
     """
+    if init not in ("md5", "farthest"):
+        raise ValueError(f"init must be 'md5' or 'farthest', got {init!r}")
     broadcast_assign = _resolve_assign_mode(
         n_centroids, id_col, broadcast_assign
     )
@@ -378,18 +478,30 @@ def train_kmeans_codebook(
         .select(*(["_uv"] + (["_id"] if id_col is not None else [])))
         .cache()
     )
-    if id_col is not None:
-        seed_key = F.md5(F.concat(F.lit("seed:"), F.col("_id").cast("string")))
+    if init == "farthest":
+        # ``init="farthest"``: batched farthest-point seeds (the
+        # k-means|| scan shape — see seed_kmeans_scalable). The
+        # default stays "md5" (uniform deterministic sample): every
+        # registered trained query's codebook — and therefore its
+        # generated oracle and plan fingerprint — is unchanged.
+        cents = seed_kmeans_scalable(
+            df, vec_col, n_centroids, id_col=id_col
+        )
     else:
-        seed_key = F.md5(F.to_json(F.struct(F.col("_uv"))).cast("binary"))
-    seeds = [
-        r["_uv"]
-        for r in vecs.select("_uv", seed_key.alias("_k"))
-        .orderBy("_k")
-        .limit(n_centroids)
-        .collect()
-    ]
-    cents = [list(map(float, s)) for s in seeds]
+        if id_col is not None:
+            seed_key = F.md5(
+                F.concat(F.lit("seed:"), F.col("_id").cast("string"))
+            )
+        else:
+            seed_key = F.md5(F.to_json(F.struct(F.col("_uv"))).cast("binary"))
+        seeds = [
+            r["_uv"]
+            for r in vecs.select("_uv", seed_key.alias("_k"))
+            .orderBy("_k")
+            .limit(n_centroids)
+            .collect()
+        ]
+        cents = [list(map(float, s)) for s in seeds]
     per_pos_sums = [
         F.sum(F.element_at("_uv", i + 1)).alias(f"s{i}") for i in range(dim)
     ]
