@@ -10,6 +10,11 @@ mean recall@10 against the same brute-force ground truth:
 - ivf_trained   — IVF with a codebook TRAINED on the corpus
                   (train_kmeans_codebook; one-time cost labeled BUILD
                   through the build ledger), dial n_probe
+- ivf_trained_far1 — the same retrieval with a codebook seeded by the
+                  k-means||-shaped farthest-point init (init=
+                  "farthest") and only ONE Lloyd round vs the md5
+                  family's three: the seeding quality claim cashed
+                  out as recall per corpus pass
 - ivfpq_rerank  — IVF-PQ shortlist (k'=20, compressed-domain ADC) +
                   exact rerank, block coarse codebook, dial n_probe.
                   PQ sub-codebooks stay sha-derived: their magnitude
@@ -129,6 +134,17 @@ def main() -> int:
     )
     trained_builds = buildstats.drain()
 
+    t0 = time.perf_counter()
+    trained_far = train_kmeans_codebook(
+        corpus, "embedding", n_centroids=16, n_iter=1, dim=64,
+        id_col="vec_id", sum_quantize=1e-6, init="farthest",
+    )
+    buildstats.record_build(
+        "kmeans_codebook", time.perf_counter() - t0,
+        "ann_probe_curve k=16 farthest-init n_iter=1",
+    )
+    trained_far_builds = buildstats.drain()
+
     def ivf_search(cents):
         return lambda npb: (
             lambda c, q: ivf_topk(
@@ -185,6 +201,13 @@ def main() -> int:
         "ivf_trained": ("n_probe", N_PROBES, ivf_search(trained),
                         lambda d: {"cell_fraction": round(d / 16, 4)},
                         trained_builds),
+        # k-means||-seeded codebook at ONE Lloyd round vs the md5-
+        # seeded THREE above: the init claim (seed_quality.py, coverage
+        # 14/16 vs 10/16) cashed out as retrieval recall per corpus
+        # pass — the number a 100 TB training run budgets by
+        "ivf_trained_far1": ("n_probe", N_PROBES, ivf_search(trained_far),
+                             lambda d: {"cell_fraction": round(d / 16, 4)},
+                             trained_far_builds),
         "ivfpq_rerank": ("n_probe", (1, 2, 4, 8), pq_search(None),
                          lambda d: {"cell_fraction": round(d / 16, 4)}, []),
         "ivfpq_trained": ("n_probe", (1, 2, 4, 8), pq_search(trained_books),
