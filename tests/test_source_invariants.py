@@ -35,8 +35,12 @@ ALLOWED = {
     # coarse codebook and, for train_pq_codebooks, the k_codes seeds
     # plus k_codes x sub_dim per-cell sums — all plain-float codebook
     # state, the documented iterative-small-state pattern (SCALE.md);
-    # never rows of the corpus (at 100 TB the caller passes a sample)
-    os.path.join("operators", "similarity.py"): (4, "codebook floats"),
+    # never rows of the corpus (at 100 TB the caller passes a sample).
+    # Late round 10 adds seed_kmeans_scalable's two sites: the single
+    # first-seed row and the per-round top-4l oversample pool (<= 4l
+    # vectors of dim floats — the k-means|| reduction input, bounded
+    # by k exactly like the codebook itself)
+    os.path.join("operators", "similarity.py"): (6, "codebook floats"),
     # strict-join missing-key probe: take(1) on a left-anti join —
     # at most ONE row crosses to the driver (reference throw semantics,
     # D/Program.cs:310)
