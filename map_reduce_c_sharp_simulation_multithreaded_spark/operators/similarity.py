@@ -653,6 +653,68 @@ def ivf_topk(
     trained one (see :func:`train_kmeans_codebook`) — the query plan is
     identical either way, only the literals change.
     """
+    scored = _ivf_scored(
+        df, queries, id_col, vec_col, n_centroids, n_probe, dim, centroids
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim", "rn")
+    )
+
+
+def ivf_range_search(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Range search — FAISS's OTHER first-class query: ALL neighbors
+    with cosine >= ``threshold``, not a fixed top-k. The right
+    primitive when the caller needs every near-duplicate / every
+    retrieval candidate above a quality bar and the answer size is
+    data-dependent (dedup sweeps, recall-oriented retrieval), where
+    top-k either truncates dense neighborhoods or pads sparse ones.
+
+    Shares the ENTIRE candidate pipeline with :func:`ivf_topk`
+    (:func:`_ivf_scored`: argmax-cell assignment, n_probe cell
+    pruning, cell equi-join, exact rounded cosine) — only the cut
+    differs: a stateless ``sim >= threshold`` filter instead of the
+    per-query row_number window, which removes the one shuffle the
+    top-k cut needs. At 100 TB that matters twice: the filter is
+    map-side (no per-query state at all), and the result is naturally
+    skew-proof — a query in a dense neighborhood emits more rows
+    without ever concentrating them on one partition.
+    """
+    scored = _ivf_scored(
+        df, queries, id_col, vec_col, n_centroids, n_probe, dim, centroids
+    )
+    return scored.filter(F.col("sim") >= threshold)
+
+
+def _ivf_scored(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    n_probe: int,
+    dim: int,
+    centroids: list[list[float]] | None,
+) -> DataFrame:
+    """The IVF candidate pipeline shared by top-k and range search:
+    (query_id, neighbor_id, sim) for every corpus row in a probed
+    cell, sim = exact cosine rounded to 6 (the cross-engine float
+    discipline). Verbatim extraction from ivf_topk — its analyzed
+    plan is unchanged."""
     if centroids is None:
         centroids = _deterministic_centroids(n_centroids, dim)
     n_centroids = len(centroids)
@@ -687,7 +749,7 @@ def ivf_topk(
     )
     # each candidate lives in exactly one cell and probe cells are
     # distinct → a (query, neighbor) pair surfaces at most once
-    scored = (
+    return (
         q.join(cand, "_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -695,14 +757,6 @@ def ivf_topk(
             "neighbor_id",
             F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "sim", "rn")
     )
 
 

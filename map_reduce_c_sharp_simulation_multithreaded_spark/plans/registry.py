@@ -204,6 +204,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # trade driver evidence the gates require for evidence they don't
     # yet. ---
     "contamination_fuzzy_minhash",
+    # --- position 52: second late debut, rides ROUND 12 (round 12's
+    # mandatory queue is the 47-query r08-evidence block, leaving
+    # slack). Local tri-scale differential evidence meanwhile. ---
+    "sim_range_search_planted",
 )
 
 

@@ -25,6 +25,7 @@ from ..operators.similarity import (
     ivfpq_topk,
     cosine,
     hyperplane_bucket,
+    ivf_range_search,
     ivf_topk,
     lsh_topk,
     sq8_topk,
@@ -1259,6 +1260,62 @@ def sim_ann_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast 20-query sample, candidates pruned cell-wise."""
     pin_session(spark)
     return planted_recall(spark, sf_dir, k=10, n_probe=4)
+
+
+def _ivf_range_oracle(threshold: str = "0.9", n_probe: int = 4) -> str:
+    """IVF range-search oracle on the planted corpus: the same cell
+    CTEs as the top-k oracle (argmax assignment, n_probe probes), but
+    the final cut is the stateless ``sim >= threshold`` filter —
+    no window, mirroring the operator exactly. ``threshold`` rides as
+    a literal string so the SQL carries the same 0.9 the plan does."""
+    cells = _ivf_cells_cte(
+        16, n_probe, 64, centroids=_block_centroids(), src="planted"
+    )
+    return f"""
+WITH {_planted_cte()}{cells},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND({_cos_sql('q.embedding', 'n.embedding')}, 6) AS sim
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN planted q ON q.vec_id = p.query_id
+  JOIN planted n ON n.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= {threshold}
+"""
+
+
+@register(
+    "sim_range_search_planted",
+    oracle=_ivf_range_oracle(),
+    tags=("similarity", "ivf", "range", "custom-operator"),
+)
+def sim_range_search_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (FAISS's other first-class query): ALL neighbors
+    with cosine >= 0.9 of each sampled query, IVF cell-pruned
+    (16 block centroids, n_probe=4) — the data-dependent-answer
+    companion to sim_ivf_ann_topk's fixed top-k, and the retrieval
+    shape dedup sweeps and quality-bar candidate generation actually
+    want (top-k truncates dense neighborhoods and pads sparse ones).
+
+    Shares the whole candidate pipeline with the top-k query
+    (operators.similarity._ivf_scored — extraction left ivf_topk's
+    analyzed plan byte-identical); the cut is a stateless filter, so
+    unlike top-k there is NO per-query window shuffle: the plan is
+    scan → cell equi-join → map-side filter, skew-proof by
+    construction (a dense neighborhood emits more rows without
+    concentrating them anywhere). Full-probe == brute-force range
+    equality and probe-monotonicity are pytest-pinned; the oracle
+    replays corpus construction, cell pruning, and the threshold cut
+    end to end."""
+    pin_session(spark)
+    corpus = planted_corpus(spark, sf_dir)
+    return ivf_range_search(
+        corpus, corpus.filter(F.col("vec_id") < 20), "vec_id",
+        "embedding", threshold=0.9, n_centroids=16, n_probe=4, dim=64,
+        centroids=_block_centroids(),
+    )
 
 
 # --- trained PQ sub-codebooks (round 9) ------------------------------

