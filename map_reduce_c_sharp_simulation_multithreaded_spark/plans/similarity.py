@@ -292,15 +292,7 @@ def _ivf_oracle(
     cells = _ivf_cells_cte(n_centroids, n_probe, dim, centroids, src=src)
     return f"""
 WITH {pre_cte}{cells},
-scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-         ROUND({_cos_sql('q.embedding', 'n.embedding')}, 6) AS sim
-  FROM probes p
-  JOIN assigned a ON a.cell = p.cell
-  JOIN {src} q ON q.vec_id = p.query_id
-  JOIN {src} n ON n.vec_id = a.vec_id
-  WHERE p.query_id <> a.vec_id
-)
+{_ivf_scored_cte(src)}
 SELECT query_id, neighbor_id, sim,
        CAST(rn AS INT) AS rn
 FROM (
@@ -310,6 +302,21 @@ FROM (
   FROM scored)
 WHERE rn <= {k}
 """
+
+
+def _ivf_scored_cte(src: str) -> str:
+    """The exact-rerank ``scored`` CTE over probed cells — the stage
+    shared by the top-k oracle above and the range-search oracle
+    below, one definition so the rerank arithmetic cannot drift."""
+    return f"""scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND({_cos_sql('q.embedding', 'n.embedding')}, 6) AS sim
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN {src} q ON q.vec_id = p.query_id
+  JOIN {src} n ON n.vec_id = a.vec_id
+  WHERE p.query_id <> a.vec_id
+)"""
 
 
 @register(
@@ -1273,15 +1280,7 @@ def _ivf_range_oracle(threshold: str = "0.9", n_probe: int = 4) -> str:
     )
     return f"""
 WITH {_planted_cte()}{cells},
-scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-         ROUND({_cos_sql('q.embedding', 'n.embedding')}, 6) AS sim
-  FROM probes p
-  JOIN assigned a ON a.cell = p.cell
-  JOIN planted q ON q.vec_id = p.query_id
-  JOIN planted n ON n.vec_id = a.vec_id
-  WHERE p.query_id <> a.vec_id
-)
+{_ivf_scored_cte("planted")}
 SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= {threshold}
 """
 
