@@ -154,3 +154,55 @@ def test_fuzzy_contam_audit_sound_and_exact_on_identical_sets(spark, rows):
             continue
         if any(sa == sb for sb in eval_sets.values()):
             assert got.get(ia, (0, 0))[1] == 10000, ia
+
+
+# --- scalable k-means seeding (late round-10 operator) ----------------
+#
+# Laws that hold for EVERY corpus:
+#   membership    — every seed is a normalized input vector;
+#   determinism   — same corpus, same seeds;
+#   exact k       — a non-empty corpus yields exactly k seeds
+#                   (duplicates allowed only when the corpus has fewer
+#                   distinct vectors than k);
+#   coverage      — if the corpus has d <= k DISTINCT normalized
+#                   vectors, ALL of them become seeds: an uncovered
+#                   vector always sorts ahead of any duplicate in the
+#                   oversample pool (max-dot < 1 vs = 1) and the
+#                   greedy reduction picks smallest-max-dot first, so
+#                   no pick is ever wasted on a duplicate while an
+#                   uncovered vector remains.
+
+_VEC = st.lists(
+    st.integers(min_value=0, max_value=2), min_size=4, max_size=4
+)
+_VCORPUS = st.lists(_VEC, min_size=1, max_size=10).filter(
+    lambda vs: any(any(v) for v in vs)
+)
+
+
+def _unit(v):
+    import math
+
+    n = max(math.sqrt(sum(x * x for x in v)), 1e-12)
+    return tuple(round(x / n, 12) for x in v)
+
+
+@SLOW
+@given(vecs=_VCORPUS)
+def test_scalable_seeding_laws(spark, vecs):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        seed_kmeans_scalable,
+    )
+
+    k = 6
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    s1 = seed_kmeans_scalable(df, "embedding", k, id_col="vec_id")
+    s2 = seed_kmeans_scalable(df, "embedding", k, id_col="vec_id")
+    assert s1 == s2  # determinism
+    assert len(s1) == k  # exact k on any non-empty corpus
+    inputs = {_unit(v) for _i, v in rows}
+    seeds = {tuple(round(x, 12) for x in c) for c in s1}
+    assert seeds <= inputs  # membership
+    if len(inputs) <= k:
+        assert seeds == inputs  # full coverage of distinct vectors
