@@ -114,6 +114,11 @@ EXTRA_BENCH = (
     # DSIR importance weighting toward the Gopher-pass distribution
     "dedup_jaccard_prefix_join",
     "curation_dsir_importance",
+    # late round-10 debuts: fuzzy decontamination (bipartite MinHash
+    # with a broadcast eval side) and IVF range search (the
+    # shuffle-free cut)
+    "contamination_fuzzy_minhash",
+    "sim_range_search_planted",
 )
 
 
