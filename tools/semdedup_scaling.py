@@ -55,7 +55,7 @@ def base_cells(emb, k: int):
     )
 
 
-def trained_cells(emb, k: int):
+def trained_cells(emb, k: int, init: str = "md5"):
     """Relational argmax assignment to a codebook TRAINED at k — the
     production configuration (dedup_semantic_clusters_trained).
     Training runs on the base corpus: replication repeats the same
@@ -77,15 +77,16 @@ def trained_cells(emb, k: int):
 
     cents = train_kmeans_codebook(
         emb, "embedding", n_centroids=k, n_iter=3, dim=64,
-        id_col="vec_id", sum_quantize=1e-6,
+        id_col="vec_id", sum_quantize=1e-6, init=init,
     )  # assignment mode selected by k (the trainer's cutover default)
     return assign_cells_broadcast(emb, "embedding", cents)
 
 
-def occupancy(emb, k: int, scale: int, trained: bool = False):
+def occupancy(emb, k: int, scale: int, trained: bool = False,
+              init: str = "md5"):
     """(n, cells_used, mean, max, sum_sq) of per-cell counts at
     ``scale``× replication (exact: base counts × scale)."""
-    cells = trained_cells(emb, k) if trained else base_cells(emb, k)
+    cells = trained_cells(emb, k, init) if trained else base_cells(emb, k)
     counts = cells.groupBy("cell").count()
     row = counts.agg(
         F.sum("count").alias("nb"),
@@ -107,6 +108,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--cell-size", type=int, default=64)
+    ap.add_argument("--init", default="md5", choices=("md5", "farthest"),
+                    help="trained-row seeding: md5 uniform (default) or "
+                         "the k-means||-shaped farthest-point init "
+                         "(seed_kmeans_scalable). farthest currently "
+                         "scores seeds via the centroid-literal "
+                         "expression, so it is measured at k <= 256 "
+                         "(1x and 8x of the schedule); the 64x row "
+                         "needs the broadcast-scoring variant")
     ap.add_argument("--trained", action="store_true",
                     help="add a k-means-trained-codebook row per scale "
                          "(the dedup_semantic_clusters_trained config, "
@@ -157,9 +166,13 @@ def main() -> int:
             # 64× row (k=2000, where sha-random leaves ~43% of cells
             # empty) is measured, not argued (VERDICT.md r7 #2)
             modes.append(("k∝n+km", kn, True))
+        if args.trained and args.init == "farthest" and kn <= 256:
+            modes.append(("k∝n+far", kn, "farthest"))
         for mode, k, trained in modes:
-            nn, cells, mean, mx, ssq = occupancy(base, k, scale,
-                                                 trained=trained)
+            nn, cells, mean, mx, ssq = occupancy(
+                base, k, scale, trained=bool(trained),
+                init=trained if isinstance(trained, str) else "md5",
+            )
             print(f"{scale:>4}x {mode:>6} {k:>6} {nn:>9} {cells:>6} "
                   f"{mean:>10.1f} {mx:>9} {ssq:>13} {ssq / nn:>8.1f}")
     return 0
