@@ -315,6 +315,7 @@ def seed_kmeans_scalable(
     n_centroids: int = 16,
     rounds: int = 5,
     id_col: str | None = None,
+    broadcast_score: bool | None = None,
 ) -> list[list[float]]:
     """Deterministic batched farthest-point seeding — the k-means||
     shape (Bahmani et al., VLDB 2012) with the probabilistic
@@ -353,11 +354,14 @@ def seed_kmeans_scalable(
     initial centroids (``init="farthest"``). Identical duplicate
     vectors can enter one batch together (same distance, adjacent
     tie keys); the duplicate centroid then just trains into an empty
-    cell, which Lloyd's empty-cell rule already handles. Scoring uses
-    the centroid-literal expression — past the documented
-    BROADCAST_ASSIGN_CUTOVER_K the same batched scheme would route
-    scoring through the broadcast-codebook join of
-    :func:`assign_cells_broadcast`.
+    cell, which Lloyd's empty-cell rule already handles. Scoring
+    selects its plan by k exactly like the trainer: the centroid-
+    literal expression up to BROADCAST_ASSIGN_CUTOVER_K, a broadcast
+    seed-frame join above it (requires ``id_col``; the same max-dot
+    fold, regrouped on the id key), so seeding k=2000 never builds a
+    128 000-literal expression. The driver-side reduction is numpy-
+    vectorized (one rank-1 max update per pick), sub-second even at
+    the broadcast scales.
     """
     base_cols = [F.col(vec_col).alias("_v")] + (
         [F.col(id_col).alias("_id")] if id_col is not None else []
@@ -380,28 +384,66 @@ def seed_kmeans_scalable(
         vecs.unpersist()
         return []
     cents = [list(map(float, first[0]["_uv"]))]
+    # scoring path mirrors the trainer's cutover: the per-row
+    # distance-to-seed-set expression embeds every seed as a literal,
+    # which past BROADCAST_ASSIGN_CUTOVER_K is the documented wrong
+    # plan — route it through a broadcast seed-frame join instead
+    # (requires the id-keyed _k to regroup the cross-joined rows,
+    # hence id_col, exactly like the trainer's broadcast_assign)
+    if broadcast_score is None:
+        broadcast_score = n_centroids > BROADCAST_ASSIGN_CUTOVER_K
+    if broadcast_score and id_col is None:
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds the literal-scoring "
+            f"cutover ({BROADCAST_ASSIGN_CUTOVER_K}); pass id_col so "
+            f"seed scoring can run as a broadcast join"
+        )
+    spark = df.sparkSession
     batch = max(1, -(-(n_centroids - 1) // max(1, rounds)))
     while len(cents) < n_centroids:
         need = min(batch, n_centroids - len(cents))
-        nearest = F.array_max(centroid_scores(F.col("_uv"), cents))
+        if broadcast_score:
+            sdf = spark.createDataFrame(
+                list(enumerate(cents)), "cell int, cv array<double>"
+            )
+            dot_c = _fold_sum(F.zip_with("_uv", "cv", lambda x, y: x * y))
+            scored = (
+                vecs.join(F.broadcast(sdf))
+                .select("_k", "_uv", dot_c.alias("_d"))
+                .groupBy("_k")
+                .agg(
+                    F.max("_d").alias("_s"),
+                    F.first("_uv").alias("_uv"),  # identical per group
+                )
+            )
+        else:
+            nearest = F.array_max(centroid_scores(F.col("_uv"), cents))
+            scored = vecs.select("_uv", nearest.alias("_s"), "_k")
         pool = (
-            vecs.select("_uv", nearest.alias("_s"), "_k")
-            .orderBy(F.col("_s").asc(), F.col("_k").asc())
+            scored.orderBy(F.col("_s").asc(), F.col("_k").asc())
             .limit(4 * need)
             .collect()
         )
         if not pool:
             break
-        cand = [list(map(float, r["_uv"])) for r in pool]
-        # greedy k-center reduction: re-score the pool against seeds
-        # added within this batch (pure python over ≤4ℓ×dim floats)
+        # greedy k-center reduction over the ≤4ℓ-row pool, numpy-
+        # vectorized: running max-dot vs the seed set updates with one
+        # (pool × dim) @ dim product per pick, so the reduction stays
+        # sub-second even at k=2000 (the pure-python fold was
+        # O(pool·k·dim) PER PICK — prohibitive exactly at the scales
+        # the broadcast path exists for)
+        import numpy as np
+
+        cand = np.array([list(map(float, r["_uv"])) for r in pool])
+        run_max = (cand @ np.array(cents).T).max(axis=1)
+        alive = list(range(len(cand)))
         for _ in range(min(need, len(cand))):
-            best_i, best_d = 0, float("inf")
-            for i, v in enumerate(cand):
-                d = max(sum(x * y for x, y in zip(v, c)) for c in cents)
-                if d < best_d:
-                    best_i, best_d = i, d
-            cents.append(cand.pop(best_i))
+            best_i = min(alive, key=lambda i: (run_max[i], i))
+            picked = cand[best_i]
+            cents.append([float(x) for x in picked])
+            alive.remove(best_i)
+            upd = cand @ picked
+            np.maximum(run_max, upd, out=run_max)
     vecs.unpersist()
     return cents
 

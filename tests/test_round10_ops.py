@@ -626,3 +626,49 @@ class TestIvfRangeSearch:
         assert rows
         for r in rows:
             assert 1 <= r.rn <= 5
+
+
+class TestScalableSeedingBroadcastPath:
+    """The broadcast seed-scoring path (k past the literal cutover)
+    must pick the IDENTICAL seeds as the literal expression — same
+    max-dot fold, regrouped on the id key (the trainer's
+    broadcast_assign equality, applied to seeding)."""
+
+    def test_paths_pick_identical_seeds(self, spark, sf_dir):
+        from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import (
+            load_table,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+            seed_kmeans_scalable,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.similarity import (
+            _planted_embedding,
+        )
+
+        p = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            _planted_embedding(F.col("vec_id")).alias("embedding"),
+        )
+        lit = seed_kmeans_scalable(
+            p, "embedding", 16, id_col="vec_id", broadcast_score=False
+        )
+        bc = seed_kmeans_scalable(
+            p, "embedding", 16, id_col="vec_id", broadcast_score=True
+        )
+        assert lit == bc
+
+    def test_broadcast_requires_id(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from map_reduce_c_sharp_simulation_multithreaded_spark.catalog import (
+            load_table,
+        )
+        from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+            seed_kmeans_scalable,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings")
+        with _pytest.raises(ValueError, match="id_col"):
+            seed_kmeans_scalable(
+                e, "embedding", 16, broadcast_score=True
+            )

@@ -111,11 +111,9 @@ def main() -> int:
     ap.add_argument("--init", default="md5", choices=("md5", "farthest"),
                     help="trained-row seeding: md5 uniform (default) or "
                          "the k-means||-shaped farthest-point init "
-                         "(seed_kmeans_scalable). farthest currently "
-                         "scores seeds via the centroid-literal "
-                         "expression, so it is measured at k <= 256 "
-                         "(1x and 8x of the schedule); the 64x row "
-                         "needs the broadcast-scoring variant")
+                         "(seed_kmeans_scalable; scoring selects the "
+                         "literal expression or the broadcast "
+                         "seed-frame join by k, like the trainer)")
     ap.add_argument("--trained", action="store_true",
                     help="add a k-means-trained-codebook row per scale "
                          "(the dedup_semantic_clusters_trained config, "
@@ -166,7 +164,11 @@ def main() -> int:
             # 64× row (k=2000, where sha-random leaves ~43% of cells
             # empty) is measured, not argued (VERDICT.md r7 #2)
             modes.append(("k∝n+km", kn, True))
-        if args.trained and args.init == "farthest" and kn <= 256:
+        if args.trained and args.init == "farthest":
+            # past the literal cutover the seeding scores through the
+            # broadcast seed-frame join (bit-equal to the literal
+            # path, pinned in tests/test_round10_ops.py), so the 64x
+            # row is measured like the md5-trained one
             modes.append(("k∝n+far", kn, "farthest"))
         for mode, k, trained in modes:
             nn, cells, mean, mx, ssq = occupancy(
