@@ -1309,7 +1309,12 @@ def sim_range_search_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays corpus construction, cell pruning, and the threshold cut
     end to end."""
     pin_session(spark)
-    corpus = planted_corpus(spark, sf_dir)
+    # the derived corpus feeds three plan branches (candidate side,
+    # probe side, both rerank vector fetches): cache it so the
+    # per-row 64-element array construction runs once, not per branch
+    # (measured 1.35 s → 0.55 s warm at sf0.1; a real stored-column
+    # table wouldn't pay this at all)
+    corpus = planted_corpus(spark, sf_dir).cache()
     return ivf_range_search(
         corpus, corpus.filter(F.col("vec_id") < 20), "vec_id",
         "embedding", threshold=0.9, n_centroids=16, n_probe=4, dim=64,
