@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 SLOW = settings(
     max_examples=6,
@@ -206,3 +207,57 @@ def test_scalable_seeding_laws(spark, vecs):
     assert seeds <= inputs  # membership
     if len(inputs) <= k:
         assert seeds == inputs  # full coverage of distinct vectors
+
+
+# --- IVF range search (late round-10 debut) ---------------------------
+#
+# The lossless-at-full-probe law, corpus-agnostically: with n_probe =
+# n_centroids the cell pruning prunes nothing, so the range result
+# must equal the exhaustive cross-join range filter — ids AND rounded
+# similarity values — for every corpus, every threshold, and every
+# codebook (here the sha-derived default at a small dim).
+
+_RVEC = st.lists(
+    st.integers(min_value=-2, max_value=2), min_size=4, max_size=4
+).filter(lambda v: any(v))
+_RCORPUS = st.lists(_RVEC, min_size=2, max_size=9)
+_RTHRESH = st.sampled_from([0.0, 0.5, 0.9])
+
+
+@SLOW
+@given(vecs=_RCORPUS, tau=_RTHRESH)
+def test_range_search_full_probe_equals_brute(spark, vecs, tau):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
+        cosine,
+        ivf_range_search,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3)
+    got = {
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in ivf_range_search(
+            df, q, "vec_id", "embedding", threshold=tau,
+            n_centroids=4, n_probe=4, dim=4,
+        ).collect()
+    }
+    c = df.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+    )
+    qq = q.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    brute = {
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in qq.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= tau)
+        .collect()
+    }
+    assert got == brute
