@@ -295,16 +295,23 @@ def contamination_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fuzzy_contam_audit(d)
 
 
-def _fuzzy_contam_audit(d: DataFrame) -> DataFrame:
+def _fuzzy_contam_audit(d: DataFrame, hash_mode: str = "md5") -> DataFrame:
     """The plan body over an arbitrary ``(doc_id, text)`` frame —
-    separated so the planted-contamination pytest can drive it."""
+    separated so the planted-contamination pytest can drive it.
+    ``hash_mode`` follows the family discipline of the near-dup
+    pipeline: "md5" (default here — the registered query wants the
+    DuckDB-replayable family) or "xxhash64" (the production family —
+    semantics-equivalence pinned in pytest, same as
+    dedup_minhash_lsh's)."""
     # Shingle sets feed both verify probes; signatures feed the banding
     # once — same one-materialization discipline as the near-dup query.
-    sets_df = doc_shingle_sets(d, "doc_id", "text", 3, "md5").cache()
+    sets_df = doc_shingle_sets(d, "doc_id", "text", 3, hash_mode).cache()
     sig = minhash_signatures(
         sets_df.select("doc_id", "sh_set"), "doc_id", 32
     ).drop("sh_set")
-    banded = lsh_banded(sig, "doc_id", bands=8, rows=4, hash_mode="md5")
+    banded = lsh_banded(
+        sig, "doc_id", bands=8, rows=4, hash_mode=hash_mode
+    )
     is_eval = F.col("doc_id") % 20 == 7
     ev = banded.filter(is_eval).select(
         F.col("doc_id").alias("id_b"), "band_id", "bh"

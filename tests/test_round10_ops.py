@@ -672,3 +672,32 @@ class TestScalableSeedingBroadcastPath:
             seed_kmeans_scalable(
                 e, "embedding", 16, broadcast_score=True
             )
+
+
+class TestFuzzyContaminationFamilySwap:
+    """The hash-family discipline (round 5): the registered query runs
+    the md5 oracle-mode family; production runs xxhash64. The swap is
+    a parameter, proven semantics-preserving on planted data — both
+    families must flag the same docs with the same Jaccard values
+    (signatures differ, but verbatim/near-verbatim overlap of shingle
+    SETS does not depend on which 60/64-bit hash named the shingles)."""
+
+    def test_both_families_agree_on_planted_data(self, spark):
+        from map_reduce_c_sharp_simulation_multithreaded_spark.plans.mlprep import (
+            _fuzzy_contam_audit,
+        )
+
+        base = " ".join(f"w{i}" for i in range(40))
+        light = base.replace("w20", "EDIT")
+        other = " ".join(f"v{i}" for i in range(40))
+        rows = [(7, base), (1, base), (2, light), (3, other)]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {}
+        for fam in ("md5", "xxhash64"):
+            out[fam] = {
+                r.doc_id: (r.n_eval_neardups, r.top_jaccard_e4)
+                for r in _fuzzy_contam_audit(d, hash_mode=fam).collect()
+            }
+        assert out["md5"] == out["xxhash64"]
+        assert out["md5"][1] == (1, 10000)  # verbatim copy
+        assert 1 in out["md5"] and 2 in out["md5"] and 3 not in out["md5"]
