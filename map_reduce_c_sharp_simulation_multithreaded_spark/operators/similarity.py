@@ -362,6 +362,24 @@ def seed_kmeans_scalable(
     128 000-literal expression. The driver-side reduction is numpy-
     vectorized (one rank-1 max update per pick), sub-second even at
     the broadcast scales.
+
+    Already-picked rows are excluded from every subsequent oversample
+    pool by their ``_k`` key (a broadcast ≤k-row anti-join, matching
+    the operator's broadcast discipline) — a picked row counts as
+    covered by construction, which closes the degenerate-input hole
+    where a zero vector (norm floored at 1e-12, so its "unit" form is
+    all-zeros and its self-dot is 0) otherwise scores as permanently
+    farthest and is greedily re-picked forever, starving genuinely
+    uncovered directions. When exclusion exhausts the corpus before k
+    seeds exist (n < k rows), the seed list pads deterministically by
+    cycling the picks already made — every pad is still a normalized
+    input vector, and the duplicate centroid trains into an empty
+    cell exactly like the duplicate-vector case above.
+
+    Precondition when ``id_col`` is given: id values must be unique.
+    The broadcast scoring path groups rows by ``_k = md5(id)`` and
+    takes ``F.first(_uv)`` per group, so duplicate ids would silently
+    collapse distinct vectors into one arbitrarily-represented group.
     """
     base_cols = [F.col(vec_col).alias("_v")] + (
         [F.col(id_col).alias("_id")] if id_col is not None else []
@@ -384,6 +402,7 @@ def seed_kmeans_scalable(
         vecs.unpersist()
         return []
     cents = [list(map(float, first[0]["_uv"]))]
+    picked_keys = {first[0]["_k"]}
     # scoring path mirrors the trainer's cutover: the per-row
     # distance-to-seed-set expression embeds every seed as a literal,
     # which past BROADCAST_ASSIGN_CUTOVER_K is the documented wrong
@@ -402,13 +421,21 @@ def seed_kmeans_scalable(
     batch = max(1, -(-(n_centroids - 1) // max(1, rounds)))
     while len(cents) < n_centroids:
         need = min(batch, n_centroids - len(cents))
+        # a picked row is covered by definition: anti-join it out of
+        # the pool on its _k key (broadcast — the exclusion frame is
+        # at most k rows) so the greedy loop can never re-pick it,
+        # even when its self-dot is degenerate (zero vectors)
+        excl = spark.createDataFrame(
+            [(k_,) for k_ in sorted(picked_keys)], "_k string"
+        )
+        live = vecs.join(F.broadcast(excl), "_k", "left_anti")
         if broadcast_score:
             sdf = spark.createDataFrame(
                 list(enumerate(cents)), "cell int, cv array<double>"
             )
             dot_c = _fold_sum(F.zip_with("_uv", "cv", lambda x, y: x * y))
             scored = (
-                vecs.join(F.broadcast(sdf))
+                live.join(F.broadcast(sdf))
                 .select("_k", "_uv", dot_c.alias("_d"))
                 .groupBy("_k")
                 .agg(
@@ -418,7 +445,7 @@ def seed_kmeans_scalable(
             )
         else:
             nearest = F.array_max(centroid_scores(F.col("_uv"), cents))
-            scored = vecs.select("_uv", nearest.alias("_s"), "_k")
+            scored = live.select("_uv", nearest.alias("_s"), "_k")
         pool = (
             scored.orderBy(F.col("_s").asc(), F.col("_k").asc())
             .limit(4 * need)
@@ -441,10 +468,17 @@ def seed_kmeans_scalable(
             best_i = min(alive, key=lambda i: (run_max[i], i))
             picked = cand[best_i]
             cents.append([float(x) for x in picked])
+            picked_keys.add(pool[best_i]["_k"])
             alive.remove(best_i)
             upd = cand @ picked
             np.maximum(run_max, upd, out=run_max)
     vecs.unpersist()
+    # corpus exhausted before k seeds (n < k rows): pad by cycling the
+    # picks already made — deterministic, membership-preserving, and
+    # each pad trains into an empty Lloyd cell like any duplicate seed
+    base = len(cents)
+    while len(cents) < n_centroids:
+        cents.append(list(cents[len(cents) % base]))
     return cents
 
 

@@ -98,27 +98,27 @@ def _load_all_plan_modules() -> None:
 # evidence, rotated each round until every oracle-backed query has had
 # a green driver row.
 #
-# Round-10 window (50), executing the queue the evidence-age gate
-# (tests/test_evidence_age.py) named the moment CORRECTNESS_r09.json
-# landed (latest=9 ⇒ strict floor r07): ALL 47 queries whose latest
-# driver evidence is r06 — the text-analysis block (langid, quality,
-# term-frequency, char-ngrams, fingerprints, BPE token count,
-# winnowing), the graph trio (pagerank ×2, BFS), approx/collect
-# aggregates, ngram-jaccard, contamination, two-phase quota, sharded
-# packing, the scalar packs, SCD2, the set-operation family,
-# neardup/semdedup pairs, the full streaming family (9 queries), asof
-# join, and sessionize — in REGISTRATION order (47 of 50 slots).
-# The remaining 3 slots: the one round-10 CHANGED plan (freshness
-# gate — the ADVICE r9 refactor extracts the shared _bm25_scored
-# pipeline; only retrieval_hybrid_rrf's fingerprint moved) and the
-# two round-10 debuts (same-round rule). After this window lands
-# green, the oldest evidence anywhere is r07 (49 queries); with
-# latest=10 the floor becomes r08, so the round-11 queue is exactly
-# that r07 block — 49 of 50 slots, leaving ONE slot for a round-11
-# debut-or-change: rounds that restructure existing plans should
-# pick queries already inside the mandatory block (the r07 block
-# includes tpch q2/q4/q6/q9-q17/q19/q22, the window family, the
-# events family, the mlprep family).
+# Round-11 window (50), executing the queue the evidence-age gate
+# (tests/test_evidence_age.py) named the moment CORRECTNESS_r10.json
+# landed (latest=10 ⇒ strict floor r08): ALL 49 queries whose latest
+# driver evidence is r07 — the full TPC-H block (q2, q4–q22), the
+# six-query window-function family, the seven-query events family,
+# the similarity top-k quartet (cosine/LSH-histogram/IVF/IVF-PQ),
+# trained semantic clusters, span dedup, token stats, Gopher quality,
+# the pandas-UDAF and Python-source pair, median/percentile, fuzzy
+# levenshtein join, the composed curation pipeline, multimodal
+# decode, constraint audit, and try-arithmetic — in REGISTRATION
+# order (49 of 50 slots). Slot 50 is the round-10 late debut
+# contamination_fuzzy_minhash (planned there since r10: the fuzzy
+# decontamination plan's only correctness evidence is local; this
+# window puts a driver row on it). After this window lands green,
+# the oldest evidence anywhere is r08 (47 queries); with latest=11
+# the floor becomes r09, so the round-12 queue is that 47-query r08
+# block plus sim_range_search_planted — 48 of 50 slots, leaving two
+# for round-12 debuts-or-changes. Round-11 debuts therefore ride
+# ROUND 12 (positions 52+ below, local tri-scale evidence
+# meanwhile); round-11 plan restructures should pick queries already
+# inside this mandatory block.
 # The plan-fingerprint gate (tests/test_plan_freshness.py +
 # PLAN_HASHES.json) FAILS the suite if a changed plan is not in
 # this window, so the round-5 freeze-gap class cannot recur silently
@@ -126,87 +126,68 @@ def _load_all_plan_modules() -> None:
 # queries fold the body's source closure into their fingerprints;
 # refresh the snapshot (tools/plan_hashes.py --write) when rotating.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- the full 47-query r06-evidence block (the gate's queue),
+    # --- the full 49-query r07-evidence block (the gate's queue),
     # REGISTRATION order ---
-    "text_langid_heuristic",
-    "text_quality_score",
-    "text_term_frequency",
-    "text_char_ngram_stats",
-    "text_fingerprint_groups",
-    "text_bpe_token_count",
-    "text_winnowing_fingerprints",
-    "graph_pagerank_directed",
-    "graph_pagerank_suppliers",
-    "graph_bfs_supplier_hops",
-    "agg_approx_distinct",
-    "agg_collect_sorted",
-    "agg_approx_percentile",
-    "dedup_ngram_jaccard_adjacent",
-    "contamination_eval_overlap",
-    "dedup_source_quota_two_phase",
-    "pack_sequences_sharded",
-    "subquery_scalar_avg",
-    "scalar_date_pack",
-    "scalar_math_pack",
-    "scalar_conditional_pack",
-    "scalar_json_pack",
-    "scalar_map_explode",
-    "scalar_posexplode_words",
-    "scd2_merge_customer_segment",
-    "set_union_distinct",
-    "set_union_all_reaggregate",
-    "set_intersect",
-    "set_except",
-    "distinct_pairs",
-    "orderby_limit_topk",
-    "sort_within_partitions_sample",
-    "set_except_all",
-    "sim_neardup_pairs",
-    "dedup_semantic_clusters",
-    "dedup_semantic_clusters_scaled",
-    "stream_tumbling_counts",
-    "stream_sliding_avg",
-    "stream_session_windows",
-    "stream_dedup_user_type",
-    "stream_stateful_user_totals",
-    "stream_static_join_enrich",
-    "stream_stream_interval_join",
-    "stream_foreachbatch_upsert",
-    "stream_dedup_within_watermark",
-    "asof_join_last_purchase",
-    "sessionize_events",
-    # --- round-10 CHANGED plan (freshness gate): the ADVICE r9
-    # refactor extracts the ONE shared _bm25_scored pipeline (Spark
-    # plan + oracle CTE block) out of the two retrieval queries that
-    # previously duplicated it. Only retrieval_hybrid_rrf's
-    # fingerprint moved (it now consumes the shared scorer's n_hit-
-    # bearing aggregate, pruned by Catalyst); text_bm25_topk's
-    # analyzed plan is IDENTICAL post-refactor (fingerprint unchanged,
-    # r09 evidence stands). The same discipline covers the Gopher
-    # refactor: _gopher_m/_gopher_pass_col are verbatim extractions,
-    # text_gopher_quality's plan is identical (r07 evidence stands,
-    # rides the round-11 queue on schedule) ---
-    "retrieval_hybrid_rrf",
-    # --- round-10 debuts (same-round rule): exact all-pairs Jaccard
-    # self-join via AllPairs/PPJoin prefix filtering, and DSIR
-    # hashed-bigram importance weighting toward the Gopher-pass
-    # target distribution ---
-    "dedup_jaccard_prefix_join",
-    "curation_dsir_importance",
-    # --- position 51 (the driver verifies the FIRST 50): the late
-    # round-10 debut rides ROUND 11's single free slot (round 11's
-    # mandatory queue is the 49-query r07-evidence block — adding this
-    # debut fills it to exactly 50). Until then its correctness
-    # evidence is the local differential harness at sf0.001/sf0.01
-    # (tools/verify_local.py) plus the planted-contamination pytest;
-    # every slot ahead of it is mandatory this round (47 r06-evidence
-    # queries + 1 changed plan + 2 debuts), so displacing one would
-    # trade driver evidence the gates require for evidence they don't
-    # yet. ---
+    "dedup_span_windows",
+    "text_token_stats",
+    "text_gopher_quality",
+    "pandas_udaf_weighted_avg",
+    "pysource_synthetic_agg",
+    "agg_median_percentile",
+    "events_funnel_view_click_purchase",
+    "events_cohort_retention",
+    "events_time_to_convert",
+    "events_transition_matrix",
+    "events_rolling_wau",
+    "events_longest_streak",
+    "events_session_funnel_attribution",
+    "join_fuzzy_levenshtein",
+    "pipeline_curate_corpus",
+    "multimodal_decode_features",
+    "quality_constraint_audit",
+    "scalar_try_arithmetic",
+    "sim_cosine_topk",
+    "sim_lsh_bucket_histogram",
+    "sim_ivf_ann_topk",
+    "sim_ivfpq_topk",
+    "dedup_semantic_clusters_trained",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "tpch_q12_late_lines",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q7_nation_volume",
+    "tpch_q16_supplier_variety",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q20_excess_shippers",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "window_topk_per_customer",
+    "window_running_total",
+    "window_lag_lead",
+    "window_rank_dense_ntile",
+    "window_range_frame_30d",
+    "window_first_last",
+    # --- slot 50: the round-10 late debut, riding the single free
+    # slot exactly as planned when it was registered (r10 comment):
+    # its only correctness evidence so far is the local tri-scale
+    # differential harness plus the judge's own sf0.01 run — this
+    # window converts that into a driver row. ---
     "contamination_fuzzy_minhash",
-    # --- position 52: second late debut, rides ROUND 12 (round 12's
-    # mandatory queue is the 47-query r08-evidence block, leaving
-    # slack). Local tri-scale differential evidence meanwhile. ---
+    # --- position 51 (the driver verifies the FIRST 50): second
+    # round-10 late debut, rides ROUND 12 (round 12's mandatory queue
+    # is the 47-query r08-evidence block + this, leaving two free
+    # slots). Local tri-scale differential evidence meanwhile,
+    # re-run after the r11 oracle-literal CAST fix. ---
     "sim_range_search_planted",
 )
 

@@ -1274,14 +1274,18 @@ def _ivf_range_oracle(threshold: str = "0.9", n_probe: int = 4) -> str:
     CTEs as the top-k oracle (argmax assignment, n_probe probes), but
     the final cut is the stateless ``sim >= threshold`` filter —
     no window, mirroring the operator exactly. ``threshold`` rides as
-    a literal string so the SQL carries the same 0.9 the plan does."""
+    a literal string, rendered ``CAST(.. AS DOUBLE)`` per the pinned
+    fractional-literal discipline (DuckDB parses bare fractions as
+    DECIMAL; today's >= comparison happens to promote, but any future
+    threshold used in arithmetic would diverge from IEEE)."""
     cells = _ivf_cells_cte(
         16, n_probe, 64, centroids=_block_centroids(), src="planted"
     )
     return f"""
 WITH {_planted_cte()}{cells},
 {_ivf_scored_cte("planted")}
-SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= {threshold}
+SELECT query_id, neighbor_id, sim FROM scored
+WHERE sim >= CAST({threshold} AS DOUBLE)
 """
 
 

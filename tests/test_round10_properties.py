@@ -16,7 +16,7 @@ and thresholds ON decision boundaries (small-integer Jaccards like
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -190,6 +190,13 @@ def _unit(v):
 
 @SLOW
 @given(vecs=_VCORPUS)
+# r10 falsifying corpus (judge + hypothesis): the zero vector's
+# floored-norm "unit" form has self-dot 0, so without picked-key
+# exclusion the greedy loop re-picks it forever and the genuinely
+# uncovered unit vector never seeds — pinned so the degenerate case
+# runs deterministically every session, not at hypothesis's whim
+@example(vecs=[[0, 0, 0, 0], [0, 0, 0, 1]])
+@example(vecs=[[0, 0, 0, 0], [1, 0, 0, 0], [1, 1, 0, 0], [0, 1, 0, 0]])
 def test_scalable_seeding_laws(spark, vecs):
     from map_reduce_c_sharp_simulation_multithreaded_spark.operators.similarity import (
         seed_kmeans_scalable,
