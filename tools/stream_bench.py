@@ -199,7 +199,7 @@ def run_one(spark, chunk_dir: str, name: str, build) -> dict:
     ]
     durs = [b["ms"] for b in batches]
     rows = sum(b["rows"] for b in batches)
-    return {
+    out = {
         "n_batches": len(batches),
         "input_rows": rows,
         "wall_sec": round(wall, 3),
@@ -208,6 +208,32 @@ def run_one(spark, chunk_dir: str, name: str, build) -> dict:
         "batch_ms_p95": _pctl(durs, 0.95) if durs else None,
         "batch_ms_max": max(durs) if durs else None,
     }
+    # state-store evidence (VERDICT r10 #6): per-batch buffered-row and
+    # state-maintenance numbers from the same progress feed, so a slow
+    # query's cost can be attributed to STATE (buffered rows × per-row
+    # maintenance) vs PLAN (the stateless part of addBatch)
+    st_rows, st_mem, st_maint = [], [], []
+    for p in progress:
+        if p.get("numInputRows", 0) <= 0:
+            continue
+        ops = p.get("stateOperators", [])
+        if not ops:
+            continue
+        st_rows.append(sum(o.get("numRowsTotal", 0) for o in ops))
+        st_mem.append(sum(o.get("memoryUsedBytes", 0) for o in ops))
+        st_maint.append(sum(
+            o.get("allUpdatesTimeMs", 0)
+            + o.get("allRemovalsTimeMs", 0)
+            + o.get("commitTimeMs", 0)
+            for o in ops
+        ))
+    if st_rows:
+        out["state_rows_max"] = max(st_rows)
+        out["state_rows_last"] = st_rows[-1]
+        out["state_mem_mb_max"] = round(max(st_mem) / 1e6, 1)
+        out["state_maint_ms_p50"] = _pctl(st_maint, 0.50)
+        out["state_maint_ms_p95"] = _pctl(st_maint, 0.95)
+    return out
 
 
 def main() -> int:
