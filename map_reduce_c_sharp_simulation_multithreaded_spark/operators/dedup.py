@@ -527,3 +527,160 @@ def simhash_band_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def exact_substr_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    verify: bool = True,
+) -> DataFrame:
+    """EXACT sub-document duplicate-span detection at suffix
+    granularity — the ExactSubstr semantics of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"):
+    every maximal character span whose every ``min_len``-window occurs
+    at least twice in the corpus (any doc, any position — within-doc
+    repeats count, as in the paper). Completes the dedup family past
+    ``dedup_span_windows``'s fixed non-overlapping windows: a repeated
+    passage is found at ANY alignment, not only on 10-token
+    boundaries.
+
+    Why not the paper's suffix array: a global suffix sort is a
+    single-machine construction (their impl memory-maps the whole
+    corpus). The distributed equivalent of "two suffixes share a
+    length-L prefix" is "two positions start the same L-gram", so the
+    Spark-first plan is a gram-keyed shuffle — the same decomposition
+    every step of the dedup family already uses:
+
+    1. PRUNE — one projection computes ``xxhash64`` (the production
+       hash family) of each position's L-gram, built as
+       ``array_join(slice(chars, i, L))`` over a char array bound once
+       per row: O(L) compiled work and 3 interpreted HOF node-evals
+       per position, never the O(len²) dynamic-position ``substr``
+       walk (the winnow_fps lesson — a substr form is ~1.4× faster on
+       this corpus's 300-char docs but quadratic on the 10–100 KB
+       documents a real corpus has; measured, see PLANS.md). A
+       polynomial weighted-sum form with NO gram materialization was
+       also measured and rejected: 100 interpreted node-evals per
+       position made the whole query 10.5 s warm vs 3.9 s for this
+       shape. One shuffle partitions positions by the hash — an
+       8-byte key regardless of min_len, ~L× less shuffle volume than
+       shipping literal grams — and a window count marks positions
+       whose hash occurs ≥ 2 times. False candidates need a 64-bit
+       collision: ~(n²/2)/2^64 ≈ 3·10⁸ expected at 10¹⁴ positions
+       (100 TB) — 0.0003 % over-candidacy, each over-marking one
+       L-char span until the verify stage drops it.
+    2. VERIFY (``verify=True``, the default contract) — candidate
+       positions regroup per doc (they are a small fraction — 9 % on
+       the synthetic corpus, exactly the near-dup tail on a real one),
+       join back to the text on the id key, re-derive the LITERAL
+       gram for candidate positions only (slice of a once-bound char
+       array, O(min_len) each), and a gram-keyed window count keeps
+       positions whose literal gram occurs ≥ 2 times. Any truly
+       duplicated gram has all its occurrences in the candidate set
+       (equal grams ⇒ equal hashes), so verification over candidates
+       alone is LOSSLESS — the PPJoin prune-then-verify contract, and
+       the same reason its brute-force-equality property test applies
+       here. At 100 TB the verify join is one id-keyed shuffle of the
+       corpus; prune-only mode (``verify=False``) trades that shuffle
+       for the ~10⁻⁵ over-marking bound above.
+    3. MERGE — per doc, duplicated positions p cover [p, p+L−1];
+       gap-and-island with a lag/running-sum window (all intervals
+       share length L, so "new island iff p − prev_p > L" needs no
+       running max). One doc-keyed shuffle, trivially parallel.
+
+    Returns (doc_id, dup_start, dup_end, span_len, n_windows) with
+    1-based inclusive character positions — the regions the paper's
+    method would cut.
+    """
+    L = min_len
+    chars_src = F.split(F.col(text_col), "")
+
+    def hash_array(chars):
+        n_pos = F.size(chars) - (L - 1)
+        hs = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
+            lambda i: F.xxhash64(F.array_join(F.slice(chars, i, L), "")),
+        )
+        return F.when(n_pos > 0, hs).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    # single-element-array trick: bind the O(len) char array once per
+    # row so the per-position lambda slices it instead of re-splitting
+    hashes = F.element_at(F.transform(F.array(chars_src), hash_array), 1)
+    pos = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(hashes).alias("_p0", "_h"),
+    ).select(
+        "_id",
+        (F.col("_p0") + 1).cast("long").alias("_p"),
+        "_h",
+    )
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("_h"))
+    cand = (
+        pos.withColumn("_n", n_occ)
+        .filter(F.col("_n") >= 2)
+        .select("_id", "_p")
+    )
+
+    if verify:
+        by_doc = cand.groupBy("_id").agg(
+            F.sort_array(F.collect_list("_p")).alias("_ps")
+        )
+        chars_expr = F.split(F.col("_text"), "")
+        txt = df.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        )
+
+        def grams_at(chars):
+            return F.transform(
+                F.col("_ps"),
+                lambda p: F.array_join(
+                    F.slice(chars, p.cast("int"), L), ""
+                ),
+            )
+
+        grams = F.element_at(
+            F.transform(F.array(chars_expr), grams_at), 1
+        )
+        with_grams = (
+            by_doc.join(txt, "_id")
+            .select("_id", F.arrays_zip(F.col("_ps").alias("_p"),
+                                        grams.alias("_g")).alias("_z"))
+            .select("_id", F.explode("_z").alias("_e"))
+            .select("_id", F.col("_e._p").alias("_p"), F.col("_e._g").alias("_g"))
+        )
+        n_lit = F.count(F.lit(1)).over(Window.partitionBy("_g"))
+        dup = (
+            with_grams.withColumn("_nl", n_lit)
+            .filter(F.col("_nl") >= 2)
+            .select("_id", "_p")
+        )
+    else:
+        dup = cand
+
+    by_pos = Window.partitionBy("_id").orderBy("_p")
+    lagged = dup.withColumn("_pp", F.lag("_p").over(by_pos))
+    grouped = lagged.withColumn(
+        "_new",
+        F.when(
+            F.col("_pp").isNull() | (F.col("_p") - F.col("_pp") > L), 1
+        ).otherwise(0),
+    ).withColumn("_grp", F.sum("_new").over(by_pos))
+    return (
+        grouped.groupBy("_id", "_grp")
+        .agg(
+            F.min("_p").alias("dup_start"),
+            F.max("_p").alias("_pmax"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "dup_start",
+            (F.col("_pmax") + (L - 1)).alias("dup_end"),
+            (F.col("_pmax") + L - F.col("dup_start")).alias("span_len"),
+            "n_windows",
+        )
+    )

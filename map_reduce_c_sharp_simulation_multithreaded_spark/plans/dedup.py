@@ -18,6 +18,7 @@ from ..catalog import load_table
 from ..operators.dedup import (
     simhash_band_pairs,
     exact_dedup_keep_first,
+    exact_substr_spans,
     jaccard_prefix_join_pairs,
     minhash_lsh_dedup_pairs,
     simhash64,
@@ -461,4 +462,66 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash_band_pairs(
         d, "doc_id", "text", max_hamming=3, n_bands=4, hash_mode="md5"
+    )
+
+
+_XS_L = 50  # Lee et al.'s canonical minimum duplicate length
+
+_EXACT_SUBSTR_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, p, substring(text, CAST(p AS INTEGER), {_XS_L}) AS gram
+  FROM documents,
+       unnest(range(1, greatest(length(text) - {_XS_L} + 2, 1))) AS t(p)
+),
+dup AS (SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) >= 2),
+hit AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
+lagged AS (
+  SELECT doc_id, p,
+         lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+  FROM hit
+),
+grouped AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN pp IS NULL OR p - pp > {_XS_L} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM lagged
+)
+SELECT doc_id,
+       MIN(p) AS dup_start,
+       MAX(p) + {_XS_L - 1} AS dup_end,
+       MAX(p) + {_XS_L} - MIN(p) AS span_len,
+       COUNT(*) AS n_windows
+FROM grouped
+GROUP BY doc_id, g
+"""
+
+
+@register(
+    "dedup_exact_substr_spans",
+    oracle=_EXACT_SUBSTR_ORACLE,
+    tags=("dedup", "exact-substr", "custom-operator"),
+)
+def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate spans (Lee et al. 2022) at suffix
+    granularity — every maximal character region whose every 50-char
+    window occurs ≥ 2 times anywhere in the corpus. The last missing
+    member of the dedup family (VERDICT r10 stretch #7):
+    ``dedup_span_windows`` catches repeats only on fixed 10-token
+    boundaries; this finds a repeated passage at ANY alignment.
+
+    Plan shape (see :func:`operators.dedup.exact_substr_spans`): the
+    paper's global suffix array becomes a gram-keyed shuffle — prune
+    on a 96-bit dual polynomial hash pair (16-byte shuffle key, ~L×
+    narrower than literal grams), verify the surviving ~9 % of
+    positions against their LITERAL grams (lossless: equal grams ⇒
+    equal hashes, so true duplicates cannot be pruned), then one
+    doc-keyed gap-and-island merge. The oracle replays the semantics
+    directly from literal grams — it cannot share the hash family, so
+    agreement here also witnesses that the prune+verify funnel equals
+    the one-step exact computation.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return exact_substr_spans(
+        d, id_col="doc_id", text_col="text", min_len=_XS_L
     )

@@ -189,6 +189,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # slots). Local tri-scale differential evidence meanwhile,
     # re-run after the r11 oracle-literal CAST fix. ---
     "sim_range_search_planted",
+    # --- position 52: round-11 debut (ExactSubstr duplicate spans),
+    # rides ROUND 12's second free slot — round 11's window is fully
+    # mandatory (49 r07-evidence queries + the r10 late debut), so
+    # same-round driver evidence is impossible by construction. Until
+    # then: tri-scale differential evidence (verify_local at
+    # sf0.001/0.01/0.1) + the funnel-losslessness property suite
+    # (tests/test_round11_properties.py). ---
+    "dedup_exact_substr_spans",
 )
 
 
