@@ -661,8 +661,28 @@ def exact_substr_spans(
     else:
         dup = cand
 
+    return _span_islands(dup, L).select(
+        F.col("_id").alias(id_col),
+        F.col("span_start").alias("dup_start"),
+        F.col("span_end").alias("dup_end"),
+        "span_len",
+        "n_windows",
+    )
+
+
+def _span_islands(marked: DataFrame, min_len: int) -> DataFrame:
+    """Merge marked window positions into maximal covered spans.
+
+    ``marked`` is (_id, _p): position ``_p`` (1-based) covers the
+    interval [_p, _p + min_len − 1]. All intervals share length
+    ``min_len``, so sorted by start, a new island begins exactly when
+    ``_p − prev > min_len`` — a lag suffices, no running max (the
+    gap-and-island shape both span operators share). One id-keyed
+    window shuffle over marked positions only.
+    Returns (_id, span_start, span_end, span_len, n_windows)."""
+    L = min_len
     by_pos = Window.partitionBy("_id").orderBy("_p")
-    lagged = dup.withColumn("_pp", F.lag("_p").over(by_pos))
+    lagged = marked.withColumn("_pp", F.lag("_p").over(by_pos))
     grouped = lagged.withColumn(
         "_new",
         F.when(
@@ -672,15 +692,89 @@ def exact_substr_spans(
     return (
         grouped.groupBy("_id", "_grp")
         .agg(
-            F.min("_p").alias("dup_start"),
+            F.min("_p").alias("span_start"),
             F.max("_p").alias("_pmax"),
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select(
-            F.col("_id").alias(id_col),
-            "dup_start",
-            (F.col("_pmax") + (L - 1)).alias("dup_end"),
-            (F.col("_pmax") + L - F.col("dup_start")).alias("span_len"),
+            "_id",
+            "span_start",
+            (F.col("_pmax") + (L - 1)).alias("span_end"),
+            (F.col("_pmax") + L - F.col("span_start")).alias("span_len"),
             "n_windows",
         )
+    )
+
+
+def _literal_gram_positions(
+    df: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """(_id, _p, _g): every position's literal ``min_len``-char gram,
+    built as array_join(slice(chars, p, L)) over a once-bound char
+    array — O(L) compiled work per position, never the O(len²)
+    dynamic-position substr walk (the winnow_fps lesson)."""
+    L = min_len
+    chars_src = F.split(F.col(text_col), "")
+
+    def gram_array(chars):
+        n_pos = F.size(chars) - (L - 1)
+        gs = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
+            lambda i: F.array_join(F.slice(chars, i, L), ""),
+        )
+        return F.when(n_pos > 0, gs).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    grams = F.element_at(F.transform(F.array(chars_src), gram_array), 1)
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(grams).alias("_p0", "_g"),
+    ).select("_id", (F.col("_p0") + 1).cast("long").alias("_p"), "_g")
+
+
+def contamination_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+) -> DataFrame:
+    """Span-level train/eval decontamination — ExactSubstr semantics
+    applied BIPARTITE (the PaLM-report style substring-overlap audit):
+    for each training document, the maximal character spans whose
+    every ``min_len``-char window occurs verbatim anywhere in the
+    eval suite. The third member of the contamination family: the
+    13-gram audit flags whole documents, the MinHash pass catches
+    fuzzy copies, this one localizes exactly WHICH characters leaked
+    so a pipeline can cut the span instead of dropping the document.
+
+    Scale shape — the fuzzy decontamination broadcast argument, taken
+    further: the eval side reduces to its DISTINCT literal gram set
+    (benchmark suites are MBs at any training scale), broadcast so
+    the train side's positions stream through a map-side LEFT SEMI
+    join with ZERO train-side shuffle before islands. Literal grams
+    as the broadcast key — not hashes — make verification inherent
+    (equality IS the check, no false positives at any scale); a
+    pipeline whose eval suite somehow outgrew memory would swap in
+    :func:`exact_substr_spans`'s hash-prune→verify funnel. The only
+    shuffle in the plan is the island merge's id-keyed window over
+    MATCHED positions (contaminated tails only).
+
+    Returns (id_col, span_start, span_end, span_len, n_windows),
+    1-based inclusive character positions into the training doc.
+    """
+    ev = (
+        _literal_gram_positions(eval_df, id_col, text_col, min_len)
+        .select("_g")
+        .distinct()
+    )
+    tr = _literal_gram_positions(train, id_col, text_col, min_len)
+    hits = tr.join(F.broadcast(ev), "_g", "left_semi").select("_id", "_p")
+    return _span_islands(hits, min_len).select(
+        F.col("_id").alias(id_col),
+        "span_start",
+        "span_end",
+        "span_len",
+        "n_windows",
     )

@@ -16,6 +16,7 @@ from pyspark.sql import Window
 
 from ..catalog import load_table
 from ..operators.dedup import (
+    contamination_spans,
     doc_shingle_sets,
     exact_jaccard,
     lsh_banded,
@@ -930,4 +931,67 @@ def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mix_weight"
             ),
         )
+    )
+
+
+_CSPAN_L = 50  # same minimum span length as dedup_exact_substr_spans
+
+_CONTAM_SPAN_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, p, substring(text, CAST(p AS INTEGER), {_CSPAN_L}) AS gram
+  FROM documents,
+       unnest(range(1, greatest(length(text) - {_CSPAN_L} + 2, 1))) AS t(p)
+),
+ev AS (SELECT DISTINCT gram FROM pos WHERE doc_id % 20 = 7),
+hit AS (
+  SELECT doc_id, p FROM pos JOIN ev USING (gram) WHERE doc_id % 20 <> 7
+),
+lagged AS (
+  SELECT doc_id, p,
+         lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+  FROM hit
+),
+grouped AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN pp IS NULL OR p - pp > {_CSPAN_L} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM lagged
+)
+SELECT doc_id,
+       MIN(p) AS span_start,
+       MAX(p) + {_CSPAN_L - 1} AS span_end,
+       MAX(p) + {_CSPAN_L} - MIN(p) AS span_len,
+       COUNT(*) AS n_windows
+FROM grouped
+GROUP BY doc_id, g
+"""
+
+
+@register(
+    "contamination_span_overlap",
+    oracle=_CONTAM_SPAN_ORACLE,
+    tags=("mlprep", "contamination", "exact-substr", "custom-operator"),
+)
+def contamination_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: for each TRAINING document
+    (doc_id % 20 != 7, the family's split), the maximal character
+    spans whose every 50-char window occurs verbatim in ANY held-out
+    document — the PaLM-report substring-overlap audit, completing
+    the contamination trio (13-gram doc flags → fuzzy MinHash →
+    exact spans that say WHICH characters to cut).
+
+    Scale decision (see :func:`operators.dedup.contamination_spans`):
+    the eval side collapses to its distinct literal gram set and
+    BROADCASTS (benchmark suites are MBs at any corpus size), so the
+    training side streams through a map-side left-semi join with no
+    shuffle; matched positions — the contaminated tail only — pay the
+    one island-merge window. Literal grams as the broadcast key make
+    verification inherent: no hash family, no false positives, and
+    the oracle replays the identical semantics.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 7
+    return contamination_spans(
+        d.filter(~is_eval), d.filter(is_eval), "doc_id", "text", _CSPAN_L
     )

@@ -114,11 +114,11 @@ def _load_all_plan_modules() -> None:
 # window puts a driver row on it). After this window lands green,
 # the oldest evidence anywhere is r08 (47 queries); with latest=11
 # the floor becomes r09, so the round-12 queue is that 47-query r08
-# block plus sim_range_search_planted — 48 of 50 slots, leaving two
-# for round-12 debuts-or-changes. Round-11 debuts therefore ride
-# ROUND 12 (positions 52+ below, local tri-scale evidence
-# meanwhile); round-11 plan restructures should pick queries already
-# inside this mandatory block.
+# block plus sim_range_search_planted — 48 of 50 slots. Round-11
+# debuts therefore ride ROUND 12 (positions 52–53 below, local
+# tri-scale evidence meanwhile), filling its queue to exactly 50;
+# round-11 plan restructures should pick queries already inside this
+# mandatory block, and round-12 debuts will queue behind at 54+.
 # The plan-fingerprint gate (tests/test_plan_freshness.py +
 # PLAN_HASHES.json) FAILS the suite if a changed plan is not in
 # this window, so the round-5 freeze-gap class cannot recur silently
@@ -189,14 +189,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # slots). Local tri-scale differential evidence meanwhile,
     # re-run after the r11 oracle-literal CAST fix. ---
     "sim_range_search_planted",
-    # --- position 52: round-11 debut (ExactSubstr duplicate spans),
-    # rides ROUND 12's second free slot — round 11's window is fully
-    # mandatory (49 r07-evidence queries + the r10 late debut), so
-    # same-round driver evidence is impossible by construction. Until
-    # then: tri-scale differential evidence (verify_local at
-    # sf0.001/0.01/0.1) + the funnel-losslessness property suite
+    # --- positions 52–53: round-11 debuts (ExactSubstr duplicate
+    # spans; span-level decontamination), riding ROUND 12's two free
+    # slots — round 11's window is fully mandatory (49 r07-evidence
+    # queries + the r10 late debut), so same-round driver evidence is
+    # impossible by construction, and r12's queue lands at exactly 50
+    # (47 r08-evidence + range search + these two). Until then:
+    # tri-scale differential evidence (verify_local at
+    # sf0.001/0.01/0.1) + the reference-equality property suite
     # (tests/test_round11_properties.py). ---
     "dedup_exact_substr_spans",
+    "contamination_span_overlap",
 )
 
 

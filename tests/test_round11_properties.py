@@ -96,3 +96,69 @@ def test_exact_substr_funnel_is_lossless(spark, texts):
         ).collect()
     }
     assert got_noverify == got
+
+
+# --- span-level decontamination (bipartite ExactSubstr) ----------------
+#
+# Same reference-equality law, bipartite: a train position is
+# contaminated iff its literal L-gram occurs anywhere in the eval
+# corpus; islands merge identically. Eval-side multiplicity must NOT
+# matter (a gram occurring once in eval contaminates — unlike the
+# self-join's >= 2 rule), which the single-eval-doc examples pin.
+
+
+def _ref_contam(train: list[str], evals: list[str], min_len: int) -> set:
+    ev = {
+        t[i : i + min_len]
+        for t in evals
+        for i in range(len(t) - min_len + 1)
+    }
+    spans = set()
+    for d, t in enumerate(train):
+        ps = [
+            i + 1
+            for i in range(len(t) - min_len + 1)
+            if t[i : i + min_len] in ev
+        ]
+        run: list[int] = []
+        for p in ps + [None]:
+            if p is not None and (not run or p - run[-1] <= min_len):
+                run.append(p)
+                continue
+            if run:
+                spans.add(
+                    (
+                        d,
+                        run[0],
+                        run[-1] + min_len - 1,
+                        run[-1] + min_len - run[0],
+                        len(run),
+                    )
+                )
+            run = [p] if p is not None else []
+    return spans
+
+
+@SLOW
+@given(train=CORPUS, evals=CORPUS)
+@example(train=["ababa"], evals=["aba"])  # single eval occurrence hits
+@example(train=["aaa"], evals=["bbb"])  # no overlap → empty
+@example(train=["abab", "baba"], evals=["abab"])  # exact copy + shift
+@example(train=[""], evals=["aaa"])  # empty train doc
+def test_contamination_spans_match_reference(spark, train, evals):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+        contamination_spans,
+    )
+
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(evals)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_windows)
+        for r in contamination_spans(tdf, edf, "doc_id", "text", L).collect()
+    }
+    assert got == _ref_contam(train, evals, L)
