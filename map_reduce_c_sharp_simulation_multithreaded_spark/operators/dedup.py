@@ -563,8 +563,10 @@ def exact_substr_spans(
        documents a real corpus has; measured, see PLANS.md). A
        polynomial weighted-sum form with NO gram materialization was
        also measured and rejected: 100 interpreted node-evals per
-       position made the whole query 10.5 s warm vs 3.9 s for this
-       shape. One shuffle partitions positions by the hash — an
+       position made the whole query 10.5 s warm vs ~4 s for this
+       shape (and hashing the sliced char array directly, without
+       array_join, shaved a further ~1.6 s — the adopted form). One
+       shuffle partitions positions by the hash — an
        8-byte key regardless of min_len, ~L× less shuffle volume than
        shipping literal grams — and a window count marks positions
        whose hash occurs ≥ 2 times. False candidates need a 64-bit
@@ -599,9 +601,13 @@ def exact_substr_spans(
 
     def hash_array(chars):
         n_pos = F.size(chars) - (L - 1)
+        # hash the sliced char ARRAY directly — xxhash64 folds the 50
+        # elements into the seed chain without materializing a gram
+        # string first (A/B at sf0.1: 3.1 s vs 4.9 s warm for the
+        # join-then-hash form, same candidate set)
         hs = F.transform(
             F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
-            lambda i: F.xxhash64(F.array_join(F.slice(chars, i, L), "")),
+            lambda i: F.xxhash64(F.slice(chars, i, L)),
         )
         return F.when(n_pos > 0, hs).otherwise(
             F.array().cast("array<bigint>")
