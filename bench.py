@@ -119,6 +119,11 @@ EXTRA_BENCH = (
     # shuffle-free cut)
     "contamination_fuzzy_minhash",
     "sim_range_search_planted",
+    # round-11 debuts: ExactSubstr duplicate spans (gram-hash prune →
+    # literal verify → island merge) and span-level decontamination
+    # (broadcast eval gram set, zero train-side shuffle)
+    "dedup_exact_substr_spans",
+    "contamination_span_overlap",
 )
 
 

@@ -39,28 +39,14 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 # measured 1.061 s vs the r9 artifact's 1.251 s (its 1.52× was the
 # uncalibratable r9-vs-r7 comparison, confirmed epoch, not plan).
 #
-# SELF-RETIRING (round 11 must empty this): the final round-10 sweep
-# (197 queries, warm total 126.9 s — FASTER than the prior artifact's
-# 135.3 s over 195 — calibration ratio 1.011 single / 0.925 parallel)
-# flags exactly ONE query, and the flag is an artifact of the
-# normalizer working as designed in the inverse direction: the raw
-# ratio is 1.41× (0.369→0.521 s, under the bar) but the current
-# window's FASTER parallel calibration divides it up to 1.53×. The
-# plan is unchanged (zero fingerprint drift all session; the round's
-# dedup.py edits were oracle-string extractions proven byte-identical)
-# and a standalone 8-pass floor in the same window measured 0.607 s —
-# SLOWER than the sweep's own 0.521 s — i.e. the query's sub-second
-# wall is riding the documented per-action latency epoch (SCALE.md
-# round-10 note), which the CPU-throughput calibration cannot see.
-ALLOWLIST: dict[str, str] = {
-    "dedup_ngram_jaccard_adjacent": (
-        "latency-epoch flag: raw 1.41x (under the 1.5x bar), pushed to "
-        "1.53x only by the faster-host calibration divisor; plan "
-        "fingerprint unchanged, standalone floor in the same window "
-        "0.607 s confirms host latency, not plan cost — retire with "
-        "the round-11 sweep"
-    ),
-}
+# Round 11 retired the self-retiring round-10
+# dedup_ngram_jaccard_adjacent entry exactly as prescribed: the
+# r11→r10 calibrated compare (199 queries, zero flags; common-query
+# warm 141.2 s vs 126.9 s raw at a 1.162 parallel calibration ratio —
+# ~0.96× normalized, faster at equal host speed) measured that query
+# at 0.466 s vs the r10 artifact's 0.521 s — the r10 flag was the
+# documented latency epoch, confirmed gone, not plan cost.
+ALLOWLIST: dict[str, str] = {}
 
 
 def _latest_sweeps() -> list[str]:
