@@ -164,11 +164,21 @@ def _pctl(xs: list[float], p: float) -> float:
     return xs[i]
 
 
-def run_one(spark, chunk_dir: str, name: str, build) -> dict:
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def run_one(spark, chunk_dir: str, name: str, build, provider=None) -> dict:
     ev = chunked_stream(spark, chunk_dir)
     frame, mode = build(ev)
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old_prov = spark.conf.get(prov_key, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    if provider:
+        spark.conf.set(prov_key, provider)
     t0 = time.perf_counter()
     try:
         q = (
@@ -179,6 +189,11 @@ def run_one(spark, chunk_dir: str, name: str, build) -> dict:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        if provider:
+            if old_prov:
+                spark.conf.set(prov_key, old_prov)
+            else:
+                spark.conf.unset(prov_key)
     try:
         q.processAllAvailable()
         wall = time.perf_counter() - t0
@@ -241,6 +256,11 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--rocksdb", action="store_true",
+        help="also A/B the RocksDB state-store provider on the two "
+             "heaviest JVM state shapes",
+    )
     args = ap.parse_args()
 
     loadavg_start = [round(v, 2) for v in os.getloadavg()]
@@ -264,6 +284,29 @@ def main() -> int:
             f"p50 {r['batch_ms_p50']}ms  p95 {r['batch_ms_p95']}ms  "
             f"max {r['batch_ms_max']}ms  {r['rows_per_sec']} rows/s"
         )
+    if args.rocksdb:
+        # provider A/B on the two heaviest JVM state shapes — the
+        # cluster default (RocksDB + changelog checkpointing) vs the
+        # HDFS-backed in-memory provider local mode uses. Same plans,
+        # same chunk replay; only providerClass differs. (The pandas
+        # shape is excluded: applyInPandasWithState pays Arrow, not
+        # the store.)
+        for name in ("tumbling_counts", "interval_join"):
+            key = name + "_rocksdb"
+            run_one(
+                spark, chunk_dir, key + "_warmup", MIRRORS[name],
+                provider=ROCKSDB_PROVIDER,
+            )
+            results[key] = run_one(
+                spark, chunk_dir, key, MIRRORS[name],
+                provider=ROCKSDB_PROVIDER,
+            )
+            r = results[key]
+            print(
+                f"{key:24s} {r['n_batches']:3d} batches  "
+                f"p50 {r['batch_ms_p50']}ms  p95 {r['batch_ms_p95']}ms  "
+                f"max {r['batch_ms_max']}ms  {r['rows_per_sec']} rows/s"
+            )
 
     artifact = {
         "sf_dir": args.sf,
