@@ -120,10 +120,12 @@ EXTRA_BENCH = (
     "contamination_fuzzy_minhash",
     "sim_range_search_planted",
     # round-11 debuts: ExactSubstr duplicate spans (gram-hash prune →
-    # literal verify → island merge) and span-level decontamination
-    # (broadcast eval gram set, zero train-side shuffle)
+    # literal verify → island merge), span-level decontamination
+    # (broadcast eval gram set, zero train-side shuffle), and
+    # budget-constrained mixture sampling
     "dedup_exact_substr_spans",
     "contamination_span_overlap",
+    "curation_budget_mixture",
 )
 
 

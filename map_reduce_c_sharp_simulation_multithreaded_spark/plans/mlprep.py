@@ -995,3 +995,134 @@ def contamination_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_spans(
         d.filter(~is_eval), d.filter(is_eval), "doc_id", "text", _CSPAN_L
     )
+
+
+_BUDGET_MIX_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         md5(text) AS pri
+  FROM documents
+),
+src AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens,
+         CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT) AS ws
+  FROM tok GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(src_tokens) * 5000 AS BIGINT) // 10000 AS budget,
+         CAST(SUM(ws) AS BIGINT) AS sum_ws
+  FROM src
+),
+alloc AS (
+  SELECT source, src_tokens,
+         (SELECT budget FROM tot) * ws // (SELECT sum_ws FROM tot)
+           AS alloc_tokens
+  FROM src
+),
+ranked AS (
+  SELECT t.doc_id, t.source, t.n_tokens, a.alloc_tokens,
+         COALESCE(SUM(t.n_tokens) OVER (
+           PARTITION BY t.source ORDER BY t.pri, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS run_before
+  FROM tok t JOIN alloc a USING (source)
+)
+SELECT source,
+       CAST(MAX(alloc_tokens) AS BIGINT) AS alloc_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN run_before < alloc_tokens THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN run_before < alloc_tokens THEN n_tokens
+                ELSE 0 END) AS BIGINT) AS tokens_kept,
+       CAST(SUM(CASE WHEN run_before < alloc_tokens THEN doc_id
+                ELSE 0 END) AS BIGINT) AS doc_check
+FROM ranked
+GROUP BY source
+"""
+
+
+@register(
+    "curation_budget_mixture",
+    oracle=_BUDGET_MIX_ORACLE,
+    tags=("mlprep", "curation", "custom-operator"),
+)
+def curation_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained mixture sampling — the step that ASSEMBLES
+    the training mix the dataset papers describe (Pile/LLaMA-style
+    sampling proportions): a global token budget (here 50 % of the
+    corpus) is allocated across sources by sqrt-temperature weight
+    (``curation_mix_weights``'s α = 0.5 rebalancing, floor(sqrt) so
+    the weight itself is integer), and each source is filled in
+    deterministic content-hash priority order until its allocation is
+    spent. ``curation_mix_weights`` computes what the mix SHOULD be;
+    this materializes which documents make the cut.
+
+    Determinism discipline: md5(text) priority (unbiased, engine-
+    replayable, survives repartitioning — the content-hash split
+    argument), integer allocations (B·w_s DIV Σw), and the packing
+    family's exclusive-prefix-sum keep rule (keep iff tokens BEFORE
+    this doc < allocation — a source can overflow by at most one
+    document, the standard parallel-packing trade). After floor(sqrt)
+    every comparison is integer, so the decision boundary replays
+    exactly cross-engine.
+
+    Scale shape: one aggregate builds the per-source table (broadcast
+    — source count is small by definition), one window per source
+    orders by the hash (the same per-stream-key shuffle as
+    pack_sequences_running_sum; a mega-source straggler would use the
+    two-phase sharding of dedup_source_quota_two_phase), one final
+    aggregate. Output is the per-source audit (allocation, kept
+    docs/tokens, checksum), not the kept rows — a pipeline would keep
+    the per-doc flag column instead of aggregating.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+        F.md5(F.col("text")).alias("pri"),
+    )
+    src = tok.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    w_all = Window.partitionBy()
+    alloc = (
+        src.withColumn(
+            "ws",
+            F.floor(F.sqrt(F.col("src_tokens").cast("double"))).cast("long"),
+        )
+        .withColumn(
+            "budget",
+            F.expr("sum(src_tokens) over () * 5000L DIV 10000L"),
+        )
+        .withColumn("sum_ws", F.sum("ws").over(w_all))
+        .select(
+            "source",
+            F.expr("budget * ws DIV sum_ws").alias("alloc_tokens"),
+        )
+    )
+    run_w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        tok.join(F.broadcast(alloc), "source")
+        .withColumn(
+            "run_before", F.coalesce(F.sum("n_tokens").over(run_w), F.lit(0))
+        )
+        .withColumn("kept", F.col("run_before") < F.col("alloc_tokens"))
+    )
+    return ranked.groupBy("source").agg(
+        F.max("alloc_tokens").alias("alloc_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+        F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0)).alias(
+            "doc_check"
+        ),
+    )

@@ -200,6 +200,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (tests/test_round11_properties.py). ---
     "dedup_exact_substr_spans",
     "contamination_span_overlap",
+    # --- position 54: third round-11 debut (budget-constrained
+    # mixture sampling), first in line for round 13's free slots
+    # (r13 queue: the 49-query r09-evidence block + this = 50).
+    # Tri-scale local evidence meanwhile. ---
+    "curation_budget_mixture",
 )
 
 
