@@ -95,20 +95,37 @@ def pandas_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = ev.filter(F.col("event_type") == "error").select(
         bucket, "user_id", "ts", "event_id"
     )
+    # fresh aliases on the shared columns: both cogroup children derive
+    # from the SAME ev frame, so bare "user_id"/"ts" carry identical
+    # exprIds on both sides, and under an output-pruning parent (e.g.
+    # df.count()) the optimizer deduplicates the cogroup's required
+    # attributes — the right child's Arrow batches then arrive in
+    # Python MISSING those columns (caught by the round-11 shuffle
+    # audit, which counts instead of collecting). Alias mints new
+    # exprIds, breaking the collision; collect-shaped evaluation never
+    # triggered it, which is why the oracle harness stayed green.
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        bucket, "user_id", "ts", "value"
+        bucket,
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("ts"),
+        "value",
     )
 
     def asof(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # merge_asof(by=...) needs both frames sorted by the ON key
-        left = left.sort_values("ts")
-        right = right.sort_values("ts")
+        # emptiness guards BEFORE the sorts: a cogroup side with no
+        # rows for this bucket can arrive as a frame with NO columns
+        # (observed in the round-11 shuffle audit session), so
+        # sort_values("ts") on it raises KeyError — the guards only
+        # protect if they run first
         if len(left) == 0:
             return pd.DataFrame({"event_id": [], "last_purchase_value": []})
         if len(right) == 0:
             return pd.DataFrame(
                 {"event_id": left["event_id"], "last_purchase_value": None}
             )
+        # merge_asof(by=...) needs both frames sorted by the ON key
+        left = left.sort_values("ts")
+        right = right.sort_values("ts")
         merged = pd.merge_asof(
             left,
             right,

@@ -205,6 +205,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (r13 queue: the 49-query r09-evidence block + this = 50).
     # Tri-scale local evidence meanwhile. ---
     "curation_budget_mixture",
+    # --- position 55: round-11 CHANGED plan (freshness gate): the
+    # shuffle audit's count()-shaped evaluation exposed an exprId
+    # collision between pandas_asof_join's cogroup children (both
+    # derive from the same events frame; output pruning deduplicated
+    # the shared user_id/ts attributes out of the right child's Arrow
+    # batches). The fix aliases the right side's shared columns —
+    # fingerprint moves, so it queues here behind the debuts; its
+    # wrong-answer risk under the ORACLE harness was zero (collect-
+    # shaped evaluation never triggers the pruning), re-proven by the
+    # tri-scale runs in the fixing commit. ---
+    "pandas_asof_join",
 )
 
 
