@@ -162,3 +162,26 @@ def test_contamination_spans_match_reference(spark, train, evals):
         for r in contamination_spans(tdf, edf, "doc_id", "text", L).collect()
     }
     assert got == _ref_contam(train, evals, L)
+
+
+# --- consumer-shape regression (round-11 shuffle-audit catch) ----------
+#
+# pandas_asof_join's cogroup children both derive from the same events
+# frame; before the round-11 alias fix, an output-pruning parent
+# (count()) deduplicated the shared user_id/ts attributes out of the
+# right child's Arrow batches and the pandas merge_asof crashed with
+# KeyError('ts'). The oracle harness collects, so it could never hit
+# this — the audit's count() did. Pin BOTH consumer shapes.
+
+
+def test_pandas_asof_join_survives_output_pruning(spark):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans.advanced import (
+        pandas_asof_join,
+    )
+
+    df = pandas_asof_join(spark, "/root/testdata/sf0.001")
+    n_counted = df.count()  # output-pruning consumer (the crash shape)
+    n_collected = len(
+        pandas_asof_join(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert n_counted == n_collected > 0
