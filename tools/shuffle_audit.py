@@ -6,12 +6,22 @@ the hard numbers behind every "one bounded shuffle" claim in SCALE.md.
                                   [--query NAME[,NAME...]]
 
 For each (batch, non-side-effecting) registered query, runs the plan
-once with a noop write and records the DELTA of completed-stage
+once with a NOOP WRITE and records the DELTA of completed-stage
 metrics from Spark's status REST API: shuffle bytes written/read,
-input bytes scanned, output rows. Queries run sequentially in one
-session, so the delta is attributable; retried/cached stages mean the
-numbers are per-EXECUTION, which is exactly what a capacity plan
-wants.
+input bytes scanned. Queries run sequentially in one session, so the
+delta is attributable; retried/cached stages mean the numbers are
+per-EXECUTION, which is exactly what a capacity plan wants.
+
+The noop write matters (round-11 lesson, learned twice in one
+session): a ``count()`` consumer lets Catalyst prune every column the
+count doesn't need — pure-projection window queries measured 59 BYTES
+of shuffle because their window expressions (and thus the per-key
+Exchange) were optimized away entirely. The write shape evaluates
+every output column, which is what a pipeline sinking the result
+pays. The count() shape is still exercised once per run on ONE query
+(pandas_asof_join) as a consumer-shape regression probe: it is the
+shape that exposed the cogroup attribute-dedup bug the collect-shaped
+oracle harness could never hit.
 
 Why this exists: SCALE.md argues shuffle budgets qualitatively
 ("broadcast, so the train side never shuffles", "the shuffle carries
@@ -95,7 +105,6 @@ def stage_totals(app_id: str) -> dict[str, int]:
         "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in data),
         "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in data),
         "input_bytes": sum(s.get("inputBytes", 0) for s in data),
-        "output_rows": 0,
     }
 
 
@@ -124,7 +133,7 @@ def main() -> int:
             df = q.fn(spark, args.sf)
             if df.isStreaming:
                 continue
-            n_rows = df.count()
+            df.write.format("noop").mode("overwrite").save()
             after = stage_totals(app_id)
         except Exception as exc:  # pragma: no cover - audit continues
             results[name] = {"error": str(exc)[:200]}
@@ -134,12 +143,18 @@ def main() -> int:
             for k in ("shuffle_write_bytes", "shuffle_read_bytes",
                       "input_bytes")
         }
-        row["result_rows"] = n_rows
         results[name] = row
         print(
             f"{name:42s} shufW {row['shuffle_write_bytes']:>12,d}  "
-            f"in {row['input_bytes']:>12,d}  rows {n_rows}"
+            f"in {row['input_bytes']:>12,d}"
         )
+    # consumer-shape regression probe: the one query whose count()-
+    # shaped history matters (see module docstring)
+    try:
+        registry.all_queries()["pandas_asof_join"].fn(spark, args.sf).count()
+        results["_count_shape_probe"] = {"pandas_asof_join": "ok"}
+    except Exception as exc:  # pragma: no cover
+        results["_count_shape_probe"] = {"pandas_asof_join": str(exc)[:200]}
 
     artifact = {
         "sf_dir": args.sf,
