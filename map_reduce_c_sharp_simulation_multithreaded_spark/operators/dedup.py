@@ -565,11 +565,18 @@ def exact_substr_spans(
        also measured and rejected: 100 interpreted node-evals per
        position made the whole query 10.5 s warm vs ~4 s for this
        shape (and hashing the sliced char array directly, without
-       array_join, shaved a further ~1.6 s — the adopted form). One
-       shuffle partitions positions by the hash — an
-       8-byte key regardless of min_len, ~L× less shuffle volume than
-       shipping literal grams — and a window count marks positions
-       whose hash occurs ≥ 2 times. False candidates need a 64-bit
+       array_join, shaved a further ~1.6 s — the adopted form).
+       "Occurs ≥ 2" is a ``groupBy(_h).count().filter(≥2)`` followed
+       by a left-semi join of positions against the duplicated-hash
+       set — NOT a window over the hash: partial aggregation combines
+       a hot gram (boilerplate, whitespace runs — exactly what this
+       operator exists to find at 100 TB) to one row per map
+       partition, so the only full-width shuffle key is the semi
+       join's, which AQE can skew-split — or eliminate outright by
+       broadcasting the (small-tail) duplicated-hash set, in which
+       case positions reach the verify stage with ZERO shuffle. The
+       8-byte hash key is ~L× less shuffle volume than shipping
+       literal grams either way. False candidates need a 64-bit
        collision: ~(n²/2)/2^64 ≈ 3·10⁸ expected at 10¹⁴ positions
        (100 TB) — 0.0003 % over-candidacy, each over-marking one
        L-char span until the verify stage drops it.
@@ -578,8 +585,10 @@ def exact_substr_spans(
        the synthetic corpus, exactly the near-dup tail on a real one),
        join back to the text on the id key, re-derive the LITERAL
        gram for candidate positions only (slice of a once-bound char
-       array, O(min_len) each), and a gram-keyed window count keeps
-       positions whose literal gram occurs ≥ 2 times. Any truly
+       array, O(min_len) each), and the same groupBy + left-semi
+       shape keeps positions whose literal gram occurs ≥ 2 times
+       (a gram hot enough to survive the prune is exactly the key a
+       window would straggle on). Any truly
        duplicated gram has all its occurrences in the candidate set
        (equal grams ⇒ equal hashes), so verification over candidates
        alone is LOSSLESS — the PPJoin prune-then-verify contract, and
@@ -597,73 +606,32 @@ def exact_substr_spans(
     method would cut.
     """
     L = min_len
-    chars_src = F.split(F.col(text_col), "")
-
-    def hash_array(chars):
-        n_pos = F.size(chars) - (L - 1)
-        # hash the sliced char ARRAY directly — xxhash64 folds the 50
-        # elements into the seed chain without materializing a gram
-        # string first (A/B at sf0.1: 3.1 s vs 4.9 s warm for the
-        # join-then-hash form, same candidate set)
-        hs = F.transform(
-            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
-            lambda i: F.xxhash64(F.slice(chars, i, L)),
-        )
-        return F.when(n_pos > 0, hs).otherwise(
-            F.array().cast("array<bigint>")
-        )
-
-    # single-element-array trick: bind the O(len) char array once per
-    # row so the per-position lambda slices it instead of re-splitting
-    hashes = F.element_at(F.transform(F.array(chars_src), hash_array), 1)
-    pos = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(hashes).alias("_p0", "_h"),
-    ).select(
-        "_id",
-        (F.col("_p0") + 1).cast("long").alias("_p"),
-        "_h",
-    )
-    n_occ = F.count(F.lit(1)).over(Window.partitionBy("_h"))
-    cand = (
-        pos.withColumn("_n", n_occ)
-        .filter(F.col("_n") >= 2)
-        .select("_id", "_p")
-    )
+    pos = _hashed_gram_positions(df, id_col, text_col, L)
+    # "occurs >= 2" via groupBy + left-semi, NOT a Window over the
+    # hash: a hot 50-char gram (license boilerplate, whitespace runs)
+    # is ONE key — a window puts every occurrence in one task with no
+    # combiner and no AQE relief, while HashAggregate(partial)
+    # collapses it to one row per map partition before the (tiny,
+    # distinct-hash-sized) shuffle, and the semi join back is
+    # AQE-skew-splittable — and typically a broadcast, since
+    # duplicated hashes are the small tail, in which case positions
+    # never shuffle at all before the island merge.
+    dup_h = pos.groupBy("_h").count().filter(F.col("count") >= 2).select("_h")
+    cand = pos.join(dup_h, "_h", "left_semi").select("_id", "_p")
 
     if verify:
-        by_doc = cand.groupBy("_id").agg(
-            F.sort_array(F.collect_list("_p")).alias("_ps")
+        with_grams = _candidate_literal_grams(df, cand, id_col, text_col, L)
+        # same hot-key argument as the prune stage: a boilerplate
+        # gram that survives the prune is exactly the key that would
+        # straggle a Window; partial-agg + semi-join keeps it
+        # combiner-friendly and AQE-splittable
+        dup_g = (
+            with_grams.groupBy("_g")
+            .count()
+            .filter(F.col("count") >= 2)
+            .select("_g")
         )
-        chars_expr = F.split(F.col("_text"), "")
-        txt = df.select(
-            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-        )
-
-        def grams_at(chars):
-            return F.transform(
-                F.col("_ps"),
-                lambda p: F.array_join(
-                    F.slice(chars, p.cast("int"), L), ""
-                ),
-            )
-
-        grams = F.element_at(
-            F.transform(F.array(chars_expr), grams_at), 1
-        )
-        with_grams = (
-            by_doc.join(txt, "_id")
-            .select("_id", F.arrays_zip(F.col("_ps").alias("_p"),
-                                        grams.alias("_g")).alias("_z"))
-            .select("_id", F.explode("_z").alias("_e"))
-            .select("_id", F.col("_e._p").alias("_p"), F.col("_e._g").alias("_g"))
-        )
-        n_lit = F.count(F.lit(1)).over(Window.partitionBy("_g"))
-        dup = (
-            with_grams.withColumn("_nl", n_lit)
-            .filter(F.col("_nl") >= 2)
-            .select("_id", "_p")
-        )
+        dup = with_grams.join(dup_g, "_g", "left_semi").select("_id", "_p")
     else:
         dup = cand
 
@@ -673,6 +641,169 @@ def exact_substr_spans(
         F.col("span_end").alias("dup_end"),
         "span_len",
         "n_windows",
+    )
+
+
+def _hashed_gram_positions(
+    df: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """(_id, _p, _h): ``xxhash64`` of every position's ``min_len``-char
+    gram, hashed directly off the sliced char ARRAY — no gram string is
+    ever materialized (A/B at sf0.1: 3.1 s vs 4.9 s warm for the
+    join-then-hash form, same candidate set). The char array is bound
+    once per row via the single-element-array trick so the
+    per-position lambda slices it instead of re-splitting: O(L)
+    compiled work and 3 interpreted HOF node-evals per position."""
+    L = min_len
+    chars_src = F.split(F.col(text_col), "")
+
+    def hash_array(chars):
+        n_pos = F.size(chars) - (L - 1)
+        hs = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
+            lambda i: F.xxhash64(F.slice(chars, i, L)),
+        )
+        return F.when(n_pos > 0, hs).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    hashes = F.element_at(F.transform(F.array(chars_src), hash_array), 1)
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(hashes).alias("_p0", "_h"),
+    ).select(
+        "_id",
+        (F.col("_p0") + 1).cast("long").alias("_p"),
+        "_h",
+    )
+
+
+def _candidate_literal_grams(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+) -> DataFrame:
+    """(_id, _p, _g): the LITERAL ``min_len``-char gram at each
+    candidate position, re-derived by regrouping candidates per doc
+    (collect_list of positions — candidates are the duplicated tail,
+    so the build side is small and broadcastable), joining back to the
+    text on the id key, and slicing a once-bound char array at each
+    listed position: O(min_len) compiled work per candidate, document
+    text never duplicated per candidate row."""
+    L = min_len
+    by_doc = cand.groupBy("_id").agg(
+        F.sort_array(F.collect_list("_p")).alias("_ps")
+    )
+    chars_expr = F.split(F.col("_text"), "")
+    txt = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+
+    def grams_at(chars):
+        return F.transform(
+            F.col("_ps"),
+            lambda p: F.array_join(
+                F.slice(chars, p.cast("int"), L), ""
+            ),
+        )
+
+    grams = F.element_at(
+        F.transform(F.array(chars_expr), grams_at), 1
+    )
+    return (
+        by_doc.join(txt, "_id")
+        .select("_id", F.arrays_zip(F.col("_ps").alias("_p"),
+                                    grams.alias("_g")).alias("_z"))
+        .select("_id", F.explode("_z").alias("_e"))
+        .select("_id", F.col("_e._p").alias("_p"), F.col("_e._g").alias("_g"))
+    )
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_col: str = "dup_start",
+    end_col: str = "dup_end",
+) -> DataFrame:
+    """Substring surgery — the second half of the Lee et al. 2022
+    ExactSubstr pipeline (their released tool's behavior: every
+    occurrence of a duplicated span is removed, leaving zero copies):
+    given (id, start, end) spans, emit each document's KEPT segments —
+    the maximal character ranges outside every span.
+
+    Segments are emitted as rows, NOT re-joined into one string:
+    re-joining would form new grams across the cut seams, so the
+    paper's invariant ("the deduplicated corpus contains no duplicated
+    L-gram") would only hold approximately. Over segments it holds
+    EXACTLY: a gram fully inside a kept segment sits at an unmarked
+    position of the original corpus, i.e. occurred exactly once
+    (property-pinned in tests/test_round12_properties.py).
+
+    Scale shape: spans collapse per doc (collect_list — bounded by
+    doc_len/min_len entries, each 16 B), then ONE id-keyed join back
+    to the corpus; segment bounds come from zipping span ends with
+    successor span starts inside the row (no window, no second
+    shuffle), and each segment pays one O(doc_len) substr. Returns
+    (id_col, seg_id, seg_start, seg_end, seg_len, seg_text),
+    1-based inclusive positions, seg_id numbering kept segments in
+    document order.
+    """
+    sp = spans.groupBy(F.col(id_col).alias("_id")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(start_col).cast("long").alias("s"),
+                    F.col(end_col).cast("long").alias("e"),
+                )
+            )
+        ).alias("_sps")
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    j = base.join(sp, "_id", "left").select(
+        "_id",
+        "_text",
+        F.coalesce(
+            "_sps", F.array().cast("array<struct<s:bigint,e:bigint>>")
+        ).alias("_sps"),
+    )
+    # candidate segments: [1, s1-1], [e1+1, s2-1], ..., [ek+1, len];
+    # islands are disjoint and non-adjacent, so only the head/tail
+    # candidates can be empty — the filter drops them
+    starts = F.concat(
+        F.array(F.lit(1).cast("long")),
+        F.transform(F.col("_sps"), lambda x: x["e"] + 1),
+    )
+    ends = F.concat(
+        F.transform(F.col("_sps"), lambda x: x["s"] - 1),
+        F.array(F.length("_text").cast("long")),
+    )
+    segs = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("ss"), e.alias("se"))
+        ),
+        lambda st: st["se"] >= st["ss"],
+    )
+    return (
+        j.select("_id", "_text", F.posexplode(segs).alias("_i", "_seg"))
+        .select(
+            F.col("_id").alias(id_col),
+            (F.col("_i") + 1).cast("long").alias("seg_id"),
+            F.col("_seg.ss").alias("seg_start"),
+            F.col("_seg.se").alias("seg_end"),
+            (F.col("_seg.se") - F.col("_seg.ss") + 1).alias("seg_len"),
+            F.col("_text")
+            .substr(
+                F.col("_seg.ss").cast("int"),
+                (F.col("_seg.se") - F.col("_seg.ss") + 1).cast("int"),
+            )
+            .alias("seg_text"),
+        )
     )
 
 
@@ -756,27 +887,62 @@ def contamination_spans(
     so a pipeline can cut the span instead of dropping the document.
 
     Scale shape — the fuzzy decontamination broadcast argument, taken
-    further: the eval side reduces to its DISTINCT literal gram set
-    (benchmark suites are MBs at any training scale), broadcast so
-    the train side's positions stream through a map-side LEFT SEMI
-    join with ZERO train-side shuffle before islands. Literal grams
-    as the broadcast key — not hashes — make verification inherent
-    (equality IS the check, no false positives at any scale); a
-    pipeline whose eval suite somehow outgrew memory would swap in
-    :func:`exact_substr_spans`'s hash-prune→verify funnel. The only
-    shuffle in the plan is the island merge's id-keyed window over
-    MATCHED positions (contaminated tails only).
+    further, with the prune→verify funnel applied BIPARTITE (r11
+    verdict advice #4, adopted): the eval side reduces to its DISTINCT
+    gram set (benchmark suites are MBs at any training scale), but the
+    broadcast key is the 8-byte ``xxhash64`` of each gram's char
+    array — NOT the 50-char literal (~58 B/row, 6–7× larger; measured
+    build sizes in SCALE.md) — so the train side's positions stream
+    through a map-side LEFT SEMI join with ZERO train-side shuffle.
+    Exactness is then restored on the MATCHED TAIL only: candidate
+    train positions regroup per doc and re-derive their literal grams
+    (the :func:`exact_substr_spans` verify machinery), the eval gram
+    set is cut down to the hashes that actually matched (a second
+    tiny broadcast), and a literal-equality semi join keeps true
+    contamination — lossless, because equal grams ⇒ equal hashes, so
+    every truly contaminated position is a candidate; a 64-bit
+    collision costs one over-candidate that the literal join then
+    drops, never a wrong answer. The only shuffles in the plan are
+    over MATCHED positions (contaminated tails only): the verify
+    regroup and the island merge's id-keyed window.
 
     Returns (id_col, span_start, span_end, span_len, n_windows),
     1-based inclusive character positions into the training doc.
     """
-    ev = (
-        _literal_gram_positions(eval_df, id_col, text_col, min_len)
+    L = min_len
+    ev_h = (
+        _hashed_gram_positions(eval_df, id_col, text_col, L)
+        .select("_h")
+        .distinct()
+    )
+    tr = _hashed_gram_positions(train, id_col, text_col, L)
+    # prune: 8-byte hash broadcast, map-side semi join over every
+    # train position — keep _h so the matched-hash set below needs no
+    # recomputation of eval-side state
+    cand = tr.join(F.broadcast(ev_h), "_h", "left_semi")
+    # which eval grams actually matched? bounded by the contaminated
+    # tail (⊆ distinct candidate hashes), so broadcastable by
+    # construction
+    match_h = cand.select("_h").distinct()
+    ev_g = (
+        _literal_gram_positions(eval_df, id_col, text_col, L)
         .select("_g")
         .distinct()
     )
-    tr = _literal_gram_positions(train, id_col, text_col, min_len)
-    hits = tr.join(F.broadcast(ev), "_g", "left_semi").select("_id", "_p")
+    ev_g_matched = ev_g.join(
+        F.broadcast(match_h),
+        F.xxhash64(F.split(F.col("_g"), "")) == F.col("_h"),
+        "left_semi",
+    )
+    # verify: literal grams for candidate positions only, equality
+    # against the matched eval grams — the broadcast carries literal
+    # text only for the tail that hashed equal
+    tr_g = _candidate_literal_grams(
+        train, cand.select("_id", "_p"), id_col, text_col, L
+    )
+    hits = tr_g.join(F.broadcast(ev_g_matched), "_g", "left_semi").select(
+        "_id", "_p"
+    )
     return _span_islands(hits, min_len).select(
         F.col("_id").alias(id_col),
         "span_start",

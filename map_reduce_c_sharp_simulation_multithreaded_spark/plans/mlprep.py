@@ -980,14 +980,16 @@ def contamination_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contamination trio (13-gram doc flags → fuzzy MinHash →
     exact spans that say WHICH characters to cut).
 
-    Scale decision (see :func:`operators.dedup.contamination_spans`):
-    the eval side collapses to its distinct literal gram set and
-    BROADCASTS (benchmark suites are MBs at any corpus size), so the
+    Scale decision (see :func:`operators.dedup.contamination_spans`,
+    r12 hardening): the eval side collapses to its distinct gram set
+    and BROADCASTS — keyed by the 8-byte ``xxhash64`` of each gram,
+    not the ~58 B literal (measured build sizes in SCALE.md) — so the
     training side streams through a map-side left-semi join with no
-    shuffle; matched positions — the contaminated tail only — pay the
-    one island-merge window. Literal grams as the broadcast key make
-    verification inherent: no hash family, no false positives, and
-    the oracle replays the identical semantics.
+    shuffle; exactness is restored by literal-verifying only the
+    matched tail against the eval grams whose hashes actually hit
+    (prune→verify applied bipartite: lossless, since equal grams ⇒
+    equal hashes). The oracle replays the one-step literal semantics,
+    so agreement also witnesses funnel ≡ direct computation.
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")

@@ -46,7 +46,22 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 # ~0.96× normalized, faster at equal host speed) measured that query
 # at 0.466 s vs the r10 artifact's 0.521 s — the r10 flag was the
 # documented latency epoch, confirmed gone, not plan cost.
-ALLOWLIST: dict[str, str] = {}
+ALLOWLIST: dict[str, str] = {
+    # Round 12, self-retiring at the r13 sweep: the VERDICT r11
+    # wrong-#1 fix (occurrence counts as groupBy+left-semi instead of
+    # Window.partitionBy(gram hash)) measured 2.0× the window shape
+    # warm at sf0.1 (EXACTSUBSTR_SCALING.json window_vs_groupby:
+    # 5.03 s → 10.05 s, identical 476 spans) — a KNOWN, adjudicated
+    # trade, not drift: the agg+semi shape re-evaluates the position
+    # scan on both sides of the semi join (2 map-side scans that
+    # parallelize perfectly) in exchange for eliminating the
+    # position-width shuffle entirely (AQE broadcasts the
+    # duplicated-hash tail; 22 B × 10¹⁴ positions ≈ 2.2 PB of shuffle
+    # at 100 TB under the old shape, with a hot boilerplate gram
+    # pinned to ONE window task). Local wall pays; the 1000-executor
+    # plan wins. Full decomposition in SCALE.md.
+    "dedup_exact_substr_spans": "r11-advised hot-key fix: 2 scans for 0 position shuffle",
+}
 
 
 def _latest_sweeps() -> list[str]:

@@ -94,6 +94,19 @@ def audit_session() -> SparkSession:
     )
 
 
+def drain_listener_bus(spark: SparkSession) -> None:
+    """Block until the listener bus has delivered every queued event
+    (ADVICE r11): the UI status store behind ``stage_totals`` is
+    populated ASYNCHRONOUSLY — sampling "after" the moment the noop
+    write returns can miss stages still in the event queue, silently
+    shifting their bytes into the NEXT query's delta."""
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    try:
+        bus.waitUntilEmpty(30_000)
+    except Exception:
+        bus.waitUntilEmpty()
+
+
 def stage_totals(app_id: str) -> dict[str, int]:
     url = (
         f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}"
@@ -129,11 +142,13 @@ def main() -> int:
         if name in SKIP or name.startswith("stream_"):
             continue
         try:
+            drain_listener_bus(spark)
             before = stage_totals(app_id)
             df = q.fn(spark, args.sf)
             if df.isStreaming:
                 continue
             df.write.format("noop").mode("overwrite").save()
+            drain_listener_bus(spark)
             after = stage_totals(app_id)
         except Exception as exc:  # pragma: no cover - audit continues
             results[name] = {"error": str(exc)[:200]}

@@ -149,6 +149,28 @@ def _mirror_interval_join(ev):
     return joined, "append"
 
 
+def _mirror_dedup_heavy(ev):
+    """STATE-HEAVY dedup (round 12, VERDICT r11 stretch #7): the r11
+    RocksDB A/B measured ≤10 MB of state and correctly found in-memory
+    faster — but "RocksDB at scale" claims a regime that run never
+    entered. This shape enters it: each event fans out ×20 with a
+    salted key, and the 10-year watermark means NO key expires within
+    the replay, so state grows monotonically to (20 × events) keys —
+    the unbounded-dedup worst case a real pipeline hits when its key
+    space outlives its watermark."""
+    salted = ev.withColumn(
+        "salt", F.explode(F.sequence(F.lit(1), F.lit(20)))
+    ).withColumn(
+        "event_id", F.concat_ws("#", F.col("event_id"), F.col("salt"))
+    )
+    return (
+        salted.withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type"),
+        "append",
+    )
+
+
 MIRRORS = {
     "tumbling_counts": _mirror_tumbling,
     "sliding_avg": _mirror_sliding,
@@ -261,6 +283,11 @@ def main() -> int:
         help="also A/B the RocksDB state-store provider on the two "
              "heaviest JVM state shapes",
     )
+    ap.add_argument(
+        "--heavy", action="store_true",
+        help="also A/B both providers on a never-expiring ×20-salted "
+             "dedup whose state outgrows heap comfort (r11 stretch #7)",
+    )
     args = ap.parse_args()
 
     loadavg_start = [round(v, 2) for v in os.getloadavg()]
@@ -306,6 +333,30 @@ def main() -> int:
                 f"{key:24s} {r['n_batches']:3d} batches  "
                 f"p50 {r['batch_ms_p50']}ms  p95 {r['batch_ms_p95']}ms  "
                 f"max {r['batch_ms_max']}ms  {r['rows_per_sec']} rows/s"
+            )
+
+    if args.heavy:
+        # state-heavy provider A/B (r11 stretch #7): same replay, a
+        # never-expiring ×20-salted dedup — state that cannot live
+        # comfortably on-heap, the regime the RocksDB recommendation
+        # actually claims. No warm-up replay: a SECOND pass would
+        # re-pay the same monotone state growth, and cold includes
+        # provider init, which is part of what's being compared.
+        for prov_label, prov in (
+            ("inmem", None),
+            ("rocksdb", ROCKSDB_PROVIDER),
+        ):
+            key = f"dedup_heavy_x20_{prov_label}"
+            results[key] = run_one(
+                spark, chunk_dir, key, _mirror_dedup_heavy, provider=prov
+            )
+            r = results[key]
+            print(
+                f"{key:24s} {r['n_batches']:3d} batches  "
+                f"p50 {r['batch_ms_p50']}ms  p95 {r['batch_ms_p95']}ms  "
+                f"max {r['batch_ms_max']}ms  "
+                f"state_rows {r.get('state_rows_max')}  "
+                f"state_mb {r.get('state_mem_mb_max')}"
             )
 
     artifact = {
