@@ -126,6 +126,9 @@ EXTRA_BENCH = (
     "dedup_exact_substr_spans",
     "contamination_span_overlap",
     "curation_budget_mixture",
+    # round-12 debut: ExactSubstr surgery (the deduplicated corpus as
+    # kept segments — detector plan + one id-keyed join)
+    "dedup_cut_spans",
 )
 
 

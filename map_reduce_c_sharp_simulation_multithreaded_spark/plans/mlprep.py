@@ -482,10 +482,17 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_quality_score``, ``text_fingerprint_groups``,
     ``split_train_test_hash``).
 
-    One plan, two shuffles at scale (the fp window; everything else is
-    row-local); Catalyst pipelines the gate into the scan. The split
-    decision is a pure row hash — rerun-stable across engines and
-    cluster sizes.
+    One plan, one shuffle at scale; Catalyst pipelines the gate into
+    the scan. The split decision is a pure row hash — rerun-stable
+    across engines and cluster sizes.
+
+    r12 hot-key restructure (the ExactSubstr window law applied
+    registry-wide, SCALE.md "Window inventory"): "canonical doc +
+    duplicate count per fingerprint" was a ``Window.partitionBy(fp)``
+    — a mega-duplicated boilerplate doc is ONE fp on ONE task. It is
+    now ``groupBy(fp).agg(min(struct(doc_id, lang, n_toks)), count)``
+    — the canonical row rides the min struct, so the hot key combines
+    map-side and there is no join back at all; same answer.
     """
     pin_session(spark)
     from ..operators.text import fingerprint, tokens
@@ -503,24 +510,25 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_toks") >= 15) & (F.col("sw_ratio") >= 0.02))
         .select("doc_id", "lang", "n_toks", fingerprint(F.col("text")).alias("fp"))
     )
-    wfp = Window.partitionBy("fp")
-    dedup = kept.withColumn("n_dups", F.count(F.lit(1)).over(wfp)).withColumn(
-        "canon", F.min("doc_id").over(wfp)
+    # min(struct) orders by doc_id first (unique per corpus), so the
+    # whole canonical row rides one combiner-friendly aggregate
+    agg = kept.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "lang", "n_toks")).alias("_c"),
+        F.count(F.lit(1)).alias("n_dups"),
     )
     split = F.when(
-        F.substring(F.md5(F.concat(F.lit("doc:"), F.col("doc_id"))), 1, 1)
+        F.substring(
+            F.md5(F.concat(F.lit("doc:"), F.col("_c.doc_id"))), 1, 1
+        )
         < F.lit("d"),
         F.lit("train"),
     ).otherwise(F.lit("eval"))
-    return (
-        dedup.filter(F.col("doc_id") == F.col("canon"))
-        .select(
-            "doc_id",
-            "lang",
-            F.col("n_toks").cast("int").alias("n_toks"),
-            F.col("n_dups").cast("int").alias("n_dups"),
-            split.alias("split"),
-        )
+    return agg.select(
+        F.col("_c.doc_id").alias("doc_id"),
+        F.col("_c.lang").alias("lang"),
+        F.col("_c.n_toks").cast("int").alias("n_toks"),
+        F.col("n_dups").cast("int").alias("n_dups"),
+        split.alias("split"),
     )
 
 

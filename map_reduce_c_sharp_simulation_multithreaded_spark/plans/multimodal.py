@@ -203,14 +203,23 @@ def multimodal_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the highest-resolution copy (max payload bytes, doc_id
     tiebreak) as canonical — the image-dedup keep-best discipline.
 
-    One user-keyed exchange: all three window expressions share the
-    same (fingerprint, order) spec, so Spark plans a single shuffle +
-    sort; bucket fan-out is bounded by the fingerprint cardinality
-    (≤ 3·64·64), never all-pairs — the bucket-scoped shape that holds
-    at 100 TB. DuckDB re-derives decode, resize plan, and the keep
-    decision from the hex digest, so the composed oracle covers the
-    full pipeline end to end (positive operands: DuckDB's flooring
-    ``//`` and Spark's ``floor`` agree).
+    Bucket fan-out is bounded by the fingerprint cardinality
+    (≤ 3·64·64), never all-pairs. r12 hot-key restructure (the
+    ExactSubstr window law applied registry-wide, SCALE.md "Window
+    inventory"): bucket_size/canonical/keep were three window
+    expressions over the fingerprint — but ≤ 12,288 distinct buckets
+    means ~n/12,288 rows PER bucket, each on one window task at
+    corpus scale. Now one ``groupBy(bucket).agg(count,
+    min(struct(−n_bytes, doc_id)))`` — combiner-friendly, and the
+    result is broadcast-sized BY CONSTRUCTION (≤ 12,288 rows) — with
+    a broadcast join annotating each row; keep = (doc_id ==
+    canonical). The decoded feature frame is cached as a narrow
+    (id, bytes, dims) projection so the Arrow decode pass runs once
+    for both consumers — the materialization point every real
+    multimodal pipeline has anyway. DuckDB re-derives decode, resize
+    plan, and the keep decision from the hex digest, so the composed
+    oracle covers the full pipeline end to end (positive operands:
+    DuckDB's flooring ``//`` and Spark's ``floor`` agree).
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
@@ -227,19 +236,26 @@ def multimodal_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("out_h"),
     )
-    ordered = Window.partitionBy("channels", "out_w", "out_h").orderBy(
-        F.col("n_bytes").desc(), F.col("doc_id").asc()
+    thumb = thumb.cache()
+    # canonical = first by (n_bytes DESC, doc_id ASC) ⟺ min over
+    # (−n_bytes, doc_id); the whole keep decision rides one aggregate
+    bucket = thumb.groupBy("channels", "out_w", "out_h").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_size"),
+        F.min(
+            F.struct(
+                (-F.col("n_bytes")).alias("nb"), F.col("doc_id").alias("d")
+            )
+        ).alias("_c"),
     )
-    full = ordered.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return thumb.select(
+    return thumb.join(
+        F.broadcast(bucket), ["channels", "out_w", "out_h"]
+    ).select(
         "doc_id",
         F.concat_ws("x", "channels", "out_w", "out_h").alias("fingerprint"),
         "n_bytes",
-        F.count(F.lit(1)).over(full).cast("long").alias("bucket_size"),
-        F.first("doc_id").over(full).cast("long").alias("canonical_doc_id"),
-        F.when(F.row_number().over(ordered) == 1, 1)
+        "bucket_size",
+        F.col("_c.d").cast("long").alias("canonical_doc_id"),
+        F.when(F.col("doc_id") == F.col("_c.d"), 1)
         .otherwise(0)
         .cast("int")
         .alias("keep"),

@@ -197,6 +197,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # evidence + the no-duplicated-gram-after-cut property
     # (tests/test_round12_properties.py) meanwhile. ---
     "dedup_cut_spans",
+    # --- position 54: second round-12 restructure outside the
+    # mandatory block — the registry-wide hot-key window audit
+    # (SCALE.md "Window inventory") rewrote pipeline_curate_corpus's
+    # per-fingerprint window as a min(struct) aggregate (a
+    # mega-duplicated boilerplate doc is one fp on one task under a
+    # window). Old plan has the r11 driver row; new plan rides r13.
+    # The audit's other two rewrites (text_inverted_index,
+    # multimodal_pipeline_neardup) already sit in the mandatory block
+    # above and get same-round driver evidence. ---
+    "pipeline_curate_corpus",
 )
 
 

@@ -1172,16 +1172,23 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs by doc id — the retrieval-side primitive behind BM25/TF-IDF
     serving and the contamination digest join.
 
-    Scale discipline: the posting cap is applied with a row_number
-    window BEFORE collect_list, so per-term state is bounded at 20
-    rows even for stopword-grade terms (collect-then-slice would
-    materialize the full million-document posting array for every hot
-    term). df/total_tf aggregate the UNCAPPED (tok, doc) table; both
-    groupBys shuffle on the same key, and tf is CACHED so the stats
-    and postings branches share one tokenization pass instead of each
-    re-exploding the corpus. Postings render as a sorted
-    pipe-joined string so the driver's canonicalizer can hash them
-    (arrays are unhashable — the agg_collect_sorted lesson).
+    Scale discipline (r12 restructure — the ExactSubstr hot-key law
+    applied registry-wide, SCALE.md "Window inventory"): the posting
+    cap was a ``row_number() OVER (PARTITION BY tok)`` — bounded
+    OUTPUT, but a stopword term still lands its every (tok, doc) row
+    on ONE window task first. It is now the repo's sharded two-phase
+    top-N (the mega-source quota pattern): phase 1 takes the first 20
+    by doc id within (tok, shard-of-doc_id) — 32 shards divide the
+    hot term's rows (and its collect-list build memory) across 32
+    tasks — and phase 2 merges ≤ 32×20 survivors per term, a bounded
+    array; shard count scales with cluster width if 1/32nd of a
+    stopword is still too big. df/total_tf aggregate the UNCAPPED
+    (tok, doc)
+    table with plain combiner-friendly aggregates; tf is CACHED so
+    the stats and postings branches share one tokenization pass.
+    Postings render as a sorted pipe-joined string so the driver's
+    canonicalizer can hash them (arrays are unhashable — the
+    agg_collect_sorted lesson).
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
@@ -1197,15 +1204,22 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("doc_freq"),
         F.sum("tf").alias("total_tf"),
     )
-    w = Window.partitionBy("tok").orderBy("doc_id")
-    capped = tf.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= 20
+    # sharded two-phase first-20-by-doc_id: phase 1 caps within
+    # (tok, shard) so a stopword's rows split across 32 tasks; phase 2
+    # merges the ≤ 32×20 survivors — no single-task hot key anywhere
+    shard = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(32)).alias("_sh")
+    ph1 = tf.groupBy("tok", shard).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))), 1, 20
+        ).alias("_top")
     )
-    postings = capped.groupBy("tok").agg(
+    postings = ph1.groupBy("tok").agg(
         F.concat_ws(
             "|",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("_top"))), 1, 20
+                ),
                 lambda s: F.concat_ws(":", s.doc_id, s.tf),
             ),
         ).alias("postings")
