@@ -126,9 +126,11 @@ EXTRA_BENCH = (
     "dedup_exact_substr_spans",
     "contamination_span_overlap",
     "curation_budget_mixture",
-    # round-12 debut: ExactSubstr surgery (the deduplicated corpus as
-    # kept segments — detector plan + one id-keyed join)
+    # round-12 debuts: ExactSubstr surgery (the deduplicated corpus as
+    # kept segments — detector plan + one id-keyed join) and its
+    # bipartite twin (the decontaminated training corpus)
     "dedup_cut_spans",
+    "contamination_cut_spans",
 )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import Window
 from ..catalog import load_table
 from ..operators.dedup import (
     contamination_spans,
+    cut_spans,
     doc_shingle_sets,
     exact_jaccard,
     lsh_banded,
@@ -1135,4 +1136,101 @@ def curation_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0)).alias(
             "doc_check"
         ),
+    )
+
+
+_DECONTAM_CUT_ORACLE = f"""
+WITH pos AS (
+  SELECT doc_id, p, substring(text, CAST(p AS INTEGER), {_CSPAN_L}) AS gram
+  FROM documents,
+       unnest(range(1, greatest(length(text) - {_CSPAN_L} + 2, 1))) AS t(p)
+),
+ev AS (SELECT DISTINCT gram FROM pos WHERE doc_id % 20 = 7),
+hit AS (
+  SELECT doc_id, p FROM pos JOIN ev USING (gram) WHERE doc_id % 20 <> 7
+),
+lagged AS (
+  SELECT doc_id, p,
+         lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+  FROM hit
+),
+grouped AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN pp IS NULL OR p - pp > {_CSPAN_L} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p) + {_CSPAN_L - 1} AS e
+  FROM grouped GROUP BY doc_id, g
+),
+ordered AS (
+  SELECT doc_id, s, e,
+         lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+  FROM spans
+),
+train AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 7),
+segs AS (
+  SELECT doc_id, COALESCE(prev_e, 0) + 1 AS ss, s - 1 AS se FROM ordered
+  UNION ALL
+  SELECT m.doc_id, m.me + 1 AS ss, length(d.text) AS se
+  FROM (SELECT doc_id, MAX(e) AS me FROM spans GROUP BY doc_id) m
+  JOIN train d USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id, 1 AS ss, length(d.text) AS se
+  FROM train d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM spans)
+),
+numbered AS (
+  SELECT doc_id, ss, se,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ss) AS seg_id
+  FROM segs WHERE se >= ss
+)
+SELECT n.doc_id,
+       CAST(n.seg_id AS BIGINT) AS seg_id,
+       CAST(n.ss AS BIGINT) AS seg_start,
+       CAST(n.se AS BIGINT) AS seg_end,
+       CAST(n.se - n.ss + 1 AS BIGINT) AS seg_len,
+       substring(d.text, CAST(n.ss AS INTEGER),
+                 CAST(n.se - n.ss + 1 AS INTEGER)) AS seg_text
+FROM numbered n JOIN train d USING (doc_id)
+"""
+
+
+@register(
+    "contamination_cut_spans",
+    oracle=_DECONTAM_CUT_ORACLE,
+    tags=("mlprep", "contamination", "exact-substr", "custom-operator"),
+)
+def contamination_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination ACTION (round 12): compose
+    :func:`contamination_span_overlap`'s leaked-span detector with
+    :func:`operators.dedup.cut_spans`' substring surgery and emit the
+    DECONTAMINATED training corpus — each training document's kept
+    segments after every span whose 50-char windows appear verbatim in
+    the eval suite is cut. The same detect→cut closure
+    ``dedup_cut_spans`` gives the dedup family, applied bipartite: the
+    PaLM-style audit stops flagging and starts producing the corpus a
+    pipeline actually trains on, cutting the leaked characters instead
+    of dropping whole documents.
+
+    Plan: the hardened hash-broadcast detector (zero train-side
+    shuffle before islands) plus cut_spans' one id-keyed join and
+    in-row segment zip. Exactness inherits from both halves: every
+    50-gram inside a kept segment occurs nowhere in the eval suite.
+    The oracle replays detection and surgery end to end from literal
+    grams.
+    """
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 7
+    train, eval_df = d.filter(~is_eval), d.filter(is_eval)
+    spans = contamination_spans(train, eval_df, "doc_id", "text", _CSPAN_L)
+    return cut_spans(
+        train,
+        spans,
+        id_col="doc_id",
+        text_col="text",
+        start_col="span_start",
+        end_col="span_end",
     )

@@ -207,6 +207,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # multimodal_pipeline_neardup) already sit in the mandatory block
     # above and get same-round driver evidence. ---
     "pipeline_curate_corpus",
+    # --- position 55: second round-12 debut — decontamination ACTION
+    # (contamination spans → substring surgery → the decontaminated
+    # training corpus), the bipartite twin of dedup_cut_spans. Rides
+    # r13 with local tri-scale differential evidence meanwhile. ---
+    "contamination_cut_spans",
 )
 
 

@@ -114,3 +114,41 @@ def test_cut_corpus_has_no_duplicated_gram(spark, texts):
             grams[t[i : i + L]] += 1
     dup = {g: n for g, n in grams.items() if n >= 2}
     assert not dup, f"duplicated grams survive the cut: {dup}"
+
+
+@SLOW
+@given(train=CORPUS, evals=CORPUS)
+@example(train=["abab"], evals=["abab"])  # whole train doc leaked
+@example(train=["aabbb", "bbbaa"], evals=["abbba"])  # partial overlaps
+@example(train=["ab", ""], evals=["aaa"])  # train shorter than L
+def test_decontaminated_corpus_has_no_eval_gram(spark, train, evals):
+    """The bipartite invariant (contamination_cut_spans): after
+    surgery, NO L-gram inside a kept training segment occurs anywhere
+    in the eval suite — the decontaminated corpus is verbatim-clean."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+        contamination_spans,
+        cut_spans,
+    )
+
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(evals)],
+        "doc_id long, text string",
+    )
+    spans = contamination_spans(tdf, edf, "doc_id", "text", L)
+    segs = cut_spans(
+        tdf, spans, "doc_id", "text",
+        start_col="span_start", end_col="span_end",
+    ).collect()
+    eval_grams = {
+        t[i : i + L] for t in evals for i in range(len(t) - L + 1)
+    }
+    leaked = {
+        r.seg_text[i : i + L]
+        for r in segs
+        for i in range(len(r.seg_text) - L + 1)
+        if r.seg_text[i : i + L] in eval_grams
+    }
+    assert not leaked, f"eval grams survive decontamination: {leaked}"
