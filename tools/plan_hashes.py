@@ -52,6 +52,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SNAPSHOT = os.path.join(REPO, "PLAN_HASHES.json")
+WINDOW_KEYS = os.path.join(REPO, "WINDOW_KEYS.json")
 DEFAULT_SF = "/root/testdata/sf0.001"
 
 _NORMALIZERS = (
@@ -246,8 +247,53 @@ def normalize(plan: str) -> str:
     return plan
 
 
+def _split_top_args(plan: str, open_idx: int) -> list[str]:
+    """Split the argument list of the call whose '(' sits at
+    ``open_idx`` into top-level comma-separated pieces."""
+    depth, start, out = 1, open_idx + 1, []
+    i = start
+    while i < len(plan) and depth:
+        c = plan[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                out.append(plan[start:i])
+        elif c == "," and depth == 1:
+            out.append(plan[start:i])
+            start = i + 1
+        i += 1
+    return out
+
+
+def window_partition_keys(plan: str) -> set[str]:
+    """Partition-key expressions of every ``windowspecdefinition`` in
+    a plan string, exprIds stripped — the raw material of the hot-key
+    window inventory (SCALE.md "Window inventory";
+    tests/test_window_inventory.py). Sort orders carry ``ASC``/
+    ``DESC`` markers and the frame is ``specifiedwindowframe(...)``;
+    everything else in the spec's argument list is a partition key."""
+    keys: set[str] = set()
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        for a in _split_top_args(plan, m.end() - 1):
+            a = a.strip()
+            if (
+                not a
+                or a.startswith("specifiedwindowframe(")
+                or " ASC" in a
+                or " DESC" in a
+            ):
+                continue
+            keys.add(re.sub(r"#\d+L?", "", a))
+    return keys
+
+
 def compute(
-    sf_dir: str = DEFAULT_SF, names=None, blind_out: set | None = None
+    sf_dir: str = DEFAULT_SF,
+    names=None,
+    blind_out: set | None = None,
+    window_keys_out: dict | None = None,
 ) -> dict[str, str]:
     """{query name: 16-hex fingerprint of its normalized ANALYZED plan}.
     If ``blind_out`` is given, names whose plan matches :data:`_BLIND_RX`
@@ -279,6 +325,10 @@ def compute(
             .toString()
         )
         payload = normalize(plan)
+        if window_keys_out is not None:
+            wk = window_partition_keys(plan)
+            if wk:
+                window_keys_out[name] = sorted(wk)
         if _BLIND_RX.search(plan) or name in _FORCE_SOURCE_FP:
             if blind_out is not None and _BLIND_RX.search(plan):
                 blind_out.add(name)
@@ -315,14 +365,22 @@ def main() -> int:
     args = ap.parse_args()
 
     blind: set[str] = set()
-    current = compute(args.sf, blind_out=blind)
+    wkeys: dict[str, list[str]] = {}
+    current = compute(args.sf, blind_out=blind, window_keys_out=wkeys)
     for n in sorted(blind):
         print(f"blind: {n}")
     if args.write:
         with open(SNAPSHOT, "w", encoding="utf-8") as fh:
             json.dump(current, fh, indent=0, sort_keys=True)
             fh.write("\n")
+        # window partition keys ride the same refresh so the hot-key
+        # inventory gate (tests/test_window_inventory.py) always
+        # judges the snapshot the freshness gate keeps current
+        with open(WINDOW_KEYS, "w", encoding="utf-8") as fh:
+            json.dump(wkeys, fh, indent=0, sort_keys=True)
+            fh.write("\n")
         print(f"wrote {len(current)} fingerprints to {SNAPSHOT}")
+        print(f"wrote window keys for {len(wkeys)} queries to {WINDOW_KEYS}")
         return 0
 
     changed, new, gone = diff(current, load_snapshot())
