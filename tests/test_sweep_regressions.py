@@ -61,6 +61,19 @@ ALLOWLIST: dict[str, str] = {
     # pinned to ONE window task). Local wall pays; the 1000-executor
     # plan wins. Full decomposition in SCALE.md.
     "dedup_exact_substr_spans": "r11-advised hot-key fix: 2 scans for 0 position shuffle",
+    # Round 12, self-retiring at the r13 sweep: the same hot-key law
+    # applied to dedup_span_windows — "first occurrence per span hash"
+    # moved from row_number window to min(struct)+per-doc-count
+    # (SCALE.md Window inventory). 0.508 s → 0.878 s warm at sf0.1
+    # (~1.56× normalized): two combiner-friendly aggregates + an
+    # id-keyed join replace one window — a bounded local constant for
+    # removing the one-task hot span at corpus scale. Answers
+    # unchanged (oracle re-green tri-scale). Note the same audit's
+    # other rewrites got FASTER (multimodal_pipeline_neardup 0.46 →
+    # 0.25 s, pipeline_curate_corpus 0.55 → 0.46 s) — the trade's
+    # sign depends on how much the old window's sort cost; the scale
+    # argument is the same for all of them.
+    "dedup_span_windows": "r12 hot-key fix: min(struct) agg replaces row_number window",
 }
 
 
