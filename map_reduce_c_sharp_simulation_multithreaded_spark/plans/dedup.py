@@ -395,8 +395,9 @@ def dedup_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Niche vs ``dedup_exact_substr_spans`` (r12 adjudication, VERDICT
     r11 advice #6 — KEPT): ExactSubstr strictly dominates on
     SEMANTICS (any alignment, character granularity), but this
-    operator is the ~10× cheaper screen (0.51 s vs 4.78 s warm at
-    sf0.1) because it never materializes per-character positions —
+    operator is the ~12× cheaper screen (0.88 s vs 10.9 s warm at
+    sf0.1, r12 sweep — both shapes post-hot-key-fix) because it
+    never materializes per-character positions —
     one row per non-overlapping 10-token window, ~doc_len/40 rows vs
     ExactSubstr's ~doc_len. A 100 TB pipeline runs THIS pass first
     (bulk repeated-passage removal at 1/40th the row volume) and
