@@ -121,97 +121,80 @@ def _load_all_plan_modules() -> None:
 # and broadcast-hardening edits land inside their own window),
 # and round-12 debuts queue behind at 52+.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- the 47-query r08-evidence block (registration order) ---
-    "pandas_grouped_zscore",
-    "pandas_asof_join",
-    "range_join_bucketed",
-    "text_lang_rollup",
-    "text_pii_redaction",
-    "sketch_countmin_terms",
-    "text_inverted_index",
-    "text_zipf_slope",
-    "text_bpe_merges",
-    "text_bpe_vocab_apply",
-    "quality_perplexity_filter",
-    "dedup_connected_components",
-    "curation_cluster_keep_best",
-    "split_cluster_leakage_safe",
-    "udtf_chunk_windows",
-    "agg_pricing_summary",
-    "agg_distinct_counts",
-    "agg_cube",
-    "agg_rollup",
-    "agg_stats_by_brand",
-    "agg_histogram_totalprice",
-    "agg_profile_orders_columns",
-    "agg_mode_per_group",
-    "agg_stats_correlation",
-    "agg_cube_grouping_id",
-    "events_rollup_cascade",
-    "flagship_revenue_by_nation",
-    "layout_zorder_tiles",
-    "quantize_embeddings_int8",
-    "embed_pca_power_iteration",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "multimodal_pipeline_neardup",
-    "join_lateral_top_order",
-    "scalar_array_pack",
-    "scalar_higher_order_pack",
-    "sample_deterministic_count",
-    "sample_stratified_by_lang",
-    "sample_weighted_priority",
-    "sim_lsh_ann_topk",
-    "embed_label_centroids",
-    "sim_ann_recall_at_k",
-    "stream_windowed_topk",
-    "tpch_q3_shipping_priority",
-    "window_rolling_median",
-    "window_ratio_to_report",
-    "window_distinct_count_trick",
-    # --- slots 48-50: the queries with no driver row yet — the
-    # r10 late debut (post-CAST-fix) and the two round-11 span
-    # debuts, each judge-verified at sf0.01 in the r11 verdict ---
-    "sim_range_search_planted",
-    "dedup_exact_substr_spans",
-    "contamination_span_overlap",
-    # --- position 51 (driver verifies the FIRST 50): third
-    # round-11 debut, rides ROUND 13's free slot as planned at
-    # registration (r13 queue: 49-query r09-evidence block +
-    # this = 50). Tri-scale local evidence + the r11 judge's own
-    # sf0.01 differential run meanwhile. ---
-    "curation_budget_mixture",
-    # --- position 52: round-12 plan restructure OUTSIDE the
-    # mandatory block (freshness gate: changed plans must sit in this
-    # tuple). dedup_span_windows' first-occurrence row_number window
-    # over the span hash had the same hot-key flaw the r11 verdict
-    # flagged in ExactSubstr; it is now min(struct(doc_id,pos)) per
-    # hash + a per-doc count — combiner-friendly, no sort, no window.
-    # Its r11 driver row covers the OLD plan; the new plan rides
-    # r13's window (local tri-scale differential evidence meanwhile).
-    "dedup_span_windows",
-    # --- position 53: round-12 debut (detection → action: ExactSubstr
-    # substring surgery emitting the deduplicated corpus as kept
-    # segments), queued for r13 like every debut registered after its
-    # round's mandatory window filled. Local tri-scale differential
-    # evidence + the no-duplicated-gram-after-cut property
-    # (tests/test_round12_properties.py) meanwhile. ---
+    # --- ROUND-13 WINDOW (rotated at r13 open; VERDICT r12 "Next
+    # round" item 1). 54 candidates for 50 driver slots: the
+    # 49-query r09-evidence block + the five judge-verified queries
+    # the r12 verdict re-ran at sf0.01 (3 never-driven debuts + 2
+    # r12-restructured plans). Adjudication, written here so the
+    # arithmetic closes ONCE: changed-plan / never-driven beats
+    # stale-but-unchanged, so the five ride slots 1-5 and FOUR
+    # r09-evidence queries are deferred to positions 51-54 (the
+    # driver verifies the FIRST 50; tuple membership anywhere
+    # satisfies the evidence-age gate, and they rotate into the
+    # r14 window mandatorily). The four deferred are the simplest
+    # single-join/filter plans in the block -- plan hashes stable
+    # since the fingerprint format landed (git log PLAN_HASHES.json)
+    # and each pinned by a dedicated semantics test meanwhile
+    # (tests/test_join_semantics.py, test_round5_queries.py).
+    # --- slots 1-5: never-driven debuts + r12-restructured plans ---
     "dedup_cut_spans",
-    # --- position 54: second round-12 restructure outside the
-    # mandatory block — the registry-wide hot-key window audit
-    # (SCALE.md "Window inventory") rewrote pipeline_curate_corpus's
-    # per-fingerprint window as a min(struct) aggregate (a
-    # mega-duplicated boilerplate doc is one fp on one task under a
-    # window). Old plan has the r11 driver row; new plan rides r13.
-    # The audit's other two rewrites (text_inverted_index,
-    # multimodal_pipeline_neardup) already sit in the mandatory block
-    # above and get same-round driver evidence. ---
-    "pipeline_curate_corpus",
-    # --- position 55: second round-12 debut — decontamination ACTION
-    # (contamination spans → substring surgery → the decontaminated
-    # training corpus), the bipartite twin of dedup_cut_spans. Rides
-    # r13 with local tri-scale differential evidence meanwhile. ---
     "contamination_cut_spans",
+    "curation_budget_mixture",
+    "dedup_span_windows",
+    "pipeline_curate_corpus",
+    # --- slots 6-50: the r09-evidence block minus the four deferred ---
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_simhash_signatures",
+    "dedup_simhash_band_pairs",
+    "text_tfidf_topk",
+    "text_bigram_lm",
+    "text_pmi_collocations",
+    "text_bm25_topk",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_salted_two_phase",
+    "parity_donations_by_state",
+    "parity_last_wins_dim",
+    "parity_decimal_money_sum",
+    "join_inner_supplier_nation",
+    "join_left_orders_per_customer",
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_big_orders",
+    "join_full_outer_nation_coverage",
+    "join_nonequi_late_ship",
+    "join_broadcast_region_revenue",
+    "join_salted_skew",
+    "split_train_test_hash",
+    "pack_sequences_running_sum",
+    "dedup_source_quota",
+    "curation_mix_weights",
+    "multimodal_binary_meta",
+    "arrow_batch_doc_stats",
+    "filter_predicate_pack",
+    "filter_rlike_regex",
+    "subquery_correlated_avg",
+    "join_composite_key",
+    "having_clause",
+    "scalar_string_pack",
+    "sim_ivf_trained_topk",
+    "sim_ivfpq_rerank_topk",
+    "sim_ann_recall_planted",
+    "sim_ivfpq_trained_topk",
+    "sim_ivfpq_residual_topk",
+    "sim_sq8_topk",
+    "sink_partitioned_roundtrip",
+    "source_json_roundtrip",
+    "join_bucketed_colocated",
+    "dedup_incremental_index",
+    "source_orc_roundtrip",
+    # --- positions 51-54: the four deferred r09-evidence queries;
+    # driver rows ride r14 (mandatory: their evidence will be 5
+    # rounds old -- the age gate forces them into the next window). ---
+    "parity_null_default_sum",
+    "join_cross_region_nation",
+    "filter_null_safe_eq",
+    "unpivot_part_attrs",
 )
 
 

@@ -55,14 +55,61 @@ ALLOWED_WINDOW_KEYS = {
     "_shard": "explicit shard key of the two-phase pattern",
 }
 
+# A windowspecdefinition with an EMPTY partition spec is a GLOBAL
+# window: Spark logs "WindowExec: No Partition Defined ... Moving all
+# data to a single partition" and puts EVERY input row on one task —
+# the worst case of the hot-key class by construction (VERDICT r12
+# wrong #2). The extractor (tools/plan_hashes.window_partition_keys)
+# records it as the sentinel "<global>", and unlike column keys the
+# review is PER QUERY: a global window is only safe when the frame
+# feeding it is already reduced to a task-sized row count, which is a
+# property of that query's plan, not of any key. Each entry names the
+# feeding frame's rows bound (SCALE.md "Window inventory").
+ALLOWED_GLOBAL_WINDOW_QUERIES = {
+    "curation_budget_mixture": (
+        "both global windows run over the per-source aggregate "
+        "(plans/mlprep.py greedy budget walk) — <= #sources rows (20 "
+        "at sf0.01), reduced before the window"
+    ),
+    "window_ratio_to_report": (
+        "ratio-to-report denominator over the nation-level aggregate "
+        "— <= #nations rows (25), dimension-bounded"
+    ),
+    "text_bm25_topk": (
+        "rank window over orderBy().limit(10) — TakeOrderedAndProject "
+        "reduces the corpus to 10 rows BEFORE the window"
+    ),
+    "retrieval_hybrid_rrf": (
+        "three rank windows, each over a limit(20)/limit(20)/limit(10) "
+        "shortlist — all frames list-k-bounded before the window"
+    ),
+    "text_zipf_slope": (
+        "rank window over the top-50 limit frame (the full-vocabulary "
+        "top-k is TakeOrderedAndProject, NOT this window)"
+    ),
+    "text_bpe_vocab_apply": (
+        "rank window over the per-SYMBOL frequency table — symbols "
+        "are the character alphabet + n_rounds merges (~130 rows), "
+        "alphabet-bounded, not corpus-bounded"
+    ),
+}
+
+
+def _global_window_offenders(wkeys: dict) -> dict:
+    return {
+        q: "unreviewed global window"
+        for q, ks in wkeys.items()
+        if "<global>" in ks and q not in ALLOWED_GLOBAL_WINDOW_QUERIES
+    }
+
 
 def test_every_window_partition_key_is_allowlisted():
     with open(os.path.join(REPO, "WINDOW_KEYS.json"), encoding="utf-8") as fh:
         wkeys = json.load(fh)
     offenders = {
-        q: sorted(set(ks) - set(ALLOWED_WINDOW_KEYS))
+        q: sorted(set(ks) - set(ALLOWED_WINDOW_KEYS) - {"<global>"})
         for q, ks in wkeys.items()
-        if set(ks) - set(ALLOWED_WINDOW_KEYS)
+        if set(ks) - set(ALLOWED_WINDOW_KEYS) - {"<global>"}
     }
     assert not offenders, (
         f"window partition keys outside the reviewed inventory: "
@@ -73,6 +120,61 @@ def test_every_window_partition_key_is_allowlisted():
         f"inventory') or add the key here WITH its boundedness "
         f"argument and a SCALE.md table row"
     )
+
+
+def test_global_windows_are_per_query_reviewed():
+    """Every query whose plan contains a zero-partition-key window must
+    be individually allowlisted with its feeding frame's rows bound —
+    the column-key allowlist cannot cover it (an empty spec has no key
+    to review)."""
+    with open(os.path.join(REPO, "WINDOW_KEYS.json"), encoding="utf-8") as fh:
+        wkeys = json.load(fh)
+    offenders = _global_window_offenders(wkeys)
+    assert not offenders, (
+        f"queries with a GLOBAL window (empty partition spec — ALL rows "
+        f"on one task) outside the reviewed list: {sorted(offenders)} — "
+        f"either partition the window, pre-reduce the frame and add the "
+        f"query to ALLOWED_GLOBAL_WINDOW_QUERIES with its rows bound, "
+        f"or rewrite as an aggregate + broadcast join"
+    )
+    # The review list carries no dead entries: every allowlisted query
+    # still has a global window in its live plan.
+    dead = sorted(
+        q for q in ALLOWED_GLOBAL_WINDOW_QUERIES
+        if "<global>" not in set(wkeys.get(q, []))
+    )
+    assert not dead, (
+        f"ALLOWED_GLOBAL_WINDOW_QUERIES entries whose plans no longer "
+        f"contain a global window: {dead} — retire them"
+    )
+
+
+def test_global_window_gate_fails_on_unreviewed_entry():
+    """Red-test proof (VERDICT r12 'Done =' condition): an unreviewed
+    query whose key list contains the <global> sentinel is flagged."""
+    fake = {"some_new_query": ["<global>"], "doc_id_query": ["doc_id"]}
+    offenders = _global_window_offenders(fake)
+    assert offenders == {"some_new_query": "unreviewed global window"}
+    # ...and the extractor actually emits the sentinel for an empty
+    # partition spec, anchored on the real analyzed-plan syntax.
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from plan_hashes import window_partition_keys
+
+    plan = (
+        "Window [sum(x#1L) windowspecdefinition(y#2 ASC NULLS FIRST, "
+        "specifiedwindowframe(RangeFrame, unboundedpreceding$(), "
+        "currentrow$()))], [y#2 ASC NULLS FIRST]"
+    )
+    assert window_partition_keys(plan) == {"<global>"}
+    # a partitioned spec still extracts its key, and a key expression
+    # containing ' ASC' as a literal is NOT dropped (ADVICE r12 #4)
+    plan2 = (
+        "Window [row_number() windowspecdefinition(concat(k#3,  ASC)#9, "
+        "y#2 DESC NULLS LAST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$()))]"
+    )
+    assert window_partition_keys(plan2) == {"concat(k,  ASC)"}
 
 
 def test_window_keys_snapshot_in_sync_with_plan_hashes():

@@ -267,25 +267,41 @@ def _split_top_args(plan: str, open_idx: int) -> list[str]:
     return out
 
 
+# An analyzed-plan sort order always renders as "<expr> ASC NULLS
+# FIRST" / "<expr> DESC NULLS LAST" inside windowspecdefinition —
+# anchor on that suffix, not substring containment, so a partition-key
+# EXPRESSION whose text merely contains " ASC"/" DESC" (e.g. a string
+# literal) cannot be silently dropped from the inventory (ADVICE r12).
+_SORT_ORDER_RX = re.compile(r" (ASC|DESC) NULLS (FIRST|LAST)$")
+
+
 def window_partition_keys(plan: str) -> set[str]:
     """Partition-key expressions of every ``windowspecdefinition`` in
     a plan string, exprIds stripped — the raw material of the hot-key
     window inventory (SCALE.md "Window inventory";
     tests/test_window_inventory.py). Sort orders carry ``ASC``/
-    ``DESC`` markers and the frame is ``specifiedwindowframe(...)``;
-    everything else in the spec's argument list is a partition key."""
+    ``DESC`` suffixes and the frame is ``specifiedwindowframe(...)``;
+    everything else in the spec's argument list is a partition key.
+
+    A spec with ZERO partition keys is a GLOBAL window — Spark moves
+    ALL input rows to a single task ("WindowExec: No Partition
+    Defined" warning), the worst case of the hot-key class by
+    construction. It is recorded as the sentinel ``<global>`` so the
+    inventory gate can require a per-query rows-bound review instead
+    of passing it trivially (VERDICT r12 wrong #2)."""
     keys: set[str] = set()
     for m in re.finditer(r"windowspecdefinition\(", plan):
+        part_keys: list[str] = []
         for a in _split_top_args(plan, m.end() - 1):
             a = a.strip()
             if (
                 not a
                 or a.startswith("specifiedwindowframe(")
-                or " ASC" in a
-                or " DESC" in a
+                or _SORT_ORDER_RX.search(a)
             ):
                 continue
-            keys.add(re.sub(r"#\d+L?", "", a))
+            part_keys.append(re.sub(r"#\d+L?", "", a))
+        keys.update(part_keys or ["<global>"])
     return keys
 
 
