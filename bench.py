@@ -255,6 +255,15 @@ def main() -> int:
         "calibration_sec": calibration,
         "calibration_single_sec": calibration_single,
         "cpu_count": os.cpu_count(),
+        # quiet-window annotation (VERDICT r12 stretch #9): True when
+        # the PRE-JVM 1-min load was under 25% of the core budget —
+        # the regime where headline numbers are epoch-comparable.
+        # Annotates rather than refuses: the driver channel must
+        # always produce an artifact, and calibration_sec already
+        # normalizes; this flag just says whether normalization had
+        # to do any work. A False here means re-run in a quiet window
+        # before reading a swing as a plan change.
+        "quiet": loadavg_start[0] <= 0.25 * (os.cpu_count() or 32),
     }
 
     # Calibrated headline watch (VERDICT.md r8 next-round #3): compare

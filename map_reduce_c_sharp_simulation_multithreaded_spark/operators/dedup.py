@@ -735,6 +735,19 @@ def cut_spans(
     given (id, start, end) spans, emit each document's KEPT segments —
     the maximal character ranges outside every span.
 
+    PRECONDITION (public contract, ADVICE r12): spans within one
+    document must be pairwise DISJOINT AND NON-ADJACENT (a gap of at
+    least one character between consecutive spans) — the complement
+    zip below assumes it, and overlapping or touching spans would
+    yield inverted or overlapping segments. ``_span_islands`` output
+    (both ExactSubstr and contamination detectors) guarantees this by
+    construction: islands merge any overlapping or adjacent covered
+    intervals before they reach this operator. Callers supplying
+    their own spans must pre-merge the same way rather than rely on a
+    defensive in-row merge here — an O(n²) immutable-array fold per
+    document inside the hot ExactSubstr pipeline, declined for the
+    same measured-cost reason as the positional filter (SCALE.md).
+
     Segments are emitted as rows, NOT re-joined into one string:
     re-joining would form new grams across the cut seams, so the
     paper's invariant ("the deduplicated corpus contains no duplicated
@@ -905,6 +918,19 @@ def contamination_spans(
     drops, never a wrong answer. The only shuffles in the plan are
     over MATCHED positions (contaminated tails only): the verify
     regroup and the island merge's id-keyed window.
+
+    Recompute, documented (ADVICE r12): the ``cand`` subtree — the
+    full train-side position scan + hash semi join — feeds BOTH the
+    ``match_h`` broadcast build and the verify regroup, so the train
+    scan runs twice per action, the same two-map-scans-for-no-shuffle
+    trade adjudicated for :func:`exact_substr_spans` (SCALE.md): both
+    evaluations are embarrassingly parallel map work with zero train-
+    side shuffle, while the alternatives either blind the plan
+    fingerprint (``localCheckpoint`` collapses the analyzed plan to a
+    scan tail) or leak a cache this lazily-returned operator has no
+    point to unpersist at. A pipeline that materializes the result
+    anyway (e.g. writing the decontaminated corpus) pays the second
+    scan once.
 
     Returns (id_col, span_start, span_end, span_len, n_windows),
     1-based inclusive character positions into the training doc.

@@ -195,6 +195,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_cross_region_nation",
     "filter_null_safe_eq",
     "unpivot_part_attrs",
+    # --- position 55: r13 plan change outside the driver slots —
+    # ADVICE r12 #2 lifted the inverted index's hardcoded 32-shard
+    # literal into _index_shard_count (defaultParallelism-derived,
+    # result-invariant for any shard count; sf0.01 re-verified against
+    # the unchanged oracle this round). Driver row covers the old
+    # 32-shard plan (r12); the parameterized plan rides r14. ---
+    "text_inverted_index",
 )
 
 

@@ -9,6 +9,8 @@ same thing relationally.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1136,6 +1138,23 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_shard_count(spark: SparkSession) -> int:
+    """Phase-1 shard count for the inverted-index two-phase top-N —
+    the documented scaling knob (ADVICE r12): a stopword term's rows
+    (and its phase-1 collect_list buffer, O(rows_per_term / shards)
+    structs in one non-spillable agg buffer) divide across this many
+    tasks, so it must scale with cluster width. Default: the session's
+    ``defaultParallelism`` (32 under the bench's local[32], 1000s on
+    a real cluster), floored at 16 so a narrow test session still
+    exercises the sharded shape; ``MRCS_INDEX_SHARDS`` overrides for
+    A/B runs. Result-invariant by construction — phase 2 re-merges to
+    the exact first-20-by-doc_id for ANY shard count ≥ 1."""
+    env = os.environ.get("MRCS_INDEX_SHARDS")
+    if env:
+        return max(1, int(env))
+    return max(16, spark.sparkContext.defaultParallelism)
+
+
 @register(
     "text_inverted_index",
     oracle=r"""
@@ -1178,11 +1197,13 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     OUTPUT, but a stopword term still lands its every (tok, doc) row
     on ONE window task first. It is now the repo's sharded two-phase
     top-N (the mega-source quota pattern): phase 1 takes the first 20
-    by doc id within (tok, shard-of-doc_id) — 32 shards divide the
-    hot term's rows (and its collect-list build memory) across 32
-    tasks — and phase 2 merges ≤ 32×20 survivors per term, a bounded
-    array; shard count scales with cluster width if 1/32nd of a
-    stopword is still too big. df/total_tf aggregate the UNCAPPED
+    by doc id within (tok, shard-of-doc_id) — S shards divide the
+    hot term's rows (and its collect-list build memory, the
+    O(rows_per_term/S) non-spillable phase-1 buffer) across S
+    tasks — and phase 2 merges ≤ S×20 survivors per term, a bounded
+    array; S comes from :func:`_index_shard_count` (defaultParallelism,
+    env-overridable), so the documented scaling knob exists as a
+    parameter, not a literal. df/total_tf aggregate the UNCAPPED
     (tok, doc)
     table with plain combiner-friendly aggregates; tf is CACHED so
     the stats and postings branches share one tokenization pass.
@@ -1205,9 +1226,10 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").alias("total_tf"),
     )
     # sharded two-phase first-20-by-doc_id: phase 1 caps within
-    # (tok, shard) so a stopword's rows split across 32 tasks; phase 2
-    # merges the ≤ 32×20 survivors — no single-task hot key anywhere
-    shard = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(32)).alias("_sh")
+    # (tok, shard) so a stopword's rows split across S tasks; phase 2
+    # merges the ≤ S×20 survivors — no single-task hot key anywhere
+    n_shards = _index_shard_count(spark)
+    shard = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_shards)).alias("_sh")
     ph1 = tf.groupBy("tok", shard).agg(
         F.slice(
             F.array_sort(F.collect_list(F.struct("doc_id", "tf"))), 1, 20

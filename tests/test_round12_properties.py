@@ -152,3 +152,35 @@ def test_decontaminated_corpus_has_no_eval_gram(spark, train, evals):
         if r.seg_text[i : i + L] in eval_grams
     }
     assert not leaked, f"eval grams survive decontamination: {leaked}"
+
+
+@SLOW
+@given(texts=CORPUS)
+@example(texts=["abab", "abab"])
+@example(texts=["aabaa", "baaba", "abaab"])
+@example(texts=["abbbbba", "bbbbb"])
+@example(texts=["aaab", "baaa"])
+def test_cut_output_is_a_fixpoint_of_exact_substr(spark, texts):
+    """The DIRECT form of the paper's convergence check (VERDICT r12
+    next-round #5): running the DETECTOR on the cut output — kept
+    segments as documents — finds ZERO spans. Stronger than gram
+    counting through one subtlety it exercises for free: the detector
+    counts WITHIN-document repeats too, so the fixpoint also certifies
+    that no kept segment internally repeats a gram. One pass suffices
+    (cut(cut(x)) == cut(x)) because surgery removes EVERY occurrence
+    of a duplicated gram, not all-but-one."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+        exact_substr_spans,
+    )
+
+    segs = _run_cut(spark, texts)
+    rows = [
+        (r.doc_id * 1000 + r.seg_id, r.seg_text) for r in segs
+    ]
+    if not rows:
+        return  # fully-duplicated corpus: empty output is trivially fixed
+    seg_df = spark.createDataFrame(rows, "doc_id long, text string")
+    residual = exact_substr_spans(seg_df, "doc_id", "text", min_len=L).collect()
+    assert not residual, (
+        f"detector finds spans in its own cut output: {residual}"
+    )
