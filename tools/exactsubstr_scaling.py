@@ -240,19 +240,18 @@ def longdoc_full(spark, total_chars: int = 1_500_000) -> dict:
     return out
 
 
-def window_vs_groupby(spark, sf: str = "sf0.1") -> dict:
-    """Experiment 4: wall A/B of the retired Window-occurrence-count
-    prune against the shipped groupBy+semi-join shape, same answers."""
+def _ab_shapes(d) -> dict:
+    """Wall A/B of the retired Window-occurrence-count prune against
+    the shipped groupBy+semi-join shape on corpus ``d`` (cached for
+    the duration), same answers asserted."""
     from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
         _candidate_literal_grams,
         _hashed_gram_positions,
         _span_islands,
     )
 
-    sf_dir = f"/root/testdata/{sf}"
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.cache()
-    d.count()
+    n_docs = d.count()
 
     def window_variant():
         # the round-11 shape, reconstructed for the A/B: occurrence
@@ -276,7 +275,7 @@ def window_vs_groupby(spark, sf: str = "sf0.1") -> dict:
     def groupby_variant():
         return exact_substr_spans(d)
 
-    rows = {}
+    rows = {"n_docs": n_docs}
     for label, mk in (("window", window_variant), ("groupby", groupby_variant)):
         mk().count()  # warm
         t0 = time.perf_counter()
@@ -291,9 +290,79 @@ def window_vs_groupby(spark, sf: str = "sf0.1") -> dict:
     return rows
 
 
+def window_vs_groupby(spark, sf: str = "sf0.1") -> dict:
+    """Experiment 4: the sf0.1 A/B (see :func:`_ab_shapes`)."""
+    d = load_table(spark, f"/root/testdata/{sf}", "documents").select(
+        "doc_id", "text"
+    )
+    return _ab_shapes(d)
+
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _multiply_corpus(d, k: int):
+    """K disjoint copies of corpus ``d`` with the i-th copy's text
+    passed through an i-rotated alphabet substitution: each copy keeps
+    the ORIGINAL's internal duplicate structure exactly (substitution
+    is a bijection on characters, so gram equality within a copy is
+    preserved), while cross-copy grams differ wherever they contain a
+    letter — position volume scales by K at a ~constant duplicate
+    fraction, instead of the everything-duplicates degenerate corpus
+    naive replication would produce."""
+    copies = []
+    for i in range(k):
+        rot = _ALPHA[i:] + _ALPHA[:i]
+        copies.append(
+            d.select(
+                (F.col("doc_id") + F.lit(i * 1_000_000_000)).alias("doc_id"),
+                F.translate(F.lower(F.col("text")), _ALPHA, rot).alias("text"),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def recompute_trade_ladder(spark) -> dict:
+    """Experiment 5 (round 13, VERDICT r12 next-round #6): the
+    groupBy+semi shape costs ~2× the window shape at sf0.1 because the
+    semi join evaluates the position scan twice — a CONSTANT factor of
+    embarrassingly-parallel map work — while the window shape's cost
+    carries the full position-width shuffle plus the hot-key straggler,
+    which grow with the corpus. This ladder shows the curves: time
+    both shapes at sf0.01 → sf0.1 → 2× and 4× synthetic multiples of
+    sf0.1 (see :func:`_multiply_corpus`); the groupby/window ratio
+    should flatten or fall as position volume grows, even at
+    local[32] where the straggler is only 32-way."""
+    rungs = {}
+    d01 = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    d1 = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    for label, df in (
+        ("sf0.01", d01),
+        ("sf0.1", d1),
+        ("sf0.1x2", _multiply_corpus(d1, 2)),
+        ("sf0.1x4", _multiply_corpus(d1, 4)),
+    ):
+        print(f"--- ladder rung {label}")
+        rungs[label] = _ab_shapes(df)
+    return rungs
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--ladder-only",
+        action="store_true",
+        help="run only the recompute-trade ladder (experiment 5) and "
+        "merge it into the existing --json artifact",
+    )
     args = ap.parse_args()
 
     spark = get_spark("mrcs_exactsubstr_scaling")
@@ -301,15 +370,29 @@ def main() -> int:
     calibration = host_speed_probe(spark)
     print(f"# host_speed_probe: {calibration}s", file=sys.stderr)
 
-    artifact = {
-        "calibration_sec": calibration,
-        "cpu_count": os.cpu_count(),
-        "min_len": L,
-        "funnel": funnel(spark),
-        "longdoc_ab_fixed_total_chars": longdoc_ab(spark),
-        "longdoc_full_pipeline": longdoc_full(spark),
-        "window_vs_groupby_sf0.1": window_vs_groupby(spark),
-    }
+    if args.ladder_only:
+        artifact = {}
+        if args.json and os.path.exists(args.json):
+            with open(args.json, encoding="utf-8") as fh:
+                artifact = json.load(fh)
+        artifact["recompute_trade_ladder"] = {
+            "calibration_sec": calibration,
+            "rungs": recompute_trade_ladder(spark),
+        }
+    else:
+        artifact = {
+            "calibration_sec": calibration,
+            "cpu_count": os.cpu_count(),
+            "min_len": L,
+            "funnel": funnel(spark),
+            "longdoc_ab_fixed_total_chars": longdoc_ab(spark),
+            "longdoc_full_pipeline": longdoc_full(spark),
+            "window_vs_groupby_sf0.1": window_vs_groupby(spark),
+            "recompute_trade_ladder": {
+                "calibration_sec": calibration,
+                "rungs": recompute_trade_ladder(spark),
+            },
+        }
     if args.json:
         with open(args.json, "w", encoding="utf-8") as fh:
             json.dump(artifact, fh, indent=0, sort_keys=True)
