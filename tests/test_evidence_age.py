@@ -130,3 +130,32 @@ def test_debuts_are_in_window():
         f"registered queries with no driver evidence and no window slot: "
         f"{missing}"
     )
+
+
+def test_deferred_overflow_rides_at_most_one_extra_round():
+    """Tuple positions beyond the driver's 50 verified slots are a
+    DEFERRAL, not a parking lot. The age gate accepts membership
+    anywhere in DRIVER_WINDOW, so without this rule a stale query
+    could sit at position 51+ through every future rotation and never
+    regain driver evidence (the off-by-N class the r11 and r12
+    verdicts each had to adjudicate by hand). Rule: an evidenced
+    query at position 51+ must have evidence no older than
+    latest − 3 − grace — exactly old enough to have been displaced
+    once, too old to be displaced twice; staler queries must occupy a
+    verified slot (positions 1–50). Debuts (no evidence) are outside
+    this rule — their promise is pinned by test_debuts_are_in_window
+    and their first driver row starts this clock."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
+
+    evidence, latest = _latest_evidence()
+    bound = latest - 3 - _rotation_grace()
+    overflow = registry.DRIVER_WINDOW[50:]
+    too_old = sorted(
+        n for n in overflow
+        if n in evidence and evidence[n] < bound
+    )
+    assert not too_old, (
+        f"queries deferred to DRIVER_WINDOW positions 51+ for a second "
+        f"consecutive rotation (evidence older than r{bound:02d}): "
+        f"{too_old} — move them into the verified first 50"
+    )
