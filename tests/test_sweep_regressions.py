@@ -47,33 +47,15 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 # at 0.466 s vs the r10 artifact's 0.521 s — the r10 flag was the
 # documented latency epoch, confirmed gone, not plan cost.
 ALLOWLIST: dict[str, str] = {
-    # Round 12, self-retiring at the r13 sweep: the VERDICT r11
-    # wrong-#1 fix (occurrence counts as groupBy+left-semi instead of
-    # Window.partitionBy(gram hash)) measured 2.0× the window shape
-    # warm at sf0.1 (EXACTSUBSTR_SCALING.json window_vs_groupby:
-    # 5.03 s → 10.05 s, identical 476 spans) — a KNOWN, adjudicated
-    # trade, not drift: the agg+semi shape re-evaluates the position
-    # scan on both sides of the semi join (2 map-side scans that
-    # parallelize perfectly) in exchange for eliminating the
-    # position-width shuffle entirely (AQE broadcasts the
-    # duplicated-hash tail; 22 B × 10¹⁴ positions ≈ 2.2 PB of shuffle
-    # at 100 TB under the old shape, with a hot boilerplate gram
-    # pinned to ONE window task). Local wall pays; the 1000-executor
-    # plan wins. Full decomposition in SCALE.md.
-    "dedup_exact_substr_spans": "r11-advised hot-key fix: 2 scans for 0 position shuffle",
-    # Round 12, self-retiring at the r13 sweep: the same hot-key law
-    # applied to dedup_span_windows — "first occurrence per span hash"
-    # moved from row_number window to min(struct)+per-doc-count
-    # (SCALE.md Window inventory). 0.508 s → 0.878 s warm at sf0.1
-    # (~1.56× normalized): two combiner-friendly aggregates + an
-    # id-keyed join replace one window — a bounded local constant for
-    # removing the one-task hot span at corpus scale. Answers
-    # unchanged (oracle re-green tri-scale). Note the same audit's
-    # other rewrites got FASTER (multimodal_pipeline_neardup 0.46 →
-    # 0.25 s, pipeline_curate_corpus 0.55 → 0.46 s) — the trade's
-    # sign depends on how much the old window's sort cost; the scale
-    # argument is the same for all of them.
-    "dedup_span_windows": "r12 hot-key fix: min(struct) agg replaces row_number window",
+    # EMPTY at r13 close (VERDICT r12 next-round #3): the two r12
+    # entries (dedup_exact_substr_spans, dedup_span_windows — the
+    # adjudicated hot-key-law trades) self-retired on schedule. The
+    # r13 sweep (SWEEP_r13.json vs SWEEP_r12.json) flagged NEITHER:
+    # their plans were stable all round, so the diff gate saw the
+    # same adjudicated cost on both sides. Full adjudications live in
+    # SCALE.md ("Window inventory" + the ReuseExchange decline) and
+    # EXACTSUBSTR_SCALING.json (window_vs_groupby +
+    # recompute_trade_ladder).
 }
 
 
