@@ -184,3 +184,47 @@ def test_cut_output_is_a_fixpoint_of_exact_substr(spark, texts):
     assert not residual, (
         f"detector finds spans in its own cut output: {residual}"
     )
+
+
+@SLOW
+@given(
+    positions=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=25
+    )
+)
+@example(positions=[1, 4])           # gap == L: one island (touching covers)
+@example(positions=[1, 5])           # gap == L+1: two islands, 1-char gap
+@example(positions=[1, 1, 2, 9, 9])  # duplicates + interior split
+def test_span_islands_output_is_disjoint_and_non_adjacent(spark, positions):
+    """The precondition cut_spans' public contract leans on (ADVICE
+    r12 #3): _span_islands output within a document is sorted,
+    pairwise DISJOINT and NON-ADJACENT (next.start > prev.end + 1),
+    and covers exactly the union of the marked [p, p+L-1] intervals.
+    Pinning it here makes the contract chain airtight: both detectors
+    emit islands, islands satisfy the precondition, cut_spans assumes
+    it."""
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+        _span_islands,
+    )
+
+    marked = spark.createDataFrame(
+        [(1, p) for p in positions], "_id long, _p long"
+    )
+    rows = sorted(
+        _span_islands(marked, L).collect(), key=lambda r: r.span_start
+    )
+    covered_ref = set()
+    for p in positions:
+        covered_ref.update(range(p, p + L))
+    covered_got = set()
+    prev_end = None
+    for r in rows:
+        assert r.span_end >= r.span_start
+        if prev_end is not None:
+            assert r.span_start > prev_end + 1, (
+                f"adjacent or overlapping islands: prev_end={prev_end}, "
+                f"next_start={r.span_start}"
+            )
+        prev_end = r.span_end
+        covered_got.update(range(r.span_start, r.span_end + 1))
+    assert covered_got == covered_ref
