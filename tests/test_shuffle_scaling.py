@@ -1,0 +1,111 @@
+"""Shuffle-scaling gate (round 13) — the growth-law companion to the
+single-scale shuffle audit.
+
+``tools/shuffle_scaling.py`` fits each query's shuffle-volume exponent
+across the sf0.01 → sf0.1 row step (10×). The audit proves "the
+shuffle is N bytes and matches the plan shape"; this gate proves "and
+it GROWS like the data" — the property that actually decides whether
+a plan survives 100×. Any query classified above linear (or whose
+shuffle emerges from zero) must carry a written adjudication naming
+the growth driver: SEMANTIC growth (densifying edge set, pair-emitting
+output) or a measured toy-scale artifact — never an unexplained
+quadratic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# query -> why its >linear two-point exponent is not a scale bug.
+# Every entry must name measured evidence, mirroring SCALE.md
+# ("Shuffle growth laws").
+ADJUDICATED_SUPERLINEAR = {
+    "graph_pagerank_directed": (
+        "two-point artifact of an anomalously CHEAP lower rung, not a "
+        "growth law: decomposed by n_iter probe (SCALE.md) — per-"
+        "iteration shuffle at sf0.1 is ~11 MB/iter = edges x ~19 B "
+        "(edge-LINEAR; 587k edges), while sf0.01 iterations are near-"
+        "shuffle-free (~17 KB/iter: AQE collapses the toy-scale rank "
+        "agg), so the exponent reads 1.6 against a linear asymptote. "
+        "Edge densification itself is exponent 1.08 (48.5k -> 587k "
+        "distinct cust-supp pairs on a 10x lineitem step, measured)"
+    ),
+    "graph_pagerank_suppliers": (
+        "same decomposition as graph_pagerank_directed (symmetrized "
+        "edge set, same loop): linear in edges per iteration, cheap "
+        "toy-scale lower rung inflates the two-point fit to 1.27"
+    ),
+    "graph_bfs_supplier_hops": (
+        "same family, same lower-rung effect (1.21): per-hop frontier "
+        "join + anti join shuffle the FRONTIER, which grows with graph "
+        "connectivity between the toy scales; hop-bounded at 3, "
+        "frontier <= nodes, asymptotically edge-linear"
+    ),
+    "tpch_q2_min_cost_supplier": (
+        "1.10 — the correlated-min subquery's partsupp aggregate "
+        "crosses from AQE-coalesced/broadcast shapes at sf0.01 to "
+        "genuine exchanges at sf0.1; partsupp itself grows exactly "
+        "10x, and the 1.84x measured input-bytes ratio shows the "
+        "lower rung is metadata-dominated (footers, not data)"
+    ),
+}
+
+
+def _load():
+    with open(os.path.join(REPO, "SHUFFLE_SCALING.json"), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def test_no_unadjudicated_superlinear_shuffle_growth():
+    art = _load()
+    offenders = {
+        q: r
+        for q, r in art["queries"].items()
+        if r["class"] in ("superlinear", "mildly_super", "emergent")
+        and q not in ADJUDICATED_SUPERLINEAR
+    }
+    assert not offenders, (
+        f"queries whose shuffle grows faster than the data without a "
+        f"written adjudication: "
+        f"{ {q: r.get('exponent', r['class']) for q, r in offenders.items()} }"
+        f" — decompose the growth (setup vs per-unit, strategy "
+        f"transition vs true quadratic) and either fix the plan or add "
+        f"the adjudication here WITH measured evidence"
+    )
+
+
+def test_adjudications_match_live_artifact():
+    """No dead entries: every adjudicated query is still above linear
+    in the committed artifact — a fixed plan retires its entry."""
+    art = _load()
+    dead = sorted(
+        q
+        for q in ADJUDICATED_SUPERLINEAR
+        if art["queries"].get(q, {}).get("class")
+        not in ("superlinear", "mildly_super", "emergent")
+    )
+    assert not dead, (
+        f"adjudicated queries no longer above linear: {dead} — retire "
+        f"their entries"
+    )
+
+
+def test_scaling_artifact_is_broad_and_sound():
+    """The artifact covers the audited registry (same skip set as the
+    shuffle audit) and its class arithmetic adds up."""
+    art = _load()
+    assert len(art["queries"]) >= 180, (
+        f"only {len(art['queries'])} queries in SHUFFLE_SCALING.json — "
+        f"regenerate with tools/shuffle_scaling.py"
+    )
+    counts: dict[str, int] = {}
+    for r in art["queries"].values():
+        counts[r["class"]] = counts.get(r["class"], 0) + 1
+    assert counts == art["class_counts"]
+    # the overwhelming majority of the registry must be at-or-under
+    # linear or absolutely bounded — the repo-wide scale posture
+    good = counts.get("bounded", 0) + counts.get("linear_or_less", 0)
+    assert good / len(art["queries"]) > 0.9
