@@ -1,0 +1,194 @@
+"""Grammar-restricted differential SQL fuzzing: Spark vs DuckDB on the
+same parquet tables (round 13).
+
+Every registered query is differentially tested against a hand-built
+oracle; this suite closes the remaining gap — the HAND in hand-built.
+Hypothesis generates queries from a restricted relational grammar
+(single fact table, optional dimension join, exact-typed predicates,
+COUNT/SUM-on-integer/MIN/MAX aggregates, optional HAVING) and runs the
+IDENTICAL SQL text through `spark.sql` and DuckDB, comparing with the
+same canonicalizer the oracle harness uses (`oracle.compare` — the
+type-tagged, float-repr comparator that caught the int-vs-float driver
+hash skew in round 3).
+
+The grammar is deliberately inside the dialect intersection AND the
+exactness envelope the repo's oracle discipline established:
+- no SUM/AVG over DOUBLE (partial-agg order would leak ulps); SUM only
+  over integer columns, MIN/MAX over anything (selection, not
+  arithmetic),
+- no LIMIT / ORDER BY (compare() sorts canonically),
+- literals from the synthetic data's ranges so predicates are
+  selective rather than degenerate,
+- COUNT(*) always present, so group-cardinality skew can never hide.
+
+What this catches that per-query oracles cannot: engine-integration
+regressions in shapes NO registered query happens to exercise — a
+grouping-column type coercion, a predicate-pushdown edge, a HAVING
+over a computed alias — the combinatorial neighborhood around the
+hand-written inventory.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from map_reduce_c_sharp_simulation_multithreaded_spark import oracle as ora
+
+SF_DIR = os.environ.get("MRCS_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# fact table -> (group-by columns, integer sum columns, min/max
+# columns, numeric predicate columns with literal ranges, string
+# predicate columns with LIKE fragments, optional join clause)
+TABLES = {
+    "orders": {
+        "group": ["o_orderstatus", "o_orderpriority"],
+        "sum": ["o_orderkey", "o_custkey"],
+        "minmax": ["o_totalprice", "o_orderpriority", "o_custkey"],
+        "numpred": [("o_custkey", 0, 400), ("o_totalprice", 0.0, 300000.0)],
+        "strpred": [("o_orderpriority", ["1", "2", "3", "4", "5"])],
+        "joins": [
+            (
+                "JOIN customer ON o_custkey = c_custkey",
+                ["c_mktsegment", "c_nationkey"],
+            )
+        ],
+    },
+    "lineitem": {
+        "group": ["l_returnflag", "l_linestatus", "l_linenumber"],
+        "sum": ["l_orderkey", "l_partkey", "l_linenumber"],
+        "minmax": ["l_quantity", "l_extendedprice", "l_shipdate"],
+        "numpred": [
+            ("l_quantity", 1.0, 50.0),
+            ("l_partkey", 0, 2000),
+            ("l_linenumber", 1, 7),
+        ],
+        "strpred": [("l_returnflag", ["A", "N", "R"])],
+        "joins": [
+            (
+                "JOIN orders ON l_orderkey = o_orderkey",
+                ["o_orderstatus", "o_orderpriority"],
+            )
+        ],
+    },
+    "customer": {
+        "group": ["c_mktsegment", "c_nationkey"],
+        "sum": ["c_custkey", "c_nationkey"],
+        "minmax": ["c_acctbal", "c_name", "c_custkey"],
+        "numpred": [("c_acctbal", -999.0, 9999.0), ("c_nationkey", 0, 24)],
+        "strpred": [("c_name", ["1", "2", "3"])],
+        "joins": [
+            (
+                "JOIN nation ON c_nationkey = n_nationkey",
+                ["n_name", "n_regionkey"],
+            )
+        ],
+    },
+    "part": {
+        "group": ["p_brand", "p_type", "p_size"],
+        "sum": ["p_partkey", "p_size"],
+        "minmax": ["p_retailprice", "p_name", "p_size"],
+        "numpred": [("p_size", 1, 50), ("p_retailprice", 900.0, 2000.0)],
+        "strpred": [("p_brand", ["1", "2", "3", "4"])],
+        "joins": [],
+    },
+}
+
+OPS = ["=", "<>", "<", "<=", ">", ">="]
+
+
+@st.composite
+def queries(draw):
+    tname = draw(st.sampled_from(sorted(TABLES)))
+    t = TABLES[tname]
+    join_sql, join_groups = "", []
+    if t["joins"] and draw(st.booleans()):
+        join_sql, join_groups = t["joins"][0]
+    gpool = t["group"] + join_groups
+    n_groups = draw(st.integers(min_value=0, max_value=2))
+    groups = draw(
+        st.lists(
+            st.sampled_from(gpool),
+            min_size=n_groups,
+            max_size=n_groups,
+            unique=True,
+        )
+    )
+    aggs = ["COUNT(*) AS cnt"]
+    if draw(st.booleans()):
+        aggs.append(f"SUM({draw(st.sampled_from(t['sum']))}) AS s1")
+    if draw(st.booleans()):
+        col = draw(st.sampled_from(t["minmax"]))
+        fn = draw(st.sampled_from(["MIN", "MAX"]))
+        aggs.append(f"{fn}({col}) AS m1")
+
+    preds = []
+    n_preds = draw(st.integers(min_value=0, max_value=2))
+    for _ in range(n_preds):
+        if draw(st.booleans()) and t["strpred"]:
+            col, frags = draw(st.sampled_from(t["strpred"])), None
+            frag = draw(st.sampled_from(col[1]))
+            preds.append(f"{col[0]} LIKE '%{frag}%'")
+        else:
+            col, lo, hi = draw(st.sampled_from(t["numpred"]))
+            if isinstance(lo, float):
+                lit = round(draw(st.floats(min_value=lo, max_value=hi,
+                                           allow_nan=False)), 2)
+            else:
+                lit = draw(st.integers(min_value=lo, max_value=hi))
+            preds.append(f"{col} {draw(st.sampled_from(OPS))} {lit}")
+    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+    group_by = f" GROUP BY {', '.join(groups)}" if groups else ""
+    having = ""
+    if groups and draw(st.booleans()):
+        having = f" HAVING COUNT(*) > {draw(st.integers(0, 5))}"
+    select = ", ".join(groups + aggs)
+    return (
+        f"SELECT {select} FROM {tname} {join_sql}{where}{group_by}{having}"
+    )
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    for name in sorted(TABLES) + ["nation"]:
+        spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet")) \
+            .createOrReplaceTempView(name)
+    con = ora.duckdb_connect(SF_DIR)
+    yield spark, con
+    con.close()
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(sql=queries())
+@example(sql="SELECT COUNT(*) AS cnt FROM orders ")
+@example(
+    sql="SELECT o_orderstatus, COUNT(*) AS cnt, SUM(o_custkey) AS s1 "
+    "FROM orders  WHERE o_custkey <= 200 GROUP BY o_orderstatus "
+    "HAVING COUNT(*) > 2"
+)
+@example(
+    sql="SELECT c_mktsegment, n_name, COUNT(*) AS cnt, "
+    "MIN(c_acctbal) AS m1 FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY c_mktsegment, n_name"
+)
+@example(
+    sql="SELECT l_returnflag, COUNT(*) AS cnt, MAX(l_shipdate) AS m1 "
+    "FROM lineitem  WHERE l_quantity > 25.0 GROUP BY l_returnflag"
+)
+def test_generated_query_agrees_across_engines(engines, sql):
+    spark, con = engines
+    scols, srows = ora.spark_result(spark.sql(sql))
+    ocols, orows = ora.oracle_result(con, sql)
+    res = ora.compare(scols, srows, ocols, orows)
+    assert res["ok"], f"engines disagree on: {sql}\n{res}"

@@ -68,3 +68,34 @@ def test_shuffle_audit_is_clean():
         "attribute-dedup class (round-11 bug) may have regressed: "
         f"{probe}"
     )
+
+
+def test_no_query_spills_at_test_scale():
+    """Zero-spill gate (round 13): memory+disk bytes spilled must be 0
+    for every audited query at sf0.1 under the audit session. A task
+    that spills THIS corpus on THIS heap has a per-partition working
+    set out of proportion to its input — the early warning for the
+    non-spillable-buffer OOM class (collect_list aggregation buffers,
+    window sort state) that shuffle byte counts cannot show. Artifacts
+    written before the spill column existed skip (re-run the audit to
+    arm the gate)."""
+    q = _artifact()["queries"]
+    rows = {
+        k: v
+        for k, v in q.items()
+        if not k.startswith("_") and isinstance(v, dict) and "error" not in v
+    }
+    if not any("spill_bytes" in v for v in rows.values()):
+        import pytest
+
+        pytest.skip("artifact predates the spill column")
+    spilled = {
+        k: v["spill_bytes"]
+        for k, v in rows.items()
+        if v.get("spill_bytes", 0) > 0
+    }
+    assert not spilled, (
+        f"queries spilled at sf0.1: {spilled} — the working set per "
+        f"partition is out of proportion; re-shard the hot key or "
+        f"bound the aggregation buffer"
+    )

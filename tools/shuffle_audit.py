@@ -118,6 +118,14 @@ def stage_totals(app_id: str) -> dict[str, int]:
         "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in data),
         "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in data),
         "input_bytes": sum(s.get("inputBytes", 0) for s in data),
+        # spill is the OOM early-warning the byte columns can't show:
+        # a task that spills at sf0.1 under 128 GiB is a task whose
+        # per-partition working set is already out of proportion —
+        # tests/test_shuffle_audit.py pins the registry to ZERO spill
+        "spill_bytes": sum(
+            s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+            for s in data
+        ),
     }
 
 
@@ -156,7 +164,7 @@ def main() -> int:
         row = {
             k: after[k] - before[k]
             for k in ("shuffle_write_bytes", "shuffle_read_bytes",
-                      "input_bytes")
+                      "input_bytes", "spill_bytes")
         }
         results[name] = row
         print(
