@@ -192,3 +192,160 @@ def test_generated_query_agrees_across_engines(engines, sql):
     ocols, orows = ora.oracle_result(con, sql)
     res = ora.compare(scols, srows, ocols, orows)
     assert res["ok"], f"engines disagree on: {sql}\n{res}"
+
+
+# ---------------------------------------------------------------------
+# Scalar-projection grammar: CASE / string scalars / integer arithmetic
+# projected per row (no aggregation). Division excluded by design: the
+# one operator whose int semantics the dialects do not share.
+# ---------------------------------------------------------------------
+
+@st.composite
+def scalar_queries(draw):
+    tname = draw(st.sampled_from(["orders", "part", "customer"]))
+    t = TABLES[tname]
+    key = {"orders": "o_orderkey", "part": "p_partkey",
+           "customer": "c_custkey"}[tname]
+    exprs = [key]
+    n = draw(st.integers(min_value=1, max_value=3))
+    for i in range(n):
+        kind = draw(st.sampled_from(["case", "str", "arith"]))
+        if kind == "case":
+            col, lo, hi = draw(st.sampled_from(t["numpred"]))
+            lit = (
+                round(draw(st.floats(min_value=lo, max_value=hi,
+                                     allow_nan=False)), 2)
+                if isinstance(lo, float)
+                else draw(st.integers(min_value=lo, max_value=hi))
+            )
+            exprs.append(
+                f"CASE WHEN {col} > {lit} THEN 'hi' ELSE 'lo' END AS e{i}"
+            )
+        elif kind == "str":
+            col = draw(st.sampled_from(
+                [c for c, _ in t["strpred"]] + t["group"][:1]
+            ))
+            fn = draw(st.sampled_from(
+                [f"UPPER({col})", f"LOWER({col})", f"LENGTH({col})",
+                 f"SUBSTR({col}, 1, 3)", f"TRIM({col})"]
+            ))
+            exprs.append(f"{fn} AS e{i}")
+        else:
+            a = draw(st.sampled_from(t["sum"]))
+            b = draw(st.sampled_from(t["sum"]))
+            op = draw(st.sampled_from(["+", "-", "*"]))
+            exprs.append(f"({a} {op} {b}) AS e{i}")
+    col, lo, hi = draw(st.sampled_from(t["numpred"]))
+    lit = (
+        round(draw(st.floats(min_value=lo, max_value=hi,
+                             allow_nan=False)), 2)
+        if isinstance(lo, float)
+        else draw(st.integers(min_value=lo, max_value=hi))
+    )
+    return (
+        f"SELECT {', '.join(exprs)} FROM {tname} "
+        f"WHERE {col} {draw(st.sampled_from(OPS))} {lit}"
+    )
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sql=scalar_queries())
+@example(
+    sql="SELECT p_partkey, CASE WHEN p_size > 25 THEN 'hi' ELSE 'lo' "
+    "END AS e0, SUBSTR(p_brand, 1, 3) AS e1, (p_partkey * p_size) AS e2 "
+    "FROM part WHERE p_size >= 1"
+)
+def test_scalar_projections_agree_across_engines(engines, sql):
+    spark, con = engines
+    scols, srows = ora.spark_result(spark.sql(sql))
+    ocols, orows = ora.oracle_result(con, sql)
+    res = ora.compare(scols, srows, ocols, orows)
+    assert res["ok"], f"engines disagree on: {sql}\n{res}"
+
+
+# ---------------------------------------------------------------------
+# Window grammar: ranking functions over a deterministic ORDER BY
+# (unique key tiebreak — rank ties are the classic cross-engine trap,
+# excluded by construction the same way the registry's windows do it).
+# ---------------------------------------------------------------------
+
+@st.composite
+def window_queries(draw):
+    tname = draw(st.sampled_from(["orders", "lineitem", "customer"]))
+    t = TABLES[tname]
+    key = {"orders": "o_orderkey", "customer": "c_custkey",
+           "lineitem": "l_orderkey"}[tname]
+    part = draw(st.sampled_from(t["group"]))
+    fn = draw(st.sampled_from(["ROW_NUMBER()", "RANK()", "DENSE_RANK()",
+                               f"COUNT(*) ", f"SUM({t['sum'][0]})"])).strip()
+    order = key if tname != "lineitem" else "l_orderkey, l_linenumber"
+    over = f"OVER (PARTITION BY {part} ORDER BY {order})"
+    k = draw(st.integers(min_value=1, max_value=5))
+    return (
+        f"SELECT * FROM (SELECT {key}, {part}, {fn} {over} AS w "
+        f"FROM {tname}) WHERE w <= {k}" if "RANK" in fn or "NUMBER" in fn
+        else f"SELECT {key}, {part}, {fn} {over} AS w FROM {tname}"
+    )
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sql=window_queries())
+@example(
+    sql="SELECT * FROM (SELECT o_orderkey, o_orderstatus, ROW_NUMBER() "
+    "OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS w "
+    "FROM orders) WHERE w <= 3"
+)
+def test_window_functions_agree_across_engines(engines, sql):
+    spark, con = engines
+    scols, srows = ora.spark_result(spark.sql(sql))
+    ocols, orows = ora.oracle_result(con, sql)
+    res = ora.compare(scols, srows, ocols, orows)
+    assert res["ok"], f"engines disagree on: {sql}\n{res}"
+
+
+# ---------------------------------------------------------------------
+# Set-operation grammar: two same-shape projections of one table under
+# different predicates, combined with the full distinct/ALL matrix.
+# ---------------------------------------------------------------------
+
+@st.composite
+def setop_queries(draw):
+    tname = draw(st.sampled_from(["orders", "part"]))
+    t = TABLES[tname]
+    cols = ", ".join(t["group"][:2])
+
+    def side():
+        col, lo, hi = draw(st.sampled_from(t["numpred"]))
+        lit = (
+            round(draw(st.floats(min_value=lo, max_value=hi,
+                                 allow_nan=False)), 2)
+            if isinstance(lo, float)
+            else draw(st.integers(min_value=lo, max_value=hi))
+        )
+        return (
+            f"SELECT {cols} FROM {tname} "
+            f"WHERE {col} {draw(st.sampled_from(OPS))} {lit}"
+        )
+
+    op = draw(st.sampled_from(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+    ))
+    return f"{side()} {op} {side()}"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sql=setop_queries())
+@example(
+    sql="SELECT o_orderstatus, o_orderpriority FROM orders WHERE "
+    "o_custkey <= 200 EXCEPT SELECT o_orderstatus, o_orderpriority "
+    "FROM orders WHERE o_custkey > 200"
+)
+def test_set_operations_agree_across_engines(engines, sql):
+    spark, con = engines
+    scols, srows = ora.spark_result(spark.sql(sql))
+    ocols, orows = ora.oracle_result(con, sql)
+    res = ora.compare(scols, srows, ocols, orows)
+    assert res["ok"], f"engines disagree on: {sql}\n{res}"
