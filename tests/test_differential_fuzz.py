@@ -167,6 +167,7 @@ def engines(spark):
 @settings(
     max_examples=25,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(sql=queries())
@@ -248,7 +249,7 @@ def scalar_queries(draw):
     )
 
 
-@settings(max_examples=20, deadline=None,
+@settings(max_examples=20, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sql=scalar_queries())
 @example(
@@ -289,7 +290,7 @@ def window_queries(draw):
     )
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=15, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sql=window_queries())
 @example(
@@ -335,7 +336,7 @@ def setop_queries(draw):
     return f"{side()} {op} {side()}"
 
 
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=15, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sql=setop_queries())
 @example(
