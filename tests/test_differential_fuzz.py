@@ -350,3 +350,72 @@ def test_set_operations_agree_across_engines(engines, sql):
     ocols, orows = ora.oracle_result(con, sql)
     res = ora.compare(scols, srows, ocols, orows)
     assert res["ok"], f"engines disagree on: {sql}\n{res}"
+
+
+# ---------------------------------------------------------------------
+# Temporal / membership / DISTINCT-aggregate grammar: EXTRACT over the
+# timestamp columns, IN-lists and BETWEEN predicates, COUNT(DISTINCT).
+# ---------------------------------------------------------------------
+
+@st.composite
+def temporal_queries(draw):
+    tname = draw(st.sampled_from(["orders", "lineitem"]))
+    ts = {"orders": "o_orderdate", "lineitem": "l_shipdate"}[tname]
+    t = TABLES[tname]
+    part = draw(st.sampled_from(["YEAR", "MONTH", "DAY"]))
+    groups = [f"EXTRACT({part} FROM {ts}) AS g0"]
+    group_keys = ["g0"]
+    if draw(st.booleans()):
+        g = draw(st.sampled_from(t["group"]))
+        groups.append(g)
+        group_keys.append(g)
+    aggs = ["COUNT(*) AS cnt"]
+    if draw(st.booleans()):
+        aggs.append(
+            f"COUNT(DISTINCT {draw(st.sampled_from(t['group']))}) AS d1"
+        )
+    preds = []
+    kind = draw(st.sampled_from(["in", "between", "none"]))
+    if kind == "in":
+        col, vals = draw(st.sampled_from(t["strpred"]))
+        picks = draw(st.lists(st.sampled_from(vals), min_size=1,
+                              max_size=3, unique=True))
+        quoted = ", ".join(f"'{v}'" for v in picks)
+        preds.append(f"{col} IN ({quoted})")
+    elif kind == "between":
+        col, lo, hi = draw(st.sampled_from(t["numpred"]))
+        if isinstance(lo, float):
+            a = round(draw(st.floats(min_value=lo, max_value=hi,
+                                     allow_nan=False)), 2)
+            b = round(draw(st.floats(min_value=lo, max_value=hi,
+                                     allow_nan=False)), 2)
+        else:
+            a = draw(st.integers(min_value=lo, max_value=hi))
+            b = draw(st.integers(min_value=lo, max_value=hi))
+        preds.append(f"{col} BETWEEN {min(a, b)} AND {max(a, b)}")
+    where = f" WHERE {' AND '.join(preds)}" if preds else ""
+    return (
+        f"SELECT {', '.join(groups + aggs)} FROM {tname}{where} "
+        f"GROUP BY {', '.join(group_keys)}"
+    )
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sql=temporal_queries())
+@example(
+    sql="SELECT EXTRACT(YEAR FROM o_orderdate) AS g0, COUNT(*) AS cnt, "
+    "COUNT(DISTINCT o_orderstatus) AS d1 FROM orders "
+    "WHERE o_orderpriority IN ('1', '3') GROUP BY g0"
+)
+@example(
+    sql="SELECT EXTRACT(MONTH FROM l_shipdate) AS g0, l_returnflag, "
+    "COUNT(*) AS cnt FROM lineitem WHERE l_partkey BETWEEN 100 AND 900 "
+    "GROUP BY g0, l_returnflag"
+)
+def test_temporal_and_membership_agree_across_engines(engines, sql):
+    spark, con = engines
+    scols, srows = ora.spark_result(spark.sql(sql))
+    ocols, orows = ora.oracle_result(con, sql)
+    res = ora.compare(scols, srows, ocols, orows)
+    assert res["ok"], f"engines disagree on: {sql}\n{res}"
