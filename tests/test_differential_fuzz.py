@@ -156,12 +156,17 @@ def queries(draw):
 
 @pytest.fixture(scope="module")
 def engines(spark):
-    for name in sorted(TABLES) + ["nation"]:
+    names = sorted(TABLES) + ["nation"]
+    for name in names:
         spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet")) \
             .createOrReplaceTempView(name)
     con = ora.duckdb_connect(SF_DIR)
     yield spark, con
     con.close()
+    # temp views are session-global: drop them so no later test can
+    # silently resolve a bare table name against this module's views
+    for name in names:
+        spark.catalog.dropTempView(name)
 
 
 @settings(
