@@ -121,87 +121,85 @@ def _load_all_plan_modules() -> None:
 # and broadcast-hardening edits land inside their own window),
 # and round-12 debuts queue behind at 52+.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- ROUND-13 WINDOW (rotated at r13 open; VERDICT r12 "Next
-    # round" item 1). 54 candidates for 50 driver slots: the
-    # 49-query r09-evidence block + the five judge-verified queries
-    # the r12 verdict re-ran at sf0.01 (3 never-driven debuts + 2
-    # r12-restructured plans). Adjudication, written here so the
-    # arithmetic closes ONCE: changed-plan / never-driven beats
-    # stale-but-unchanged, so the five ride slots 1-5 and FOUR
-    # r09-evidence queries are deferred to positions 51-54 (the
-    # driver verifies the FIRST 50; tuple membership anywhere
-    # satisfies the evidence-age gate, and they rotate into the
-    # r14 window mandatorily). The four deferred are the simplest
-    # single-join/filter plans in the block -- plan hashes stable
-    # since the fingerprint format landed (git log PLAN_HASHES.json)
-    # and each pinned by a dedicated semantics test meanwhile
-    # (tests/test_join_semantics.py, test_round5_queries.py).
-    # --- slots 1-5: never-driven debuts + r12-restructured plans ---
-    "dedup_cut_spans",
-    "contamination_cut_spans",
-    "curation_budget_mixture",
-    "dedup_span_windows",
-    "pipeline_curate_corpus",
-    # --- slots 6-50: the r09-evidence block minus the four deferred ---
-    "dedup_exact_keep_first",
-    "dedup_minhash_lsh",
-    "dedup_simhash_signatures",
-    "dedup_simhash_band_pairs",
-    "text_tfidf_topk",
-    "text_bigram_lm",
-    "text_pmi_collocations",
-    "text_bm25_topk",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_salted_two_phase",
-    "parity_donations_by_state",
-    "parity_last_wins_dim",
-    "parity_decimal_money_sum",
-    "join_inner_supplier_nation",
-    "join_left_orders_per_customer",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_big_orders",
-    "join_full_outer_nation_coverage",
-    "join_nonequi_late_ship",
-    "join_broadcast_region_revenue",
-    "join_salted_skew",
-    "split_train_test_hash",
-    "pack_sequences_running_sum",
-    "dedup_source_quota",
-    "curation_mix_weights",
-    "multimodal_binary_meta",
-    "arrow_batch_doc_stats",
-    "filter_predicate_pack",
-    "filter_rlike_regex",
-    "subquery_correlated_avg",
-    "join_composite_key",
-    "having_clause",
-    "scalar_string_pack",
-    "sim_ivf_trained_topk",
-    "sim_ivfpq_rerank_topk",
-    "sim_ann_recall_planted",
-    "sim_ivfpq_trained_topk",
-    "sim_ivfpq_residual_topk",
-    "sim_sq8_topk",
-    "sink_partitioned_roundtrip",
-    "source_json_roundtrip",
-    "join_bucketed_colocated",
-    "dedup_incremental_index",
-    "source_orc_roundtrip",
-    # --- positions 51-54: the four deferred r09-evidence queries;
-    # driver rows ride r14 (mandatory: their evidence will be 5
-    # rounds old -- the age gate forces them into the next window). ---
+    # --- ROUND-14 WINDOW (rotated at r14 open; VERDICT r13 "Next
+    # round" item 1). 55 mandatory candidates for 50 driver slots:
+    # the 50-query r10-evidence block, the four r09-evidence queries
+    # the deferral gate now forces into verified slots (they rode the
+    # positions-51+ overflow once in r13 — test_evidence_age.py's
+    # test_deferred_overflow_rides_at_most_one_extra_round bounds a
+    # second deferral), and text_inverted_index (its r13 shard-knob
+    # parameterization means the latest driver row, r12, covers the
+    # old literal-32 plan shape). Adjudication: must-promote beats
+    # stale-but-unchanged, so those five take slots 1-5, 45 of the
+    # r10 block fill 6-50 in registration order, and FIVE r10-block
+    # queries are deferred to positions 51-55 — their r10 evidence
+    # satisfies the deferral bound for exactly one round, so they
+    # rotate into the r15 verified slots mandatorily. The five
+    # deferred are the simplest single-table plans in the block
+    # (distinct/order-limit/scalar-subquery/scalar packs), plan
+    # hashes stable since the fingerprint format landed (git log
+    # PLAN_HASHES.json) and each pinned by dedicated pytest coverage
+    # meanwhile (tests/test_round5_queries.py, test_scalar_packs.py).
+    # --- slots 1-5: the r13 deferrals + the changed-plan promotion ---
     "parity_null_default_sum",
     "join_cross_region_nation",
     "filter_null_safe_eq",
     "unpivot_part_attrs",
-    # --- position 55: r13 plan change outside the driver slots —
-    # ADVICE r12 #2 lifted the inverted index's hardcoded 32-shard
-    # literal into _index_shard_count (defaultParallelism-derived,
-    # result-invariant for any shard count; sf0.01 re-verified against
-    # the unchanged oracle this round). Driver row covers the old
-    # 32-shard plan (r12); the parameterized plan rides r14. ---
     "text_inverted_index",
+    # --- slots 6-50: the r10-evidence block minus the five deferred ---
+    "dedup_ngram_jaccard_adjacent",
+    "dedup_jaccard_prefix_join",
+    "text_langid_heuristic",
+    "text_quality_score",
+    "text_term_frequency",
+    "text_char_ngram_stats",
+    "text_fingerprint_groups",
+    "text_bpe_token_count",
+    "curation_dsir_importance",
+    "text_winnowing_fingerprints",
+    "retrieval_hybrid_rrf",
+    "graph_pagerank_directed",
+    "graph_pagerank_suppliers",
+    "graph_bfs_supplier_hops",
+    "agg_approx_distinct",
+    "agg_collect_sorted",
+    "agg_approx_percentile",
+    "contamination_eval_overlap",
+    "dedup_source_quota_two_phase",
+    "pack_sequences_sharded",
+    "scalar_conditional_pack",
+    "scalar_json_pack",
+    "scalar_map_explode",
+    "scalar_posexplode_words",
+    "scd2_merge_customer_segment",
+    "set_union_distinct",
+    "set_union_all_reaggregate",
+    "set_intersect",
+    "set_except",
+    "sort_within_partitions_sample",
+    "set_except_all",
+    "sim_neardup_pairs",
+    "dedup_semantic_clusters",
+    "dedup_semantic_clusters_scaled",
+    "stream_tumbling_counts",
+    "stream_sliding_avg",
+    "stream_session_windows",
+    "stream_dedup_user_type",
+    "stream_stateful_user_totals",
+    "stream_static_join_enrich",
+    "stream_stream_interval_join",
+    "stream_foreachbatch_upsert",
+    "stream_dedup_within_watermark",
+    "asof_join_last_purchase",
+    "sessionize_events",
+    # --- positions 51-55: the five deferred r10-evidence queries;
+    # driver rows ride r15 (mandatory: the deferral bound allows
+    # r10 evidence in overflow for exactly this one round). ---
+    "distinct_pairs",
+    "orderby_limit_topk",
+    "subquery_scalar_avg",
+    "scalar_math_pack",
+    "scalar_date_pack",
 )
 
 

@@ -1151,6 +1151,10 @@ def _index_shard_count(spark: SparkSession) -> int:
     the exact first-20-by-doc_id for ANY shard count ≥ 1."""
     env = os.environ.get("MRCS_INDEX_SHARDS")
     if env:
+        if not env.strip().isdigit():
+            raise ValueError(
+                f"MRCS_INDEX_SHARDS must be a positive integer, got {env!r}"
+            )
         return max(1, int(env))
     return max(16, spark.sparkContext.defaultParallelism)
 

@@ -30,11 +30,16 @@ hand-written inventory.
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import json
 import os
+import re
 import sys
 
+import hypothesis
 import pytest
-from hypothesis import HealthCheck, example, given, settings
+from hypothesis import HealthCheck, example, given, seed, settings
 from hypothesis import strategies as st
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -42,6 +47,72 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from map_reduce_c_sharp_simulation_multithreaded_spark import oracle as ora
 
 SF_DIR = os.environ.get("MRCS_TEST_SF_DIR", "/root/testdata/sf0.001")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _fuzz_seed() -> int:
+    """Per-round Hypothesis seed = the round being built (latest
+    committed CORRECTNESS artifact + 1). Round 13 shipped this suite
+    with ``derandomize=True``, which replays the SAME ~90 examples
+    every run forever (VERDICT r13 wrong #3) — reproducible but
+    frozen. Seeding from the round number keeps each round's run
+    deterministic (re-runs within the round explore the identical
+    set, so a red is re-drivable) while guaranteeing the explored
+    neighborhood ROTATES as rounds advance. Failures stay
+    reproducible two ways: ``print_blob=True`` emits a
+    ``@reproduce_failure`` blob, and the seed itself is recorded in
+    ``FUZZ_COVERAGE.json`` alongside per-grammar example counts and
+    a digest of the generated SQL (the round-over-round
+    explored-different-queries proof)."""
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+FUZZ_SEED = _fuzz_seed()
+
+# generated-SQL capture, per grammar — written to FUZZ_COVERAGE.json by
+# the module teardown fixture so every round's explored set is on record
+_GENERATED: dict[str, set[str]] = {}
+
+
+def _record(grammar: str, sql: str) -> None:
+    _GENERATED.setdefault(grammar, set()).add(sql)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _fuzz_coverage_artifact():
+    yield
+    if not any(_GENERATED.values()):
+        return
+    grammars = {
+        name: {
+            "n_unique_sql": len(sqls),
+            "sql_digest": hashlib.sha256(
+                "\n".join(sorted(sqls)).encode()
+            ).hexdigest()[:16],
+        }
+        for name, sqls in sorted(_GENERATED.items())
+    }
+    combined = hashlib.sha256(
+        "\n".join(
+            sorted(s for sqls in _GENERATED.values() for s in sqls)
+        ).encode()
+    ).hexdigest()[:16]
+    with open(os.path.join(REPO, "FUZZ_COVERAGE.json"), "w",
+              encoding="utf-8") as fh:
+        json.dump(
+            {
+                "seed": FUZZ_SEED,
+                "hypothesis_version": hypothesis.__version__,
+                "grammars": grammars,
+                "combined_digest": combined,
+            },
+            fh, indent=1, sort_keys=True,
+        )
+        fh.write("\n")
 
 # fact table -> (group-by columns, integer sum columns, min/max
 # columns, numeric predicate columns with literal ranges, string
@@ -169,10 +240,11 @@ def engines(spark):
         spark.catalog.dropTempView(name)
 
 
+@seed(FUZZ_SEED)
 @settings(
     max_examples=25,
     deadline=None,
-    derandomize=True,
+    print_blob=True,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(sql=queries())
@@ -193,6 +265,7 @@ def engines(spark):
     "FROM lineitem  WHERE l_quantity > 25.0 GROUP BY l_returnflag"
 )
 def test_generated_query_agrees_across_engines(engines, sql):
+    _record("relational", sql)
     spark, con = engines
     scols, srows = ora.spark_result(spark.sql(sql))
     ocols, orows = ora.oracle_result(con, sql)
@@ -254,7 +327,8 @@ def scalar_queries(draw):
     )
 
 
-@settings(max_examples=20, deadline=None, derandomize=True,
+@seed(FUZZ_SEED)
+@settings(max_examples=20, deadline=None, print_blob=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sql=scalar_queries())
 @example(
@@ -263,6 +337,7 @@ def scalar_queries(draw):
     "FROM part WHERE p_size >= 1"
 )
 def test_scalar_projections_agree_across_engines(engines, sql):
+    _record("scalar", sql)
     spark, con = engines
     scols, srows = ora.spark_result(spark.sql(sql))
     ocols, orows = ora.oracle_result(con, sql)
@@ -295,7 +370,8 @@ def window_queries(draw):
     )
 
 
-@settings(max_examples=15, deadline=None, derandomize=True,
+@seed(FUZZ_SEED)
+@settings(max_examples=15, deadline=None, print_blob=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sql=window_queries())
 @example(
@@ -304,6 +380,7 @@ def window_queries(draw):
     "FROM orders) WHERE w <= 3"
 )
 def test_window_functions_agree_across_engines(engines, sql):
+    _record("window", sql)
     spark, con = engines
     scols, srows = ora.spark_result(spark.sql(sql))
     ocols, orows = ora.oracle_result(con, sql)
@@ -341,7 +418,8 @@ def setop_queries(draw):
     return f"{side()} {op} {side()}"
 
 
-@settings(max_examples=15, deadline=None, derandomize=True,
+@seed(FUZZ_SEED)
+@settings(max_examples=15, deadline=None, print_blob=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sql=setop_queries())
 @example(
@@ -350,6 +428,7 @@ def setop_queries(draw):
     "FROM orders WHERE o_custkey > 200"
 )
 def test_set_operations_agree_across_engines(engines, sql):
+    _record("setop", sql)
     spark, con = engines
     scols, srows = ora.spark_result(spark.sql(sql))
     ocols, orows = ora.oracle_result(con, sql)
@@ -405,7 +484,8 @@ def temporal_queries(draw):
     )
 
 
-@settings(max_examples=15, deadline=None, derandomize=True,
+@seed(FUZZ_SEED)
+@settings(max_examples=15, deadline=None, print_blob=True,
           suppress_health_check=[HealthCheck.too_slow])
 @given(sql=temporal_queries())
 @example(
@@ -419,6 +499,7 @@ def temporal_queries(draw):
     "GROUP BY g0, l_returnflag"
 )
 def test_temporal_and_membership_agree_across_engines(engines, sql):
+    _record("temporal", sql)
     spark, con = engines
     scols, srows = ora.spark_result(spark.sql(sql))
     ocols, orows = ora.oracle_result(con, sql)

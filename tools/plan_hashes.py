@@ -318,6 +318,26 @@ def compute(
     from map_reduce_c_sharp_simulation_multithreaded_spark.session import get_spark
 
     spark = get_spark("mrcs_plan_hashes", cpus=8, shuffle_partitions=8)
+    # Pin the inverted-index shard knob while fingerprinting (ADVICE
+    # r13): _index_shard_count derives a pmod LITERAL from
+    # defaultParallelism / MRCS_INDEX_SHARDS, so without a pin the
+    # fingerprint would vary with SPARK_GRAFT_CPUS or an env override
+    # and read as spurious plan drift on a differently-sized host. 32
+    # matches the bench session's local[32].
+    _shards_prev = os.environ.get("MRCS_INDEX_SHARDS")
+    os.environ["MRCS_INDEX_SHARDS"] = "32"
+    try:
+        return _compute_inner(spark, sf_dir, names, blind_out, window_keys_out)
+    finally:
+        if _shards_prev is None:
+            os.environ.pop("MRCS_INDEX_SHARDS", None)
+        else:
+            os.environ["MRCS_INDEX_SHARDS"] = _shards_prev
+
+
+def _compute_inner(spark, sf_dir, names, blind_out, window_keys_out):
+    from map_reduce_c_sharp_simulation_multithreaded_spark.plans import registry
+
     qs = registry.all_queries()
     out: dict[str, str] = {}
     for name in registry.registration_order():
