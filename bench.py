@@ -266,6 +266,39 @@ def main() -> int:
         "quiet": loadavg_start[0] <= 0.25 * (os.cpu_count() or 32),
     }
 
+    # PRIMARY perf channel (VERDICT r13 next-round #3): the two newest
+    # committed 202-query sweep artifacts, compared host-normalized
+    # over their common queries. Round 13 showed the two channels can
+    # disagree — headline 1.15x normalized while the sweep read 1.01x
+    # with zero per-query flags — because nine sub-second queries give
+    # the single-task calibration probe almost nothing to normalize
+    # (the parallel and single-thread probes even disagreed on the
+    # r12->r13 host DIRECTION: 0.94 vs 1.02). ~150 s of measured work
+    # across 202 queries swamps that noise, so the sweep ratio rides
+    # the driver-parsed stdout line and future rounds read ONE number.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        from tools.sweep_times import host_norm as sweep_host_norm
+
+        sweeps = sorted(glob.glob(os.path.join(repo, "SWEEP_r*.json")))
+        if len(sweeps) >= 2:
+            with open(sweeps[-2], encoding="utf-8") as fh:
+                sprev = json.load(fh)
+            with open(sweeps[-1], encoding="utf-8") as fh:
+                scur = json.load(fh)
+            common = sorted(set(sprev["queries"]) & set(scur["queries"]))
+            prev_sum = sum(sprev["queries"][n]["warm"] for n in common)
+            cur_sum = sum(scur["queries"][n]["warm"] for n in common)
+            out["sweep_norm_ratio"] = round(
+                (cur_sum / prev_sum) / sweep_host_norm(sprev, scur), 3
+            )
+            out["sweep_rounds"] = [
+                int(re.search(r"_r(\d+)\.json$", p).group(1))
+                for p in sweeps[-2:]
+            ]
+    except Exception as e:  # advisory only — never fail the bench
+        print(f"# sweep channel unavailable: {e}", file=sys.stderr)
+
     # Calibrated headline watch (VERDICT.md r8 next-round #3): compare
     # this run's total against the newest committed BENCH_r{N}.json with
     # the SAME host_norm division compare_sweeps applies — round 8

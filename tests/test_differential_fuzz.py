@@ -64,6 +64,9 @@ def _fuzz_seed() -> int:
     ``FUZZ_COVERAGE.json`` alongside per-grammar example counts and
     a digest of the generated SQL (the round-over-round
     explored-different-queries proof)."""
+    env = os.environ.get("MRCS_FUZZ_SEED")
+    if env is not None:  # A/B knob: prove a different seed explores
+        return int(env)  # different queries (compare FUZZ_COVERAGE.json)
     rounds = [
         int(re.search(r"_r(\d+)\.json$", p).group(1))
         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))

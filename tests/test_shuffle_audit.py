@@ -70,32 +70,57 @@ def test_shuffle_audit_is_clean():
     )
 
 
+def _assert_zero_spill(rows: dict) -> None:
+    """The zero-spill check over audited rows — factored so the
+    red-test proof below can drive it with a fabricated artifact."""
+    missing_col = sorted(k for k, v in rows.items() if "spill_bytes" not in v)
+    assert not missing_col, (
+        f"audited queries missing the spill_bytes column: {missing_col} "
+        f"— the audit tool was run in a form that dropped the column; "
+        f"the zero-spill gate is ARMED permanently (VERDICT r13 "
+        f"next-round #5): a regenerated SHUFFLE_AUDIT.json must always "
+        f"carry it, or the non-spillable-buffer OOM class goes unwatched"
+    )
+    spilled = {k: v["spill_bytes"] for k, v in rows.items()
+               if v["spill_bytes"] > 0}
+    assert not spilled, (
+        f"queries spilled at sf0.1: {spilled} — the working set per "
+        f"partition is out of proportion; re-shard the hot key or "
+        f"bound the aggregation buffer"
+    )
+
+
 def test_no_query_spills_at_test_scale():
-    """Zero-spill gate (round 13): memory+disk bytes spilled must be 0
-    for every audited query at sf0.1 under the audit session. A task
-    that spills THIS corpus on THIS heap has a per-partition working
-    set out of proportion to its input — the early warning for the
-    non-spillable-buffer OOM class (collect_list aggregation buffers,
-    window sort state) that shuffle byte counts cannot show. Artifacts
-    written before the spill column existed skip (re-run the audit to
-    arm the gate)."""
+    """Zero-spill gate (round 13; armed permanently round 14): memory+
+    disk bytes spilled must be 0 for every audited query at sf0.1
+    under the audit session. A task that spills THIS corpus on THIS
+    heap has a per-partition working set out of proportion to its
+    input — the early warning for the non-spillable-buffer OOM class
+    (collect_list aggregation buffers, window sort state) that shuffle
+    byte counts cannot show. The r13 version skipped when the artifact
+    predated the spill column; now that the committed artifact has it,
+    a regenerated artifact WITHOUT the column fails instead of
+    skipping — staleness can't silently disarm the gate."""
     q = _artifact()["queries"]
     rows = {
         k: v
         for k, v in q.items()
         if not k.startswith("_") and isinstance(v, dict) and "error" not in v
     }
-    if not any("spill_bytes" in v for v in rows.values()):
-        import pytest
+    assert rows, "SHUFFLE_AUDIT.json has no audited rows"
+    _assert_zero_spill(rows)
 
-        pytest.skip("artifact predates the spill column")
-    spilled = {
-        k: v["spill_bytes"]
-        for k, v in rows.items()
-        if v.get("spill_bytes", 0) > 0
-    }
-    assert not spilled, (
-        f"queries spilled at sf0.1: {spilled} — the working set per "
-        f"partition is out of proportion; re-shard the hot key or "
-        f"bound the aggregation buffer"
-    )
+
+def test_spill_gate_fails_not_skips_without_column():
+    """Red-test proof (VERDICT r13 next-round #5 done-condition): an
+    artifact row lacking spill_bytes FAILS the armed gate — it does
+    not skip, and a spill of 0 elsewhere does not mask it."""
+    import pytest
+
+    with pytest.raises(AssertionError, match="spill_bytes column"):
+        _assert_zero_spill({
+            "q_with_column": {"shuffle_write_bytes": 1, "spill_bytes": 0},
+            "q_without_column": {"shuffle_write_bytes": 1},
+        })
+    with pytest.raises(AssertionError, match="spilled at sf0.1"):
+        _assert_zero_spill({"q": {"spill_bytes": 4096}})

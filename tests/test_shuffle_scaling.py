@@ -109,3 +109,19 @@ def test_scaling_artifact_is_broad_and_sound():
     # linear or absolutely bounded — the repo-wide scale posture
     good = counts.get("bounded", 0) + counts.get("linear_or_less", 0)
     assert good / len(art["queries"]) > 0.9
+    # The two ways a query could escape the exponent gate entirely
+    # (ADVICE r13): an "error" row at either scale, or a name present
+    # in only one audit (recorded by the tool as unmatched_queries).
+    # Both counts are pinned to zero — an errored or renamed query
+    # must be fixed/re-audited, not invisibly waved through.
+    errored = sorted(
+        q for q, r in art["queries"].items() if r["class"] == "error"
+    )
+    assert not errored, (
+        f"queries errored in a scaling audit and so bypassed the "
+        f"exponent gate: {errored}"
+    )
+    assert art.get("unmatched_queries", []) == [], (
+        f"queries present in only one scale's audit: "
+        f"{art['unmatched_queries']} — they never got an exponent row"
+    )

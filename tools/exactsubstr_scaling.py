@@ -276,14 +276,24 @@ def _ab_shapes(d) -> dict:
         return exact_substr_spans(d)
 
     rows = {"n_docs": n_docs}
-    for label, mk in (("window", window_variant), ("groupby", groupby_variant)):
-        mk().count()  # warm
-        t0 = time.perf_counter()
-        n = mk().count()
-        rows[label] = {"sec": round(time.perf_counter() - t0, 3), "spans": n}
-        print(f"{label}: {rows[label]}")
-    assert rows["window"]["spans"] == rows["groupby"]["spans"]
-    d.unpersist()
+    try:
+        for label, mk in (
+            ("window", window_variant), ("groupby", groupby_variant)
+        ):
+            mk().count()  # warm
+            t0 = time.perf_counter()
+            n = mk().count()
+            rows[label] = {"sec": round(time.perf_counter() - t0, 3),
+                           "spans": n}
+            print(f"{label}: {rows[label]}")
+        assert rows["window"]["spans"] == rows["groupby"]["spans"]
+    finally:
+        # blocking, and on the assert path too (ADVICE r13): the
+        # ladder calls this once per rung, and a lingering cached
+        # corpus (sf0.01 + sf0.1 + 2x + 4x ≈ 7x sf0.1 text) would
+        # put GC/eviction pressure on exactly the upper-rung timings
+        # the ladder exists to compare
+        d.unpersist(blocking=True)
     rows["groupby_over_window"] = round(
         rows["groupby"]["sec"] / max(rows["window"]["sec"], 1e-9), 2
     )

@@ -119,10 +119,17 @@ def main() -> int:
             hi = json.load(fh)
 
     out: dict[str, dict] = {}
-    for name, lo_row in lo["queries"].items():
-        if name.startswith("_") or name not in hi["queries"]:
-            continue
-        out[name] = classify(lo_row, hi["queries"][name])
+    # Queries present in only ONE audit are surfaced, not silently
+    # skipped (ADVICE r13): a name mismatch between scales would
+    # otherwise make a query invisibly escape scaling scrutiny.
+    lo_names = {n for n in lo["queries"] if not n.startswith("_")}
+    hi_names = {n for n in hi["queries"] if not n.startswith("_")}
+    unmatched = sorted(lo_names ^ hi_names)
+    for name in unmatched:
+        side = "lo-only" if name in lo_names else "hi-only"
+        print(f"# UNMATCHED ({side}): {name}", file=sys.stderr)
+    for name in sorted(lo_names & hi_names):
+        out[name] = classify(lo["queries"][name], hi["queries"][name])
         cls = out[name]["class"]
         exp = out[name].get("exponent", "")
         print(f"{name:42s} {cls:16s} {exp}")
@@ -135,6 +142,10 @@ def main() -> int:
         "hi_sf": hi.get("sf_dir", "sf0.1"),
         "floor_bytes": FLOOR_BYTES,
         "class_counts": dict(sorted(counts.items())),
+        # the escape hatches, on record: rows classified "error"
+        # bypass the exponent gate, and unmatched names never got a
+        # row at all — the pytest gate pins both counts to zero
+        "unmatched_queries": unmatched,
         "queries": dict(sorted(out.items())),
     }
     print(f"# class counts: {artifact['class_counts']}", file=sys.stderr)
