@@ -34,15 +34,18 @@ ADJUDICATED_SUPERLINEAR = {
         "distinct cust-supp pairs on a 10x lineitem step, measured)"
     ),
     "graph_pagerank_suppliers": (
-        "same decomposition as graph_pagerank_directed (symmetrized "
-        "edge set, same loop): linear in edges per iteration, cheap "
-        "toy-scale lower rung inflates the two-point fit to 1.27"
+        "measured linear on upper rungs (round 14, tools/"
+        "graph_upper_rungs.py -> SHUFFLE_SCALING.json "
+        "pagerank_suppliers_upper_rungs): k-copies ladder x1->x2 "
+        "shuffle 2.00x for 2.00x edges, x2->x4 1.88x (sub-linear); "
+        "the 1.27 two-point fit is the cheap toy-scale lower rung"
     ),
     "graph_bfs_supplier_hops": (
-        "same family, same lower-rung effect (1.21): per-hop frontier "
-        "join + anti join shuffle the FRONTIER, which grows with graph "
-        "connectivity between the toy scales; hop-bounded at 3, "
-        "frontier <= nodes, asymptotically edge-linear"
+        "measured linear-or-less on upper rungs (round 14, "
+        "SHUFFLE_SCALING.json bfs_upper_rungs, one source per copy "
+        "so frontier work scales): x1->x2 1.87x, x2->x4 1.93x per "
+        "edge doubling; the 1.21 two-point fit is the lower-rung "
+        "effect, and the loop is hop-bounded with frontier <= nodes"
     ),
     "tpch_q2_min_cost_supplier": (
         "1.10 — the correlated-min subquery's partsupp aggregate "
