@@ -508,3 +508,70 @@ def test_temporal_and_membership_agree_across_engines(engines, sql):
     ocols, orows = ora.oracle_result(con, sql)
     res = ora.compare(scols, srows, ocols, orows)
     assert res["ok"], f"engines disagree on: {sql}\n{res}"
+
+
+# ---------------------------------------------------------------------
+# Outer-join / existential grammar (round 14): LEFT JOIN with an
+# ON-clause predicate on the null-producing side — the construct where
+# ON-vs-WHERE placement changes semantics and engines have historically
+# disagreed — plus correlated EXISTS / NOT EXISTS (the semi/anti-join
+# shapes both engines compile to hash semi joins through different
+# front ends). COUNT(*) vs COUNT(dim_col) vs an IS NULL case-sum give
+# three independent null-accounting channels per query, so a dropped
+# or spuriously-manufactured null row cannot hide.
+# ---------------------------------------------------------------------
+
+@st.composite
+def outerjoin_queries(draw):
+    g = draw(st.sampled_from(["o_orderstatus", "o_orderpriority"]))
+    col, lo, hi = draw(
+        st.sampled_from([("c_nationkey", 0, 24), ("c_acctbal", -999.0, 9999.0)])
+    )
+    lit = (
+        round(draw(st.floats(min_value=lo, max_value=hi,
+                             allow_nan=False)), 2)
+        if isinstance(lo, float)
+        else draw(st.integers(min_value=lo, max_value=hi))
+    )
+    dim_pred = f"{col} {draw(st.sampled_from(OPS))} {lit}"
+    kind = draw(st.sampled_from(["left", "exists", "not_exists"]))
+    if kind == "left":
+        # the dim predicate rides the ON clause: rows failing it stay
+        # in the result with NULL dim columns instead of being dropped
+        return (
+            f"SELECT {g}, COUNT(*) AS cnt, COUNT(c_custkey) AS cnt_dim, "
+            f"SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_null "
+            f"FROM orders LEFT JOIN customer "
+            f"ON o_custkey = c_custkey AND {dim_pred} "
+            f"GROUP BY {g}"
+        )
+    neg = "NOT " if kind == "not_exists" else ""
+    return (
+        f"SELECT {g}, COUNT(*) AS cnt FROM orders WHERE {neg}EXISTS "
+        f"(SELECT 1 FROM customer WHERE c_custkey = o_custkey "
+        f"AND {dim_pred}) GROUP BY {g}"
+    )
+
+
+@seed(FUZZ_SEED)
+@settings(max_examples=15, deadline=None, print_blob=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sql=outerjoin_queries())
+@example(
+    sql="SELECT o_orderstatus, COUNT(*) AS cnt, COUNT(c_custkey) AS "
+    "cnt_dim, SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS "
+    "n_null FROM orders LEFT JOIN customer "
+    "ON o_custkey = c_custkey AND c_nationkey <= 11 GROUP BY o_orderstatus"
+)
+@example(
+    sql="SELECT o_orderpriority, COUNT(*) AS cnt FROM orders WHERE "
+    "NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey "
+    "AND c_acctbal > 0.0) GROUP BY o_orderpriority"
+)
+def test_outer_join_and_exists_agree_across_engines(engines, sql):
+    _record("outerjoin", sql)
+    spark, con = engines
+    scols, srows = ora.spark_result(spark.sql(sql))
+    ocols, orows = ora.oracle_result(con, sql)
+    res = ora.compare(scols, srows, ocols, orows)
+    assert res["ok"], f"engines disagree on: {sql}\n{res}"
