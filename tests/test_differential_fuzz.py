@@ -575,3 +575,105 @@ def test_outer_join_and_exists_agree_across_engines(engines, sql):
     ocols, orows = ora.oracle_result(con, sql)
     res = ora.compare(scols, srows, ocols, orows)
     assert res["ok"], f"engines disagree on: {sql}\n{res}"
+
+
+# ---------------------------------------------------------------------
+# Multi-dimensional grouping grammar (round 14): ROLLUP / CUBE /
+# GROUPING SETS over two group columns with GROUPING() markers. The
+# subtotal rows' NULL group keys are exactly where an engine pair can
+# diverge (NULL-vs-subtotal ambiguity, grouping-id bit order), and the
+# GROUPING() columns pin which NULLs are subtotals — a genuine-NULL
+# group value that got misattributed to a subtotal (or vice versa)
+# flips a gr bit and fails the compare.
+# ---------------------------------------------------------------------
+
+@st.composite
+def rollup_queries(draw):
+    tname = draw(st.sampled_from(["orders", "lineitem", "part"]))
+    t = TABLES[tname]
+    g = draw(st.lists(st.sampled_from(t["group"]), min_size=2,
+                      max_size=2, unique=True))
+    form = draw(st.sampled_from(["ROLLUP", "CUBE", "SETS"]))
+    if form == "SETS":
+        clause = f"GROUPING SETS (({g[0]}, {g[1]}), ({g[0]}), ())"
+    else:
+        clause = f"{form}({g[0]}, {g[1]})"
+    aggs = ["COUNT(*) AS cnt"]
+    if draw(st.booleans()):
+        aggs.append(f"SUM({draw(st.sampled_from(t['sum']))}) AS s1")
+    where = ""
+    if draw(st.booleans()):
+        col, lo, hi = draw(st.sampled_from(t["numpred"]))
+        lit = (
+            round(draw(st.floats(min_value=lo, max_value=hi,
+                                 allow_nan=False)), 2)
+            if isinstance(lo, float)
+            else draw(st.integers(min_value=lo, max_value=hi))
+        )
+        where = f" WHERE {col} {draw(st.sampled_from(OPS))} {lit}"
+    sel = ", ".join(
+        list(g)
+        + [f"GROUPING({c}) AS gr{i}" for i, c in enumerate(g)]
+        + aggs
+    )
+    return f"SELECT {sel} FROM {tname}{where} GROUP BY {clause}"
+
+
+def _is_empty_input_grand_total_divergence(srows, ocols, orows) -> bool:
+    """The ONE adjudicated engine divergence this grammar has found
+    (round 14, first rotating-seed run — minimal repro: ``SELECT a,
+    GROUPING(a) g, COUNT(*) c FROM t WHERE false GROUP BY ROLLUP(a)``).
+    Over an EMPTY input the SQL standard's empty grouping set ``()``
+    still defines one group, so DuckDB (like PostgreSQL) returns the
+    grand-total row with cnt=0 and every GROUPING() bit = 1; Spark's
+    grouping-sets lowering goes through Expand, and Expand of zero
+    rows is zero rows, so Spark returns an EMPTY result — even though
+    its plain global aggregate (``SELECT COUNT(*) ... WHERE false``)
+    correctly returns the 1-row answer. Accept exactly that shape:
+    Spark empty, oracle rows all-subtotal (every gr bit 1) with zero
+    counts — anything else is a real disagreement."""
+    if srows:
+        return False
+    by_col = {c: [r[i] for r in orows] for i, c in enumerate(ocols)}
+    return all(
+        all(v == 1 for v in vs) if c.startswith("gr")
+        else all(v == 0 for v in vs) if c == "cnt"
+        else all(v is None for v in vs)
+        for c, vs in by_col.items()
+        if c != "s1"  # SUM over no rows: NULL, covered by the else arm
+    ) and all(v is None for v in by_col.get("s1", []))
+
+
+@seed(FUZZ_SEED)
+@settings(max_examples=15, deadline=None, print_blob=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sql=rollup_queries())
+@example(
+    sql="SELECT o_orderstatus, o_orderpriority, GROUPING(o_orderstatus) "
+    "AS gr0, GROUPING(o_orderpriority) AS gr1, COUNT(*) AS cnt "
+    "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+)
+@example(
+    sql="SELECT p_brand, p_size, GROUPING(p_brand) AS gr0, "
+    "GROUPING(p_size) AS gr1, COUNT(*) AS cnt, SUM(p_partkey) AS s1 "
+    "FROM part WHERE p_size <= 25 "
+    "GROUP BY GROUPING SETS ((p_brand, p_size), (p_brand), ())"
+)
+@example(
+    # the adjudicated divergence, pinned so the carve-out is exercised
+    # every run: WHERE matches zero rows, Spark returns empty, DuckDB
+    # returns the standard's grand-total row
+    sql="SELECT o_orderstatus, o_orderpriority, GROUPING(o_orderstatus) "
+    "AS gr0, GROUPING(o_orderpriority) AS gr1, COUNT(*) AS cnt "
+    "FROM orders WHERE o_totalprice = 0.0 "
+    "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"
+)
+def test_multidim_grouping_agrees_across_engines(engines, sql):
+    _record("rollup", sql)
+    spark, con = engines
+    scols, srows = ora.spark_result(spark.sql(sql))
+    ocols, orows = ora.oracle_result(con, sql)
+    if _is_empty_input_grand_total_divergence(srows, ocols, orows):
+        return  # adjudicated: Spark's Expand-over-empty vs the standard
+    res = ora.compare(scols, srows, ocols, orows)
+    assert res["ok"], f"engines disagree on: {sql}\n{res}"
