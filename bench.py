@@ -134,6 +134,35 @@ EXTRA_BENCH = (
 )
 
 
+def sweep_channel(repo: str) -> dict:
+    """{"sweep_norm_ratio", "sweep_rounds"} from the two newest
+    committed SWEEP_r*.json artifacts: host-normalized common-query
+    warm-total ratio (tools.sweep_times.host_norm). Empty dict when
+    fewer than two sweeps exist. Pure artifact arithmetic — unit-
+    tested in tests/test_bench_contract.py."""
+    from tools.sweep_times import host_norm
+
+    sweeps = sorted(glob.glob(os.path.join(repo, "SWEEP_r*.json")))
+    if len(sweeps) < 2:
+        return {}
+    with open(sweeps[-2], encoding="utf-8") as fh:
+        sprev = json.load(fh)
+    with open(sweeps[-1], encoding="utf-8") as fh:
+        scur = json.load(fh)
+    common = sorted(set(sprev["queries"]) & set(scur["queries"]))
+    prev_sum = sum(sprev["queries"][n]["warm"] for n in common)
+    cur_sum = sum(scur["queries"][n]["warm"] for n in common)
+    return {
+        "sweep_norm_ratio": round(
+            (cur_sum / prev_sum) / host_norm(sprev, scur), 3
+        ),
+        "sweep_rounds": [
+            int(re.search(r"_r(\d+)\.json$", p).group(1))
+            for p in sweeps[-2:]
+        ],
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -276,26 +305,8 @@ def main() -> int:
     # r12->r13 host DIRECTION: 0.94 vs 1.02). ~150 s of measured work
     # across 202 queries swamps that noise, so the sweep ratio rides
     # the driver-parsed stdout line and future rounds read ONE number.
-    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        from tools.sweep_times import host_norm as sweep_host_norm
-
-        sweeps = sorted(glob.glob(os.path.join(repo, "SWEEP_r*.json")))
-        if len(sweeps) >= 2:
-            with open(sweeps[-2], encoding="utf-8") as fh:
-                sprev = json.load(fh)
-            with open(sweeps[-1], encoding="utf-8") as fh:
-                scur = json.load(fh)
-            common = sorted(set(sprev["queries"]) & set(scur["queries"]))
-            prev_sum = sum(sprev["queries"][n]["warm"] for n in common)
-            cur_sum = sum(scur["queries"][n]["warm"] for n in common)
-            out["sweep_norm_ratio"] = round(
-                (cur_sum / prev_sum) / sweep_host_norm(sprev, scur), 3
-            )
-            out["sweep_rounds"] = [
-                int(re.search(r"_r(\d+)\.json$", p).group(1))
-                for p in sweeps[-2:]
-            ]
+        out.update(sweep_channel(os.path.dirname(os.path.abspath(__file__))))
     except Exception as e:  # advisory only — never fail the bench
         print(f"# sweep channel unavailable: {e}", file=sys.stderr)
 

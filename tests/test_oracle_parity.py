@@ -72,6 +72,10 @@ def test_driver_window_is_oracle_backed():
     qs = registry.all_queries()
     window = list(registry.DRIVER_WINDOW)
     assert len(window) >= 50
+    # a duplicated name would collapse silently in all_queries()'s
+    # dict construction, shifting every later entry one slot earlier
+    # and pushing the 50th intended query OUT of the verified window
+    assert len(set(window)) == len(window), "DRIVER_WINDOW has duplicates"
     assert list(qs)[: len(window)] == window
     assert [n for n in qs if qs[n].oracle is None] == []
 
