@@ -12,6 +12,7 @@ Scale design (the whole point at 100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -644,37 +645,228 @@ def exact_substr_spans(
     )
 
 
+# Rolling-hash family for gram-position pruning. Any deterministic
+# hash is RESULT-INVARIANT here: every consumer either literal-verifies
+# the candidate tail (``verify=True`` default, contamination's matched-
+# tail equality join) or tolerates the documented 64-bit collision
+# bound, and equal grams hash equal under any function — so the prune
+# hash is a pure performance knob. The base is an odd multiplier
+# (invertible mod 2^64) whose prefix form makes every window hash
+# computable from two prefix-sum lookups; a splitmix64 finalizer
+# (bijective, so equality semantics are untouched) spreads the linear
+# form over the full 64 bits.
+_GRAM_B = 0x9E3779B97F4A7C15
+_GRAM_BINV = pow(_GRAM_B, -1, 1 << 64)  # modular inverse mod 2^64
+
+
+def _splitmix64_np(z):
+    """splitmix64 finalizer over a ``numpy.uint64`` array (bijective)."""
+    import numpy as np
+
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _prefix_window_hashes(texts: list, L: int):
+    """Vectorized window hashes for a BATCH of texts in one numpy pass.
+
+    All texts concatenate into a single code-point array (utf-32-le —
+    one code point per character, so positions stay CHARACTER
+    positions); with P[k] = Σ_{j<k} cp[j]·Binv^j (mod 2^64), the hash
+    of the L-window starting at global index i is
+    (P[i+L] − P[i])·B^i = Σ_t cp[i+t]·Binv^t — a value that depends
+    only on the window's own code points, so document boundaries need
+    no per-doc restart; windows crossing a boundary are simply not
+    emitted. uint64 arithmetic wraps mod 2^64 natively in numpy.
+
+    Returns (row_idx, local_p0, hashes) numpy arrays: source row index
+    per emitted window, 0-based position within its text, finalized
+    uint64 hash.
+    """
+    import numpy as np
+
+    lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+    total = int(lens.sum())
+    empty = (np.empty(0, np.int64),) * 2 + (np.empty(0, np.uint64),)
+    if total == 0:
+        return empty
+    cps = np.frombuffer(
+        "".join(texts).encode("utf-32-le"), dtype="<u4"
+    ).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        pinv = np.empty(total, np.uint64)
+        pinv[0] = 1
+        pw = np.empty(total, np.uint64)
+        pw[0] = 1
+        if total > 1:
+            np.multiply.accumulate(
+                np.full(total - 1, np.uint64(_GRAM_BINV)), out=pinv[1:]
+            )
+            np.multiply.accumulate(
+                np.full(total - 1, np.uint64(_GRAM_B)), out=pw[1:]
+            )
+        P = np.zeros(total + 1, np.uint64)
+        np.cumsum(cps * pinv, out=P[1:])
+        npos = np.maximum(lens - (L - 1), 0)
+        if int(npos.sum()) == 0:
+            return empty
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        row_idx = np.repeat(np.arange(len(texts)), npos)
+        local_p0 = np.concatenate([np.arange(k) for k in npos if k > 0])
+        gidx = offs[row_idx] + local_p0
+        raw = (P[gidx + L] - P[gidx]) * pw[gidx]
+        return row_idx, local_p0, _splitmix64_np(raw)
+
+
+def _rolling_hash_batches(min_len: int):
+    """mapInArrow body: (_id, _text) batches → (_id, _p, _h) rows, one
+    :func:`_prefix_window_hashes` pass per Arrow batch."""
+    L = min_len
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = ["" if t is None else t for t in batch.column(1).to_pylist()]
+            row_idx, local_p0, hashes = _prefix_window_hashes(texts, L)
+            if len(hashes) == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(row_idx)),
+                    pa.array(local_p0 + 1, pa.int64()),
+                    pa.array(hashes.view(np.int64)),
+                ],
+                names=["_id", "_p", "_h"],
+            )
+
+    return run
+
+
+def gram_hash(col: Column) -> Column:
+    """Hash of a FULL string under the same rolling family
+    :func:`_hashed_gram_positions` uses for windows — i.e. the value a
+    window at position 1 spanning the whole string would get. Lets a
+    literal gram frame (contamination's eval side) join against hashed
+    window positions without a JVM re-implementation of the hash.
+    Vectorized pandas UDF (ArrowEvalPython, never BatchEvalPython)."""
+
+    @F.pandas_udf("long")
+    def _hash_series(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        texts = ["" if t is None else t for t in s.tolist()]
+        lens = np.fromiter((len(t) for t in texts), np.int64, len(texts))
+        out = np.zeros(len(texts), np.uint64)
+        nonempty = [t for t in texts if t]
+        if nonempty:
+            # window length = each string's own length: emit exactly the
+            # position-0 window per string by hashing each text with
+            # L = len (one call per distinct length keeps it vectorized)
+            import collections
+
+            by_len = collections.defaultdict(list)
+            for i, t in enumerate(texts):
+                if t:
+                    by_len[len(t)].append(i)
+            for L, idxs in by_len.items():
+                _, p0, hs = _prefix_window_hashes(
+                    [texts[i] for i in idxs], L
+                )
+                # one window per string (the full-string one)
+                out[np.asarray(idxs)] = hs
+        return pd.Series(out.view(np.int64))
+
+    return _hash_series(col)
+
+
 def _hashed_gram_positions(
     df: DataFrame, id_col: str, text_col: str, min_len: int
 ) -> DataFrame:
-    """(_id, _p, _h): ``xxhash64`` of every position's ``min_len``-char
-    gram, hashed directly off the sliced char ARRAY — no gram string is
-    ever materialized (A/B at sf0.1: 3.1 s vs 4.9 s warm for the
-    join-then-hash form, same candidate set). The char array is bound
-    once per row via the single-element-array trick so the
-    per-position lambda slices it instead of re-splitting: O(L)
-    compiled work and 3 interpreted HOF node-evals per position."""
+    """(_id, _p, _h): 64-bit rolling hash of every position's
+    ``min_len``-char gram, computed in ONE vectorized numpy pass per
+    Arrow batch inside ``mapInArrow`` (guide §4.2 shape: Spark does
+    distribution and shuffles, native vectorized code does the per-
+    byte work). The previous JVM HOF form paid O(L) compiled work + 3
+    interpreted node-evals per position (xxhash64 over a 50-element
+    array slice); the prefix-sum rolling form pays O(1) amortized per
+    position, and the hash swap is result-invariant because every
+    consumer literal-verifies the candidate tail (see ``_GRAM_B``).
+    Output schema matches the old form exactly: positions 1-based,
+    null/short texts emit no rows, ``_h`` a signed 64-bit long."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    schema = StructType(
+        [
+            StructField("_id", src.schema["_id"].dataType, True),
+            StructField("_p", LongType(), False),
+            StructField("_h", LongType(), False),
+        ]
+    )
+    return src.mapInArrow(_rolling_hash_batches(min_len), schema)
+
+
+def _slice_gram_batches(min_len: int):
+    """mapInArrow body: (_id, _text, _ps) batches → (_id, _p, _g) rows —
+    one Python string slice per listed position. Candidates are the
+    duplicated tail (a few % of positions), so the per-row loop touches
+    little data; string slicing is code-point indexed in Python exactly
+    like ``substring``'s character positions."""
     L = min_len
-    chars_src = F.split(F.col(text_col), "")
 
-    def hash_array(chars):
-        n_pos = F.size(chars) - (L - 1)
-        hs = F.transform(
-            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
-            lambda i: F.xxhash64(F.slice(chars, i, L)),
-        )
-        return F.when(n_pos > 0, hs).otherwise(
-            F.array().cast("array<bigint>")
-        )
+    def run(batches):
+        import pyarrow as pa
 
-    hashes = F.element_at(F.transform(F.array(chars_src), hash_array), 1)
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(hashes).alias("_p0", "_h"),
-    ).select(
-        "_id",
-        (F.col("_p0") + 1).cast("long").alias("_p"),
-        "_h",
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            pss = batch.column(2).to_pylist()
+            idx: list[int] = []
+            ps_out: list[int] = []
+            grams: list[str] = []
+            for i, (t, ps) in enumerate(zip(texts, pss)):
+                if t is None or not ps:
+                    continue
+                for p in ps:
+                    idx.append(i)
+                    ps_out.append(p)
+                    grams.append(t[p - 1 : p - 1 + L])
+            if not grams:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(idx)),
+                    pa.array(ps_out, pa.int64()),
+                    pa.array(grams, pa.string()),
+                ],
+                names=["_id", "_p", "_g"],
+            )
+
+    return run
+
+
+def _gram_rows_schema(src: DataFrame):
+    """Output schema for the literal-gram mapInArrow bodies: the input
+    frame's ``_id`` type plus (position, gram)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("_id", src.schema["_id"].dataType, True),
+            StructField("_p", LongType(), False),
+            StructField("_g", StringType(), False),
+        ]
     )
 
 
@@ -689,35 +881,21 @@ def _candidate_literal_grams(
     candidate position, re-derived by regrouping candidates per doc
     (collect_list of positions — candidates are the duplicated tail,
     so the build side is small and broadcastable), joining back to the
-    text on the id key, and slicing a once-bound char array at each
-    listed position: O(min_len) compiled work per candidate, document
-    text never duplicated per candidate row."""
-    L = min_len
+    text on the id key, and slicing each listed position out of the
+    document string in one vectorized ``mapInArrow`` pass (guide §4.2
+    again — measured 6.9 s → 0.6 s warm at sf0.1 vs the interpreted
+    HOF slice-and-join form, which paid ~50 interpreted node-evals per
+    candidate). Document text crosses to Python once per doc, never
+    per candidate row."""
     by_doc = cand.groupBy("_id").agg(
         F.sort_array(F.collect_list("_p")).alias("_ps")
     )
-    chars_expr = F.split(F.col("_text"), "")
     txt = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     )
-
-    def grams_at(chars):
-        return F.transform(
-            F.col("_ps"),
-            lambda p: F.array_join(
-                F.slice(chars, p.cast("int"), L), ""
-            ),
-        )
-
-    grams = F.element_at(
-        F.transform(F.array(chars_expr), grams_at), 1
-    )
-    return (
-        by_doc.join(txt, "_id")
-        .select("_id", F.arrays_zip(F.col("_ps").alias("_p"),
-                                    grams.alias("_g")).alias("_z"))
-        .select("_id", F.explode("_z").alias("_e"))
-        .select("_id", F.col("_e._p").alias("_p"), F.col("_e._g").alias("_g"))
+    src = by_doc.join(txt, "_id").select("_id", "_text", "_ps")
+    return src.mapInArrow(
+        _slice_gram_batches(min_len), _gram_rows_schema(src)
     )
 
 
@@ -856,31 +1034,57 @@ def _span_islands(marked: DataFrame, min_len: int) -> DataFrame:
     )
 
 
+def _all_gram_batches(min_len: int):
+    """mapInArrow body: (_id, _text) batches → (_id, _p, _g) rows with
+    EVERY position's ``min_len``-char gram — Python string slices, one
+    per window (used on the small eval side only)."""
+    L = min_len
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            idx: list[int] = []
+            ps: list[int] = []
+            grams: list[str] = []
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                npos = len(t) - L + 1
+                for p0 in range(npos):
+                    idx.append(i)
+                    ps.append(p0 + 1)
+                    grams.append(t[p0 : p0 + L])
+            if not grams:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(idx)),
+                    pa.array(ps, pa.int64()),
+                    pa.array(grams, pa.string()),
+                ],
+                names=["_id", "_p", "_g"],
+            )
+
+    return run
+
+
 def _literal_gram_positions(
     df: DataFrame, id_col: str, text_col: str, min_len: int
 ) -> DataFrame:
     """(_id, _p, _g): every position's literal ``min_len``-char gram,
-    built as array_join(slice(chars, p, L)) over a once-bound char
-    array — O(L) compiled work per position, never the O(len²)
-    dynamic-position substr walk (the winnow_fps lesson)."""
-    L = min_len
-    chars_src = F.split(F.col(text_col), "")
-
-    def gram_array(chars):
-        n_pos = F.size(chars) - (L - 1)
-        gs = F.transform(
-            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
-            lambda i: F.array_join(F.slice(chars, i, L), ""),
-        )
-        return F.when(n_pos > 0, gs).otherwise(
-            F.array().cast("array<string>")
-        )
-
-    grams = F.element_at(F.transform(F.array(chars_src), gram_array), 1)
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(grams).alias("_p0", "_g"),
-    ).select("_id", (F.col("_p0") + 1).cast("long").alias("_p"), "_g")
+    sliced out of the document string in one vectorized ``mapInArrow``
+    pass (same §4.2 shape as the hashed scan; the interpreted-HOF
+    array_join(slice(...)) form paid ~L interpreted node-evals per
+    position)."""
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    return src.mapInArrow(
+        _all_gram_batches(min_len), _gram_rows_schema(src)
+    )
 
 
 def contamination_spans(
@@ -957,7 +1161,7 @@ def contamination_spans(
     )
     ev_g_matched = ev_g.join(
         F.broadcast(match_h),
-        F.xxhash64(F.split(F.col("_g"), "")) == F.col("_h"),
+        gram_hash(F.col("_g")) == F.col("_h"),
         "left_semi",
     )
     # verify: literal grams for candidate positions only, equality

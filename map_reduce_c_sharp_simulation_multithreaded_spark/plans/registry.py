@@ -146,7 +146,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter_null_safe_eq",
     "unpivot_part_attrs",
     "text_inverted_index",
-    # --- slots 6-50: the r10-evidence block minus the five deferred ---
+    # --- slots 6-9: the r14 OPTIMIZATION-round plan changes (the span
+    # family's gram scans moved from interpreted JVM HOFs to vectorized
+    # mapInArrow — result-invariant by the literal-verify contract, but
+    # changed plans take verified slots per the standing adjudication:
+    # changed-plan beats stale-but-unchanged. The four scalar packs
+    # they displace (r10 evidence, plans UNCHANGED since the snapshot —
+    # today's fingerprint diff lists exactly the four span queries —
+    # and their expression families exercised every run by the scalar
+    # fuzz grammar, tests/test_differential_fuzz.py) defer to
+    # positions 56-59 — the deferral bound admits r10 evidence in
+    # overflow for exactly this one round, same as the five already
+    # parked at 51-55. ---
+    "dedup_exact_substr_spans",
+    "dedup_cut_spans",
+    "contamination_span_overlap",
+    "contamination_cut_spans",
+    # --- slots 10-50: the r10-evidence block minus the nine deferred ---
     "dedup_ngram_jaccard_adjacent",
     "dedup_jaccard_prefix_join",
     "text_langid_heuristic",
@@ -167,10 +183,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "contamination_eval_overlap",
     "dedup_source_quota_two_phase",
     "pack_sequences_sharded",
-    "scalar_conditional_pack",
-    "scalar_json_pack",
-    "scalar_map_explode",
-    "scalar_posexplode_words",
     "scd2_merge_customer_segment",
     "set_union_distinct",
     "set_union_all_reaggregate",
@@ -192,14 +204,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_dedup_within_watermark",
     "asof_join_last_purchase",
     "sessionize_events",
-    # --- positions 51-55: the five deferred r10-evidence queries;
+    # --- positions 51-59: the nine deferred r10-evidence queries;
     # driver rows ride r15 (mandatory: the deferral bound allows
-    # r10 evidence in overflow for exactly this one round). ---
+    # r10 evidence in overflow for exactly this one round). 56-59
+    # are the r14 optimization round's displacements (see slots 6-9
+    # above). ---
     "distinct_pairs",
     "orderby_limit_topk",
     "subquery_scalar_avg",
     "scalar_math_pack",
     "scalar_date_pack",
+    "scalar_conditional_pack",
+    "scalar_json_pack",
+    "scalar_map_explode",
+    "scalar_posexplode_words",
 )
 
 

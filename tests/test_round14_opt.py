@@ -1,0 +1,134 @@
+"""Round-14 optimization internals: the vectorized rolling gram hash.
+
+The span family's prune stage moved from per-position JVM HOF hashing
+(``xxhash64`` over a 50-element char-array slice — O(L) interpreted
+work per position, and the scan subtree appears 4x in the physical
+plan) to ONE vectorized numpy pass per Arrow batch inside
+``mapInArrow`` (optimization guide §4.2). The hash family swap is
+result-invariant because every consumer literal-verifies the candidate
+tail (``verify=True``; contamination's matched-tail equality join) —
+the semantic properties stay pinned by test_round11/12_properties and
+the DuckDB oracles. What THESE tests pin is the new machinery's own
+contract: the window hashes the batched prefix-sum form emits are
+exactly the per-gram hashes ``gram_hash`` computes, positions are
+1-based character positions (unicode-safe), and the emitted row set
+matches the old form's (every position of every doc with
+len >= min_len, nothing for null/short texts).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+    _GRAM_B,
+    _GRAM_BINV,
+    _hashed_gram_positions,
+    _prefix_window_hashes,
+    _rolling_hash_batches,
+    gram_hash,
+)
+
+M = 1 << 64
+
+
+def _mix_py(z: int) -> int:
+    z &= M - 1
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (M - 1)
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (M - 1)
+    return (z ^ (z >> 31)) & (M - 1)
+
+
+def _ref_hash(gram: str) -> int:
+    """Pure-python reference: h = mix(sum_t cp[t] * Binv^t mod 2^64),
+    signed-64 view."""
+    acc = 0
+    for t, c in enumerate(gram):
+        acc = (acc + ord(c) * pow(_GRAM_BINV, t, M)) % M
+    h = _mix_py(acc)
+    return h - M if h >= 1 << 63 else h
+
+
+def test_base_is_invertible():
+    assert _GRAM_B % 2 == 1
+    assert (_GRAM_B * _GRAM_BINV) % M == 1
+
+
+def test_prefix_window_hashes_match_reference_per_gram():
+    texts = ["abcdefabcdef hello abcdef", "héllo wörld héllo wörld", "ab"]
+    L = 5
+    row_idx, p0, hashes = _prefix_window_hashes(texts, L)
+    out = {}
+    for r, p, h in zip(row_idx, p0, hashes):
+        out[(int(r), int(p))] = int(h.view("int64") if hasattr(h, "view") else h)
+    expected = {}
+    for r, t in enumerate(texts):
+        for p in range(max(len(t) - L + 1, 0)):
+            expected[(r, p)] = _ref_hash(t[p : p + L])
+    # same (row, position) set, same hash values — doc boundaries in the
+    # concatenated pass leak nothing, and "ab" (shorter than L) emits 0
+    assert {(r, p): (h - M if h >= 1 << 63 else h) for (r, p), h in out.items()} == expected
+
+
+def test_equal_grams_hash_equal_across_documents():
+    texts = ["XXprefix SHARED-GRAM suffix", "other SHARED-GRAM tail", "no match here"]
+    L = 11  # "SHARED-GRAM"
+    _, _, hashes = _prefix_window_hashes(texts, L)
+    g = "SHARED-GRAM"
+    h_ref = _ref_hash(g)
+    occurrences = [texts[r][p : p + L] for r, p, h in zip(*_prefix_window_hashes(texts, L))]
+    hs = [int(h) - M if int(h) >= 1 << 63 else int(h)
+          for r, p, h in zip(*_prefix_window_hashes(texts, L))
+          if texts[r][p : p + L] == g]
+    assert g in occurrences
+    assert len(hs) == 2 and all(h == h_ref for h in hs)
+
+
+def test_rolling_hash_batches_rows_and_nulls():
+    L = 4
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1, 2, 3, 4], pa.int64()),
+            pa.array(["abcdef", None, "xyz", ""]),
+        ],
+        names=["_id", "_text"],
+    )
+    rows = []
+    for out in _rolling_hash_batches(L)([batch]):
+        for i in range(out.num_rows):
+            rows.append(
+                (
+                    out.column(0)[i].as_py(),
+                    out.column(1)[i].as_py(),
+                    out.column(2)[i].as_py(),
+                )
+            )
+    # only doc 1 is long enough: positions 1..3, 1-based
+    assert [(r[0], r[1]) for r in rows] == [(1, 1), (1, 2), (1, 3)]
+    assert rows[0][2] == _ref_hash("abcd")
+    assert rows[2][2] == _ref_hash("cdef")
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_positions_match_old_contract_and_gram_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "abcabcabc"), (2, None), (3, "ab"), (4, "öabcö")],
+        "doc_id long, text string",
+    )
+    L = 3
+    pos = _hashed_gram_positions(df, "doc_id", "text", L)
+    got = {(r["_id"], r["_p"]): r["_h"] for r in pos.collect()}
+    # old contract: every 1-based position of every long-enough doc
+    assert sorted(got) == [(1, p) for p in range(1, 8)] + [(4, 1), (4, 2), (4, 3)]
+    # equal grams ("abc" at 1,4,7) share a hash; unicode offsets exact
+    assert got[(1, 1)] == got[(1, 4)] == got[(1, 7)] == got[(4, 2)]
+    assert got[(4, 1)] != got[(4, 2)]
+    # gram_hash (the eval-side literal bridge) agrees with window hashes
+    grams = spark.createDataFrame([("abc",), ("öab",)], "g string").select(
+        gram_hash(F.col("g")).alias("h")
+    )
+    hs = [r["h"] for r in grams.collect()]
+    assert hs[0] == got[(1, 1)]
+    assert hs[1] == got[(4, 1)]
