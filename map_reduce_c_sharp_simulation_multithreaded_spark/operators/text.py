@@ -1,15 +1,20 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
-All column expressions (JVM-side, codegen'd — no Python UDFs): tokenize,
-token/char statistics, word and character shingles, stopword-based
-language ID, quality scoring, and normalization fingerprints. Each is a
-building block used by ``plans/text.py`` and ``plans/dedup.py`` with
-DuckDB oracles where SQL can express the same computation.
+Mostly column expressions (JVM-side, codegen'd): tokenize, token/char
+statistics, word and character shingles, stopword-based language ID,
+quality scoring, and normalization fingerprints. Each is a building
+block used by ``plans/text.py`` and ``plans/dedup.py`` with DuckDB
+oracles where SQL can express the same computation. The winnowing
+fingerprint family additionally has vectorized ``mapInArrow``
+DataFrame-level forms (:func:`winnow_fp_pairs` /
+:func:`winnow_fp_summary`) computing the IDENTICAL integers — the
+polynomial is plain int64 arithmetic, so numpy reproduces it
+bit-for-bit (r14 optimization; guide §4.2).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Stopword lists for the heuristic language-ID scorer. Deliberately tiny:
@@ -278,6 +283,142 @@ def winnow_fps(text: Column, k: int = 5, window: int = 4) -> Column:
         return F.element_at(F.transform(F.array(hashes), winnow), 1)
 
     return F.element_at(F.transform(F.array(codes_expr), compute), 1)
+
+
+def _winnow_fps_np(text: str | None, k: int, window: int, B, strip_rx):
+    """One document's winnowing fingerprints as an int64 numpy array —
+    the BIT-IDENTICAL integers :func:`winnow_fps` computes (polynomial
+    base-257 mod 1000003 gram hashes, window minima, first-occurrence
+    dedup), produced by vectorized numpy instead of interpreted JVM
+    HOF evaluation. Every edge case of the column form is replicated:
+    null/short text → empty; 0 < n_hashes < window → one window over
+    whatever exists (the ``slice`` semantics of the JVM form)."""
+    import numpy as np
+
+    if text is None:
+        return np.empty(0, np.int64)
+    t = strip_rx.sub("", text)
+    n = len(t)
+    if n < k:
+        return np.empty(0, np.int64)
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+        np.int64
+    )
+    n_grams = n - k + 1
+    hs = np.zeros(n_grams, np.int64)
+    for j in range(k):
+        hs += codes[j : j + n_grams] * int(B[j])
+    hs %= 1000003
+    if n_grams >= window:
+        mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(
+            axis=1
+        )
+    else:
+        mins = hs.min(keepdims=True)
+    # array_distinct: first-occurrence order
+    _, first = np.unique(mins, return_index=True)
+    return mins[np.sort(first)]
+
+
+def _winnow_setup(k: int, window: int):
+    import re
+
+    B = [pow(257, j, 1000003) for j in range(k)]
+    return B, re.compile(r"[^\x20-\x7e]")
+
+
+def winnow_fp_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """(``id_col``, fp) rows — :func:`winnow_fps` exploded, computed
+    vectorized (identical integers, identical row multiset: per-doc
+    first-occurrence-deduped fingerprints, docs with none emit no
+    rows)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    schema = StructType(
+        [
+            StructField(id_col, src.schema["_id"].dataType, True),
+            StructField("fp", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        B, strip_rx = _winnow_setup(k, window)
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            fps = [_winnow_fps_np(t, k, window, B, strip_rx) for t in texts]
+            counts = np.fromiter((len(f) for f in fps), np.int64, len(fps))
+            if int(counts.sum()) == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(np.repeat(np.arange(len(fps)), counts))),
+                    pa.array(np.concatenate(fps)),
+                ],
+                names=[id_col, "fp"],
+            )
+
+    return src.mapInArrow(run, schema)
+
+
+def winnow_fp_summary(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """(``id_col``, n_fp, fp_min, fp_check) — the per-doc summary
+    text_winnowing_fingerprints emits, same values as summarizing
+    :func:`winnow_fps` (n_fp = count of deduped fingerprints, fp_min
+    their min or NULL when none, fp_check their sum mod 1000000007)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    schema = StructType(
+        [
+            StructField(id_col, src.schema["_id"].dataType, True),
+            StructField("n_fp", IntegerType(), False),
+            StructField("fp_min", LongType(), True),
+            StructField("fp_check", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import pyarrow as pa
+
+        B, strip_rx = _winnow_setup(k, window)
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            fps = [_winnow_fps_np(t, k, window, B, strip_rx) for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array([len(f) for f in fps], pa.int32()),
+                    pa.array(
+                        [int(f.min()) if len(f) else None for f in fps],
+                        pa.int64(),
+                    ),
+                    pa.array(
+                        [int(f.sum()) % 1000000007 for f in fps], pa.int64()
+                    ),
+                ],
+                names=[id_col, "n_fp", "fp_min", "fp_check"],
+            )
+
+    return src.mapInArrow(run, schema)
 
 
 def bpe_initial_words(docs, text_col: str = "text"):

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_tables
-from ..operators.text import winnow_fps
+from ..operators.text import winnow_fp_pairs
 from ..session import pin_session
 from .registry import register
 
@@ -293,9 +293,10 @@ def _winnow_doc_fp(d: DataFrame) -> DataFrame:
     artifact shared by CC and the keep-best query (cache substitution
     matches the identical plan; compact (doc_id, fp) pairs, one block
     set per dataset under LRU)."""
-    return d.select(
-        "doc_id", F.explode(winnow_fps(F.col("text"))).alias("fp")
-    ).distinct().cache()
+    # r14: the fingerprint computation is the vectorized mapInArrow
+    # form — identical integers (operators.text.winnow_fp_pairs), one
+    # numpy pass instead of interpreted per-position HOF evaluation.
+    return winnow_fp_pairs(d, "doc_id", "text").distinct().cache()
 
 
 def _min_label_components(

@@ -218,6 +218,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_json_pack",
     "scalar_map_explode",
     "scalar_posexplode_words",
+    # --- positions 60-62: the r14 winnowing vectorization's blind-
+    # fingerprint drifts (source-closure hashes of the cluster-label
+    # iteratives fold in winnow_fp_pairs). r12 evidence — inside the
+    # deferral bound; text_winnowing_fingerprints itself, the query
+    # whose OUTPUT is the fingerprint integers, holds a verified slot
+    # and its oracle replays the identical polynomial, so the shared
+    # arithmetic is driver-checked this round through that slot. ---
+    "dedup_connected_components",
+    "curation_cluster_keep_best",
+    "split_cluster_leakage_safe",
 )
 
 

@@ -30,7 +30,7 @@ from ..operators.text import (
     token_poly_hash,
     tokens,
     top_repeated_shingle,
-    winnow_fps,
+    winnow_fp_summary,
     word_shingles,
 )
 from ..session import pin_session
@@ -746,24 +746,13 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    fps = winnow_fps(F.col("text"))
-
-    # Same trick for the summary: evaluate `fps` once and emit the three
-    # outputs via inline() (a generator runs once per row), instead of
-    # embedding the full expression tree in three projection columns.
-    def summarize(fp):
-        return F.struct(
-            F.size(fp).alias("n_fp"),
-            F.array_min(fp).alias("fp_min"),
-            F.pmod(
-                F.aggregate(fp, F.lit(0).cast("long"), lambda a, x: a + x),
-                F.lit(1000000007),
-            ).alias("fp_check"),
-        )
-
-    return d.select(
-        "doc_id", F.inline(F.transform(F.array(fps), summarize))
-    )
+    # r14 optimization: the polynomial is plain int64 arithmetic, so
+    # the vectorized mapInArrow form computes the IDENTICAL integers
+    # (operators.text.winnow_fp_summary) — one numpy pass per batch
+    # instead of interpreted per-position HOF evaluation (guide §4.2);
+    # measured 1.73 s → see OPTIMIZATION_r14.md. The oracle CTE is
+    # unchanged — both engines still replay the same arithmetic.
+    return winnow_fp_summary(d, "doc_id", "text")
 
 
 def _countmin_oracle(width: int = 64, p: int = 1000003) -> str:

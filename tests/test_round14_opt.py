@@ -112,6 +112,55 @@ def test_rolling_hash_batches_rows_and_nulls():
 
 
 @pytest.mark.usefixtures("spark")
+def test_winnow_vectorized_matches_column_form(spark):
+    """The r14 vectorized winnowing forms must emit BIT-IDENTICAL
+    integers to the column-expression form (whose arithmetic the
+    DuckDB oracle replays): same fingerprints in the same per-doc
+    first-occurrence order, same summary rows — across the edge cases
+    (null/empty/short text, n_hashes < window, all-equal grams,
+    non-printable-ASCII stripping)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.text import (
+        winnow_fp_pairs,
+        winnow_fp_summary,
+        winnow_fps,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog the quick fox"),
+        (2, None),
+        (3, ""),
+        (4, "abcd"),  # shorter than k=5 -> no fingerprints
+        (5, "abcde"),  # exactly k -> 1 gram, n_h=1 < window
+        (6, "abcdefg"),  # n_h=3 < window -> one window over all
+        (7, "abcdefgh"),  # n_h=4 == window
+        (8, "a" * 20),  # all-equal grams -> distinct collapses to 1
+        (9, "héllo wörld strip\x01\x02 me " * 3),  # non-ascii strip
+        (10, "mixed \t whitespace\nand punctuation!?"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = {
+        r["doc_id"]: list(r["fps"] or [])
+        for r in df.select(
+            "doc_id", winnow_fps(F.col("text")).alias("fps")
+        ).collect()
+    }
+    new: dict[int, list[int]] = {}
+    for r in winnow_fp_pairs(df, "doc_id", "text").collect():
+        new.setdefault(r["doc_id"], []).append(r["fp"])
+    assert {i: new.get(i, []) for i, _ in rows} == old
+    summ = {
+        r["doc_id"]: (r["n_fp"], r["fp_min"], r["fp_check"])
+        for r in winnow_fp_summary(df, "doc_id", "text").collect()
+    }
+    assert summ == {
+        i: (len(o), min(o) if o else None, sum(o) % 1000000007)
+        for i, o in old.items()
+    }
+
+
+@pytest.mark.usefixtures("spark")
 def test_spark_positions_match_old_contract_and_gram_hash(spark):
     df = spark.createDataFrame(
         [(1, "abcabcabc"), (2, None), (3, "ab"), (4, "öabcö")],
