@@ -79,6 +79,244 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def char_ngram_stats_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(``id_col``, n_ngrams, n_distinct_ngrams) per document — the
+    summary :func:`char_ngrams` + size/array_distinct computes, in one
+    vectorized numpy pass per Arrow batch (r14, guide §4.2): each
+    n-gram is encoded as a single uint64 from its code points (code
+    points < 2^21, so 3 fit exactly), and distinct-counting is
+    ``np.unique`` — a bijection of the distinct-gram-string count, so
+    the integers are identical to the column form's. Null or
+    shorter-than-n texts yield (0, 0) exactly like
+    ``size(array())``."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    assert n == 3, "encoding packs exactly 3 code points"
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    schema = StructType(
+        [
+            StructField(id_col, src.schema["_id"].dataType, True),
+            StructField("n_ngrams", IntegerType(), False),
+            StructField("n_distinct_ngrams", IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            total, distinct = [], []
+            shift = np.uint64(21)
+            for t in texts:
+                if t is None or len(t) < 3:
+                    total.append(0)
+                    distinct.append(0)
+                    continue
+                cps = np.frombuffer(
+                    t.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.uint64)
+                tri = (
+                    (cps[:-2] << (shift + shift))
+                    | (cps[1:-1] << shift)
+                    | cps[2:]
+                )
+                total.append(len(tri))
+                distinct.append(len(np.unique(tri)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(total, pa.int32()),
+                    pa.array(distinct, pa.int32()),
+                ],
+                names=[id_col, "n_ngrams", "n_distinct_ngrams"],
+            )
+
+    return src.mapInArrow(run, schema)
+
+
+def gopher_measures_rows(toks: DataFrame) -> DataFrame:
+    """The Gopher measurement frame — (doc_id, nc, n_tokens,
+    n_distinct_tokens, top2 struct, n_5grams, n_distinct_5grams) from a
+    pre-tokenized (doc_id, nc, tk) frame — computed per doc in Python
+    over the JVM-TOKENIZED arrays (r14, guide §4.2): the token arrays
+    cross the Arrow boundary unchanged, so tokenization semantics stay
+    exactly ``tokens()``'s, and the array folds (distinct counts,
+    2-gram run-length mode with the first-maximal/lexicographically-
+    smallest tiebreak, 5-gram distinct count) are plain Python over
+    those tokens — value-identical to the column-fold forms because
+    tokens cannot contain whitespace, making the ``' '``-join gram
+    encoding injective."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_type = toks.schema["doc_id"].dataType
+    nc_type = toks.schema["nc"].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type, True),
+            StructField("nc", nc_type, True),
+            StructField("n_tokens", IntegerType(), True),
+            StructField("n_distinct_tokens", IntegerType(), True),
+            StructField(
+                "top2",
+                StructType(
+                    [
+                        StructField("bestg", StringType(), True),
+                        StructField("best", IntegerType(), True),
+                    ]
+                ),
+                True,
+            ),
+            StructField("n_5grams", IntegerType(), True),
+            StructField("n_distinct_5grams", IntegerType(), True),
+        ]
+    )
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            ncs = batch.column(1)
+            tks = batch.column(2).to_pylist()
+            n_tok, n_dtok, bestg, best, n5, nd5 = [], [], [], [], [], []
+            for tk in tks:
+                if tk is None:
+                    for acc in (n_tok, n_dtok, bestg, best, n5, nd5):
+                        acc.append(None)
+                    continue
+                n = len(tk)
+                n_tok.append(n)
+                n_dtok.append(len(set(tk)))
+                if n >= 2:
+                    bi = list(zip(tk, tk[1:]))
+                    from collections import Counter
+
+                    cnt = Counter(bi)
+                    # first maximal run of the SORTED gram array ==
+                    # max count, lexicographically smallest gram
+                    g, c = min(
+                        cnt.items(), key=lambda kv: (-kv[1], kv[0])
+                    )
+                    bestg.append(g[0] + " " + g[1])
+                    best.append(c)
+                else:
+                    bestg.append("")
+                    best.append(0)
+                k5 = max(n - 4, 0)
+                n5.append(k5)
+                nd5.append(
+                    len({tuple(tk[i : i + 5]) for i in range(k5)})
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    ncs,
+                    pa.array(n_tok, pa.int32()),
+                    pa.array(n_dtok, pa.int32()),
+                    pa.StructArray.from_arrays(
+                        [
+                            pa.array(bestg, pa.string()),
+                            pa.array(best, pa.int32()),
+                        ],
+                        names=["bestg", "best"],
+                    ),
+                    pa.array(n5, pa.int32()),
+                    pa.array(nd5, pa.int32()),
+                ],
+                names=[
+                    "doc_id",
+                    "nc",
+                    "n_tokens",
+                    "n_distinct_tokens",
+                    "top2",
+                    "n_5grams",
+                    "n_distinct_5grams",
+                ],
+            )
+
+    return toks.select("doc_id", "nc", "tk").mapInArrow(run, schema)
+
+
+def dsir_bucket_counts_rows(toks: DataFrame, buckets: int) -> DataFrame:
+    """(doc_id, b, tf) — per-doc hashed-bigram bucket counts from a
+    pre-tokenized (doc_id, nc, tk) frame: md5hash60(gram) % buckets,
+    counted per doc in Python (r14, guide §4.2). hashlib.md5 over the
+    same utf-8 bytes reproduces ``md5hash60`` exactly (first 15 hex
+    chars as int); per-doc Counter folding replaces the
+    explode + groupBy(doc, b) shuffle with map-side-complete rows
+    (≤ ``buckets`` per doc by construction)."""
+    import hashlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = toks.schema["doc_id"].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type, True),
+            StructField("b", LongType(), False),
+            StructField("tf", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        memo: dict[str, int] = {}
+
+        def bucket(g: str) -> int:
+            b = memo.get(g)
+            if b is None:
+                b = (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    % buckets
+                )
+                memo[g] = b
+            return b
+
+        for batch in batches:
+            ids = batch.column(0)
+            tks = batch.column(2).to_pylist()
+            idx: list[int] = []
+            bs: list[int] = []
+            tfs: list[int] = []
+            for i, tk in enumerate(tks):
+                if not tk or len(tk) < 2:
+                    continue
+                cnt = Counter(
+                    bucket(a + " " + b) for a, b in zip(tk, tk[1:])
+                )
+                for b, c in sorted(cnt.items()):
+                    idx.append(i)
+                    bs.append(b)
+                    tfs.append(c)
+            if not idx:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(idx)),
+                    pa.array(bs, pa.int64()),
+                    pa.array(tfs, pa.int64()),
+                ],
+                names=["doc_id", "b", "tf"],
+            )
+
+    return toks.select("doc_id", "nc", "tk").mapInArrow(run, schema)
+
+
 def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
     """How many of ``words`` occur as whole tokens (padded contains)."""
     padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))

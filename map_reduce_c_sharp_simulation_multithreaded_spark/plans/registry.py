@@ -228,6 +228,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_connected_components",
     "curation_cluster_keep_best",
     "split_cluster_leakage_safe",
+    # --- position 63: text_gopher_quality's r14 plan change (the
+    # Gopher array folds moved to gopher_measures_rows; its two
+    # in-window co-consumers text_char_ngram_stats and
+    # curation_dsir_importance hold verified slots already). r11
+    # evidence — inside the deferral bound. ---
+    "text_gopher_quality",
 )
 
 

@@ -22,8 +22,11 @@ from ..operators.text import (
     PII_EMAIL_RE,
     PII_IP_RE,
     PII_PHONE_RE,
+    char_ngram_stats_rows,
     char_ngrams,
+    dsir_bucket_counts_rows,
     fingerprint,
+    gopher_measures_rows,
     lang_guess,
     quality_features,
     token_count,
@@ -237,12 +240,11 @@ def text_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingling primitive under MinHash/SimHash."""
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    ng = char_ngrams(F.col("text"), 3)
-    return d.select(
-        "doc_id",
-        F.size(ng).alias("n_ngrams"),
-        F.size(F.array_distinct(ng)).alias("n_distinct_ngrams"),
-    )
+    # r14: the trigram totals/distincts are counted in one vectorized
+    # numpy pass (operators.text.char_ngram_stats_rows — grams encoded
+    # as packed code-point uint64s, a bijection of the gram strings,
+    # so the integers are identical to the char_ngrams column form).
+    return char_ngram_stats_rows(d, "doc_id", "text", 3)
 
 
 @register(
@@ -367,18 +369,13 @@ def _gopher_m(d: DataFrame, toks: DataFrame | None = None) -> DataFrame:
         F.length("text").alias("nc"),
         tokens(F.col("text")).alias("tk"),
     )
-    g5 = word_shingles(F.col("tk"), 5)
-    return t.select(
-        "doc_id",
-        "nc",
-        F.size("tk").alias("n_tokens"),
-        F.size(F.array_distinct("tk")).alias("n_distinct_tokens"),
-        top_repeated_shingle(F.array_sort(word_shingles(F.col("tk"), 2))).alias(
-            "top2"
-        ),
-        F.size(g5).alias("n_5grams"),
-        F.size(F.array_distinct(g5)).alias("n_distinct_5grams"),
-    )
+    # r14: the array folds (distinct counts, sorted-run 2-gram mode,
+    # 5-gram distinct) run in Python over the JVM-TOKENIZED arrays —
+    # value-identical (tokens cannot contain whitespace, so the
+    # ' '-join gram encoding is injective; tiebreak replicated) and
+    # one vectorized pass instead of interpreted per-token lambda
+    # evaluation (operators.text.gopher_measures_rows, guide §4.2).
+    return gopher_measures_rows(t)
 
 
 def _gopher_pass_col() -> Column:
@@ -517,19 +514,13 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     gv = _gopher_m(d, toks=toks).select(
         "doc_id", _gopher_pass_col().alias("gopher_pass")
     )
-    bx = toks.filter(F.size("tk") >= 2).select(
-        "doc_id", F.explode(word_shingles(F.col("tk"), 2)).alias("gram")
-    )
-    # cached: feeds the model aggregate AND the scoring join
-    tf = (
-        bx.select(
-            "doc_id",
-            F.pmod(md5hash60(F.col("gram")), F.lit(_DSIR_BUCKETS)).alias("b"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .cache()
-    )
+    # cached: feeds the model aggregate AND the scoring join. r14: the
+    # hashed-bigram bucket counts fold per doc in Python over the same
+    # cached token arrays (operators.text.dsir_bucket_counts_rows —
+    # hashlib.md5 reproduces md5hash60 exactly), replacing the bigram
+    # explode + groupBy(doc, b) shuffle with map-side-complete rows
+    # (≤ 64 per doc by construction).
+    tf = dsir_bucket_counts_rows(toks, _DSIR_BUCKETS).cache()
     bkt = (
         tf.join(gv, "doc_id")
         .groupBy("b")

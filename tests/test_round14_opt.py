@@ -161,6 +161,107 @@ def test_winnow_vectorized_matches_column_form(spark):
 
 
 @pytest.mark.usefixtures("spark")
+def test_gopher_and_ngram_vectorized_match_column_forms(spark):
+    """The r14 vectorized Gopher measures / DSIR bucket counts /
+    char-trigram stats must be value-identical to the column-fold
+    forms they replaced — including the tiebreak (first maximal run of
+    the sorted 2-gram array == max count, lexicographically smallest),
+    the md5 bucket hash, and the null/short-text contracts."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+        md5hash60,
+    )
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.text import (
+        char_ngram_stats_rows,
+        char_ngrams,
+        dsir_bucket_counts_rows,
+        gopher_measures_rows,
+        tokens,
+        top_repeated_shingle,
+        word_shingles,
+    )
+
+    rows = [
+        (1, "a b a b a b c c c"),  # tie between 'a b' (3) and ... runs
+        (2, "b a b a b a"),  # 'b a' 3 vs 'a b' 2
+        (3, "x"),  # single token -> no bigrams
+        (4, ""),  # no tokens
+        (5, "one two three four five six one two three four five"),
+        (6, "t t t t t t t t"),  # all-equal tokens
+        (7, "héllo wörld héllo wörld héllo"),  # non-ascii tokens
+        (8, "ab"),  # shorter than 3 chars -> (0, 0) trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = df.select(
+        "doc_id", F.length("text").alias("nc"), tokens(F.col("text")).alias("tk")
+    )
+    # old column-fold Gopher frame
+    g5 = word_shingles(F.col("tk"), 5)
+    old = {
+        r["doc_id"]: (
+            r["nc"], r["n_tokens"], r["n_distinct_tokens"],
+            (r["top2"]["bestg"], r["top2"]["best"]),
+            r["n_5grams"], r["n_distinct_5grams"],
+        )
+        for r in toks.select(
+            "doc_id", "nc",
+            F.size("tk").alias("n_tokens"),
+            F.size(F.array_distinct("tk")).alias("n_distinct_tokens"),
+            top_repeated_shingle(
+                F.array_sort(word_shingles(F.col("tk"), 2))
+            ).alias("top2"),
+            F.size(g5).alias("n_5grams"),
+            F.size(F.array_distinct(g5)).alias("n_distinct_5grams"),
+        ).collect()
+    }
+    new = {
+        r["doc_id"]: (
+            r["nc"], r["n_tokens"], r["n_distinct_tokens"],
+            (r["top2"]["bestg"], r["top2"]["best"]),
+            r["n_5grams"], r["n_distinct_5grams"],
+        )
+        for r in gopher_measures_rows(toks).collect()
+    }
+    assert new == old
+    # DSIR bucket counts vs the explode + md5hash60 + groupBy form
+    old_tf = {
+        (r["doc_id"], r["b"]): r["tf"]
+        for r in toks.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(word_shingles(F.col("tk"), 2)).alias("gram"),
+        )
+        .select(
+            "doc_id", F.pmod(md5hash60(F.col("gram")), F.lit(64)).alias("b")
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    }
+    new_tf = {
+        (r["doc_id"], r["b"]): r["tf"]
+        for r in dsir_bucket_counts_rows(toks, 64).collect()
+    }
+    assert new_tf == old_tf
+    # char-trigram stats vs the char_ngrams column form
+    ng = char_ngrams(F.col("text"), 3)
+    old_ng = {
+        r["doc_id"]: (r["a"], r["b"])
+        for r in df.select(
+            "doc_id",
+            F.size(ng).alias("a"),
+            F.size(F.array_distinct(ng)).alias("b"),
+        ).collect()
+    }
+    new_ng = {
+        r["doc_id"]: (r["n_ngrams"], r["n_distinct_ngrams"])
+        for r in char_ngram_stats_rows(df, "doc_id", "text").collect()
+    }
+    assert new_ng == old_ng
+
+
+@pytest.mark.usefixtures("spark")
 def test_spark_positions_match_old_contract_and_gram_hash(spark):
     df = spark.createDataFrame(
         [(1, "abcabcabc"), (2, None), (3, "ab"), (4, "öabcö")],
