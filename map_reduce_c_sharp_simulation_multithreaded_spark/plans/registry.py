@@ -234,6 +234,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # curation_dsir_importance hold verified slots already). r11
     # evidence — inside the deferral bound. ---
     "text_gopher_quality",
+    # --- position 64: tpch_q2's r14 min-cost window rewrite (the
+    # decorrelated agg+join evaluated the lineitem subtree twice; the
+    # window computes the identical row set in one pass). r11
+    # evidence. ---
+    "tpch_q2_min_cost_supplier",
 )
 
 

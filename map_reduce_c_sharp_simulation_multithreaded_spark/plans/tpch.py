@@ -16,7 +16,7 @@ id tiebreak so float ulp cannot flip the k-boundary between engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
@@ -522,21 +522,19 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     ps_eu = ps.join(eu_supp, ps.ps_suppkey == eu_supp.s_suppkey)
-    # explicit output aliases: min_cost derives from ps_eu, so reusing
-    # ps_eu's column objects in the join condition would self-resolve
-    # into a trivially-true predicate
-    min_cost = (
-        ps_eu.groupBy(F.col("ps_partkey").alias("mc_partkey"))
-        .agg(F.min("ps_supplycost").alias("min_cost"))
-    )
+    # r14 optimization (guide §2.4): the decorrelated min was an
+    # aggregate + equality JOIN back onto ps_eu — which evaluated the
+    # whole lineitem-aggregate ⋈ EUROPE-supplier subtree TWICE (no
+    # ReusedExchange: the aggregate's grouping differs). A min window
+    # over ps_partkey computes the identical row set (rows whose exact
+    # DECIMAL cost equals their part's min) in ONE pass with one
+    # exchange on ps_partkey — a key bounded by suppliers-per-part
+    # (~100 at any TPC-H scale), so no hot-key risk. Same rows, same
+    # oracle.
+    w = Window.partitionBy("ps_partkey")
     return (
-        # min_cost scales with part — unhinted (AQE broadcasts at
-        # test scale, shuffles at 100 TB)
-        ps_eu.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
-        )
+        ps_eu.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(
             p.filter(F.col("p_size").between(5, 15)),
             F.col("ps_partkey") == F.col("p_partkey"),

@@ -47,6 +47,8 @@ ALLOWED_WINDOW_KEYS = {
     # bounded by algorithm constants
     "query_id": "per-query shortlist — k x probes",
     "vec_id": "candidate cells per vector — <= nlist",
+    "ps_partkey": "EUROPE (part, supplier) costs per part — bounded "
+    "by suppliers-per-part (TPC-H: <= ~100 at any SF; r14 q2 rewrite)",
     "cluster_id": "SemDeDup k-proportional-to-n occupancy (measured)",
     # sharded two-phase escape hatch / small-domain stream keys
     "lang": "language domain is small; sharded variant exists for skew",
