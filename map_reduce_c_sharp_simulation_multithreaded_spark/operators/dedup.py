@@ -414,17 +414,84 @@ def jaccard_prefix_join_pairs(
     )
 
 
+def _simhash_md5_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) for the md5 oracle mode, vectorized (r14, guide
+    §4.2): token arrays are produced by the JVM ``tokens()`` (no
+    tokenizer-semantics risk) and cross to Python unchanged; per doc,
+    each token occurrence's :func:`md5hash60` (hashlib.md5 reproduces
+    it bit-for-bit, memoized — vocabularies are tiny next to token
+    counts) votes ±1 per bit, and the sign bits reassemble into the
+    identical long the 60-way aggregate computed. Docs with zero
+    tokens emit no row, exactly like the explode+groupBy form."""
+    import hashlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    src = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    schema = StructType(
+        [
+            StructField(id_col, src.schema["_id"].dataType, True),
+            StructField("simhash", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        memo: dict[str, int] = {}
+
+        def h60(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                memo[t] = v
+            return v
+
+        bit_idx = np.arange(60, dtype=np.uint64)
+        for batch in batches:
+            ids = batch.column(0)
+            tks = batch.column(1).to_pylist()
+            idx: list[int] = []
+            sims: list[int] = []
+            for i, tk in enumerate(tks):
+                if not tk:
+                    continue
+                hs = np.fromiter(
+                    (h60(t) for t in tk), np.uint64, len(tk)
+                )
+                bits = (hs[:, None] >> bit_idx) & np.uint64(1)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sim = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
+                idx.append(i)
+                sims.append(sim)
+            if not idx:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(idx)), pa.array(sims, pa.int64())],
+                names=[id_col, "simhash"],
+            )
+
+    return src.mapInArrow(run, schema)
+
+
 def simhash64(
     df: DataFrame, id_col: str, text_col: str, hash_mode: str = "xxhash64"
 ) -> DataFrame:
     """SimHash per doc: per-token hash, majority vote per bit.
 
     One explode + one n_bits-way aggregation (sums of ±1 per bit), then
-    the sign bits reassemble into a long — two shuffles total, no UDFs.
-    Production signatures are 64-bit xxhash64; ``hash_mode="md5"``
-    switches to the 60-bit engine-replayable family (:func:`md5hash60`)
-    so the signature query carries a full DuckDB oracle.
-    """
+    the sign bits reassemble into a long — two shuffles total, no
+    row-wise UDFs. Production signatures are 64-bit xxhash64;
+    ``hash_mode="md5"`` switches to the 60-bit engine-replayable family
+    (:func:`md5hash60`) so the signature query carries a full DuckDB
+    oracle — and, since r14, runs the vectorized
+    :func:`_simhash_md5_rows` path (identical longs: hashlib.md5
+    reproduces md5hash60, the vote is the same ±1 sum)."""
+    if hash_mode == "md5":
+        return _simhash_md5_rows(df, id_col, text_col)
     n_bits = _sig_bits(hash_mode)
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")

@@ -239,6 +239,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # window computes the identical row set in one pass). r11
     # evidence. ---
     "tpch_q2_min_cost_supplier",
+    # --- positions 65-66: the r14 simhash md5-mode vectorization
+    # (hashlib.md5 reproduces md5hash60; same ±1 bit votes). r13
+    # evidence. ---
+    "dedup_simhash_signatures",
+    "dedup_simhash_band_pairs",
 )
 
 

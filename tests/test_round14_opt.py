@@ -262,6 +262,67 @@ def test_gopher_and_ngram_vectorized_match_column_forms(spark):
 
 
 @pytest.mark.usefixtures("spark")
+def test_simhash_md5_vectorized_matches_aggregate_form(spark):
+    """The r14 vectorized md5-mode simhash must emit the identical
+    longs as the 60-way ±1-vote aggregation, including the zero-token
+    row-drop contract."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators import (
+        dedup as D,
+    )
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.dedup import (
+        _sig_bits,
+        _token_hash,
+    )
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.text import (
+        tokens,
+    )
+
+    rows = [
+        (1, "the quick brown fox the quick"),
+        (2, ""),  # zero tokens -> no output row
+        (3, "   "),  # whitespace only -> no output row
+        (4, "single"),
+        (5, "a b c d e f g h i j a a a"),
+        (6, "héllo wörld héllo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # reference: the original explode + 60-way aggregate, inlined
+    n_bits = _sig_bits("md5")
+    tok = df.select(
+        F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("_t")
+    ).select("doc_id", _token_hash(F.col("_t"), "md5").alias("_h"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1))
+                    != 0,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(n_bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(n_bits):
+        sim = sim + F.when(
+            F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    old = {
+        r["doc_id"]: r["simhash"]
+        for r in bit_sums.select("doc_id", sim.alias("simhash")).collect()
+    }
+    new = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash64(df, "doc_id", "text", "md5").collect()
+    }
+    assert new == old
+    assert set(new) == {1, 4, 5, 6}  # empty-token docs emit no row
+
+
+@pytest.mark.usefixtures("spark")
 def test_spark_positions_match_old_contract_and_gram_hash(spark):
     df = spark.createDataFrame(
         [(1, "abcabcabc"), (2, None), (3, "ab"), (4, "öabcö")],
