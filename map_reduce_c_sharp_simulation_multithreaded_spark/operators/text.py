@@ -317,6 +317,66 @@ def dsir_bucket_counts_rows(toks: DataFrame, buckets: int) -> DataFrame:
     return toks.select("doc_id", "nc", "tk").mapInArrow(run, schema)
 
 
+def term_counts_rows(
+    df: DataFrame, id_col: str, text_col: str, lower: bool = True
+) -> DataFrame:
+    """(``id_col``, term, tf) — one row per (doc, distinct term) with
+    its occurrence count, i.e. exactly
+    ``explode(tokens(...)).groupBy(id, term).count()`` with the
+    explode + (doc, term) Exchange replaced by a per-doc Counter fold
+    over JVM-tokenized arrays (r14, guide §4.2 / §2.3 "aggregate
+    before you shuffle" taken to its limit: the rows leave Python
+    already aggregated). Tokenization stays ``tokens()`` in the JVM;
+    docs with zero tokens emit no rows, like the explode form."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    tok = tokens(F.lower(F.col(text_col)) if lower else F.col(text_col))
+    src = df.select(F.col(id_col).alias("_id"), tok.alias("_tk"))
+    schema = StructType(
+        [
+            StructField(id_col, src.schema["_id"].dataType, True),
+            StructField("term", StringType(), False),
+            StructField("tf", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            tks = batch.column(1).to_pylist()
+            idx: list[int] = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            for i, tk in enumerate(tks):
+                if not tk:
+                    continue
+                for t, c in sorted(Counter(tk).items()):
+                    idx.append(i)
+                    terms.append(t)
+                    tfs.append(c)
+            if not idx:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(idx)),
+                    pa.array(terms, pa.string()),
+                    pa.array(tfs, pa.int64()),
+                ],
+                names=[id_col, "term", "tf"],
+            )
+
+    return src.mapInArrow(run, schema)
+
+
 def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
     """How many of ``words`` occur as whole tokens (padded contains)."""
     padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))

@@ -244,6 +244,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # evidence. ---
     "dedup_simhash_signatures",
     "dedup_simhash_band_pairs",
+    # --- position 67: tfidf's r14 per-doc term-count fold (explode +
+    # (doc,term) Exchange removed; counts identical by Counter
+    # semantics). r13 evidence. ---
+    "text_tfidf_topk",
 )
 
 

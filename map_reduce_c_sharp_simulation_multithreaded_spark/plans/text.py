@@ -30,6 +30,7 @@ from ..operators.text import (
     lang_guess,
     quality_features,
     token_count,
+    term_counts_rows,
     token_poly_hash,
     tokens,
     top_repeated_shingle,
@@ -905,14 +906,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    occ = d.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
-    )
-    tf = (
-        occ.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .cache()
-    )
+    # r14: the (doc, term) counts fold per doc in Python over the
+    # JVM-tokenized arrays (operators.text.term_counts_rows) — rows
+    # leave the scan already aggregated, removing the explode and the
+    # (doc, term) Exchange outright (guide §2.3/§2.4).
+    tf = term_counts_rows(d, "doc_id", "text", lower=True).cache()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     nn = tf.agg(
         F.countDistinct("doc_id").cast("double").alias("n")

@@ -262,6 +262,44 @@ def test_gopher_and_ngram_vectorized_match_column_forms(spark):
 
 
 @pytest.mark.usefixtures("spark")
+def test_term_counts_rows_match_explode_groupby(spark):
+    """term_counts_rows must equal explode(tokens(lower(text))) +
+    groupBy(doc, term).count() exactly, including the zero-token
+    row-drop contract and case folding."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_c_sharp_simulation_multithreaded_spark.operators.text import (
+        term_counts_rows,
+        tokens,
+    )
+
+    rows = [
+        (1, "The the THE quick Quick fox"),
+        (2, ""),
+        (3, "   "),
+        (4, "héllo wörld héllo"),
+        (5, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in df.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .collect()
+    }
+    new = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in term_counts_rows(df, "doc_id", "text").collect()
+    }
+    assert new == old
+    assert {1, 4, 5} == {k[0] for k in new}
+
+
+@pytest.mark.usefixtures("spark")
 def test_simhash_md5_vectorized_matches_aggregate_form(spark):
     """The r14 vectorized md5-mode simhash must emit the identical
     longs as the 60-way ±1-vote aggregation, including the zero-token
