@@ -377,6 +377,66 @@ def term_counts_rows(
     return src.mapInArrow(run, schema)
 
 
+def doc_term_stats_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    lower: bool = True,
+) -> DataFrame:
+    """(``id_col``, dl, _tf0.._tfk) — one row per document with ≥ 1
+    token: document length plus the term frequency of each fixed query
+    term, i.e. exactly ``explode(tokens(...)).groupBy(id).agg(count,
+    sum(term == t_i)...)`` with the explode + per-doc aggregation
+    folded before the Python boundary (r15, guide §4.2 — the
+    ``term_counts_rows`` pattern specialized to a literal vocabulary,
+    motivated by the bm25 docstats stage). Tokenization stays
+    ``tokens()`` in the JVM; ``list.count`` is the exact integer twin
+    of ``sum((term == t).cast long)``; docs with zero tokens emit no
+    row, like the explode+groupBy form."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tok = tokens(F.lower(F.col(text_col)) if lower else F.col(text_col))
+    src = df.select(F.col(id_col).alias("_id"), tok.alias("_tk"))
+    schema = StructType(
+        [
+            StructField(id_col, src.schema["_id"].dataType, True),
+            StructField("dl", LongType(), False),
+        ]
+        + [
+            StructField(f"_tf{i}", LongType(), False)
+            for i in range(len(terms))
+        ]
+    )
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            tks = batch.column(1).to_pylist()
+            idx: list[int] = []
+            dls: list[int] = []
+            tfs: list[list[int]] = [[] for _ in terms]
+            for i, tk in enumerate(tks):
+                if not tk:
+                    continue
+                idx.append(i)
+                dls.append(len(tk))
+                for j, t in enumerate(terms):
+                    tfs[j].append(tk.count(t))
+            if not idx:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(idx)), pa.array(dls, pa.int64())]
+                + [pa.array(c, pa.int64()) for c in tfs],
+                names=[id_col, "dl"]
+                + [f"_tf{i}" for i in range(len(terms))],
+            )
+
+    return src.mapInArrow(run, schema)
+
+
 def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
     """How many of ``words`` occur as whole tokens (padded contains)."""
     padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))

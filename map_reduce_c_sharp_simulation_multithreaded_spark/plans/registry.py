@@ -98,117 +98,46 @@ def _load_all_plan_modules() -> None:
 # evidence, rotated each round until every oracle-backed query has had
 # a green driver row.
 #
-# Round-12 window (50), executing the queue the evidence-age gate
-# named the moment CORRECTNESS_r11.json landed (latest=11 ⇒ strict
-# floor r09). Candidates: the 47-query r08-evidence block (which
-# INCLUDES the round-11 changed plan pandas_asof_join — the r11
-# comment's "47" and the gate's runtime message "46" differed by
-# exactly this query, which already sat in the r11 tuple at
-# position 55 and was therefore window-exempt at gate time; both
-# counts were right, they just counted it on different sides)
-# plus the four queries with NO driver evidence yet
-# (sim_range_search_planted and the three round-11 debuts) —
-# 51 candidates for 50 slots. The odd one out, chosen when it was
-# registered: curation_budget_mixture rides ROUND 13 at position
-# 51 (r13 queue: the r09-evidence block + this). First 50 =
-# 47 r08-evidence queries in REGISTRATION order, then range
-# search, then the two span debuts.
-# The plan-fingerprint gate (tests/test_plan_freshness.py +
-# PLAN_HASHES.json) FAILS the suite if a changed plan is not in
-# this window; round-12 plan restructures should pick queries
-# already inside this mandatory block (dedup_exact_substr_spans
-# and contamination_span_overlap are — the advised hot-key-window
-# and broadcast-hardening edits land inside their own window),
-# and round-12 debuts queue behind at 52+.
+# Two structural gates keep this rotation honest: the
+# plan-fingerprint gate (tests/test_plan_freshness.py +
+# PLAN_HASHES.json) FAILS the suite if a changed plan is not in this
+# tuple, and the evidence-age gate (tests/test_evidence_age.py) FAILS
+# it if any query's latest driver row is older than two rounds without
+# a slot here — with positions 51+ admitting exactly ONE round of
+# deferral. (Earlier rotations' reasoning lives in git history.)
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- ROUND-14 WINDOW (rotated at r14 open; VERDICT r13 "Next
-    # round" item 1). 55 mandatory candidates for 50 driver slots:
-    # the 50-query r10-evidence block, the four r09-evidence queries
-    # the deferral gate now forces into verified slots (they rode the
-    # positions-51+ overflow once in r13 — test_evidence_age.py's
-    # test_deferred_overflow_rides_at_most_one_extra_round bounds a
-    # second deferral), and text_inverted_index (its r13 shard-knob
-    # parameterization means the latest driver row, r12, covers the
-    # old literal-32 plan shape). Adjudication: must-promote beats
-    # stale-but-unchanged, so those five take slots 1-5, 45 of the
-    # r10 block fill 6-50 in registration order, and FIVE r10-block
-    # queries are deferred to positions 51-55 — their r10 evidence
-    # satisfies the deferral bound for exactly one round, so they
-    # rotate into the r15 verified slots mandatorily. The five
-    # deferred are the simplest single-table plans in the block
-    # (distinct/order-limit/scalar-subquery/scalar packs), plan
-    # hashes stable since the fingerprint format landed (git log
-    # PLAN_HASHES.json) and each pinned by dedicated pytest coverage
-    # meanwhile (tests/test_round5_queries.py, test_scalar_packs.py).
-    # --- slots 1-5: the r13 deferrals + the changed-plan promotion ---
-    "parity_null_default_sum",
-    "join_cross_region_nation",
-    "filter_null_safe_eq",
-    "unpivot_part_attrs",
-    "text_inverted_index",
-    # --- slots 6-9: the r14 OPTIMIZATION-round plan changes (the span
-    # family's gram scans moved from interpreted JVM HOFs to vectorized
-    # mapInArrow — result-invariant by the literal-verify contract, but
-    # changed plans take verified slots per the standing adjudication:
-    # changed-plan beats stale-but-unchanged. The four scalar packs
-    # they displace (r10 evidence, plans UNCHANGED since the snapshot —
-    # today's fingerprint diff lists exactly the four span queries —
-    # and their expression families exercised every run by the scalar
-    # fuzz grammar, tests/test_differential_fuzz.py) defer to
-    # positions 56-59 — the deferral bound admits r10 evidence in
-    # overflow for exactly this one round, same as the five already
-    # parked at 51-55. ---
-    "dedup_exact_substr_spans",
-    "dedup_cut_spans",
-    "contamination_span_overlap",
-    "contamination_cut_spans",
-    # --- slots 10-50: the r10-evidence block minus the nine deferred ---
-    "dedup_ngram_jaccard_adjacent",
-    "dedup_jaccard_prefix_join",
-    "text_langid_heuristic",
-    "text_quality_score",
-    "text_term_frequency",
-    "text_char_ngram_stats",
-    "text_fingerprint_groups",
-    "text_bpe_token_count",
-    "curation_dsir_importance",
-    "text_winnowing_fingerprints",
-    "retrieval_hybrid_rrf",
-    "graph_pagerank_directed",
-    "graph_pagerank_suppliers",
-    "graph_bfs_supplier_hops",
-    "agg_approx_distinct",
-    "agg_collect_sorted",
-    "agg_approx_percentile",
-    "contamination_eval_overlap",
-    "dedup_source_quota_two_phase",
-    "pack_sequences_sharded",
-    "scd2_merge_customer_segment",
-    "set_union_distinct",
-    "set_union_all_reaggregate",
-    "set_intersect",
-    "set_except",
-    "sort_within_partitions_sample",
-    "set_except_all",
-    "sim_neardup_pairs",
-    "dedup_semantic_clusters",
-    "dedup_semantic_clusters_scaled",
-    "stream_tumbling_counts",
-    "stream_sliding_avg",
-    "stream_session_windows",
-    "stream_dedup_user_type",
-    "stream_stateful_user_totals",
-    "stream_static_join_enrich",
-    "stream_stream_interval_join",
-    "stream_foreachbatch_upsert",
-    "stream_dedup_within_watermark",
-    "asof_join_last_purchase",
-    "sessionize_events",
-    # --- positions 51-59: the nine deferred r10-evidence queries;
-    # driver rows ride r15 (mandatory: the deferral bound allows
-    # r10 evidence in overflow for exactly this one round). 56-59
-    # are the r14 optimization round's displacements (see slots 6-9
-    # above). ---
+    # --- ROUND-15 WINDOW (rotated at r15, optimization round 2 of 2;
+    # VERDICT r14 "Next round" item 2). Mandatory verified slots:
+    #   A (slots 1-9): the nine r10-evidence queries whose one-round
+    #     deferral bound expired at positions 51-59 of the r14 tuple
+    #     (test_evidence_age.py forces them into the first 50).
+    #   B (slots 10-17): the eight r14 changed-plan queries that rode
+    #     overflow positions 60-67 — VERDICT r14's explicit promotion
+    #     mandate: their post-rewrite shapes get driver-channel oracle
+    #     rows this round.
+    #   C (slots 18-26): this round's own plan changes (the r15
+    #     optimization rewrites — term_counts/doc-stats folds for the
+    #     retrieval family, the span-family Arrow batch-capping, the
+    #     DSIR/gopher consumers of the hardened helpers, the jaccard
+    #     shingle port) — changed-plan beats stale-but-unchanged, the
+    #     standing adjudication.
+    #   D (slots 27-50): 24 of the 46 remaining r11-evidence queries.
+    #     Chosen: the surfaces whose correctness rides machinery NO
+    #     fuzz grammar or bench number covers — the float/stateful
+    #     ANN+similarity set, the whole events family, the
+    #     pandas-UDAF/python-source/multimodal custom boundaries,
+    #     fuzzy join/contamination, plus the three trickiest TPC-H
+    #     semantics (q8 float shares, q21 multi-existential, q22
+    #     substring anti-join) and scalar_try_arithmetic.
+    # The 22 r11-evidence queries NOT promoted (16 mid-family TPC-H +
+    # the six window packs) ride overflow positions 51-72 — legal for
+    # exactly this one round (bound: evidence ≥ r11) — because their
+    # alternative coverage is the strongest in the registry: plan
+    # hashes stable for ≥ 4 rounds, dedicated pytest suites
+    # (test_tpch*.py, window tests), and six of them timed every round
+    # in EXTRA_BENCH/headline. Registry-wide: every query outside the
+    # tuple carries r12+ evidence (age floor after this commit: r12).
+    # --- A: the nine expired r10-evidence deferrals ---
     "distinct_pairs",
     "orderby_limit_topk",
     "subquery_scalar_avg",
@@ -218,36 +147,75 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_json_pack",
     "scalar_map_explode",
     "scalar_posexplode_words",
-    # --- positions 60-62: the r14 winnowing vectorization's blind-
-    # fingerprint drifts (source-closure hashes of the cluster-label
-    # iteratives fold in winnow_fp_pairs). r12 evidence — inside the
-    # deferral bound; text_winnowing_fingerprints itself, the query
-    # whose OUTPUT is the fingerprint integers, holds a verified slot
-    # and its oracle replays the identical polynomial, so the shared
-    # arithmetic is driver-checked this round through that slot. ---
+    # --- B: the eight r14 changed-plan promotions (VERDICT mandate) ---
     "dedup_connected_components",
     "curation_cluster_keep_best",
     "split_cluster_leakage_safe",
-    # --- position 63: text_gopher_quality's r14 plan change (the
-    # Gopher array folds moved to gopher_measures_rows; its two
-    # in-window co-consumers text_char_ngram_stats and
-    # curation_dsir_importance hold verified slots already). r11
-    # evidence — inside the deferral bound. ---
     "text_gopher_quality",
-    # --- position 64: tpch_q2's r14 min-cost window rewrite (the
-    # decorrelated agg+join evaluated the lineitem subtree twice; the
-    # window computes the identical row set in one pass). r11
-    # evidence. ---
     "tpch_q2_min_cost_supplier",
-    # --- positions 65-66: the r14 simhash md5-mode vectorization
-    # (hashlib.md5 reproduces md5hash60; same ±1 bit votes). r13
-    # evidence. ---
     "dedup_simhash_signatures",
     "dedup_simhash_band_pairs",
-    # --- position 67: tfidf's r14 per-doc term-count fold (explode +
-    # (doc,term) Exchange removed; counts identical by Counter
-    # semantics). r13 evidence. ---
     "text_tfidf_topk",
+    # --- C: the r15 optimization-round plan changes ---
+    "text_inverted_index",
+    "text_bm25_topk",
+    "retrieval_hybrid_rrf",
+    "dedup_jaccard_prefix_join",
+    "dedup_exact_substr_spans",
+    "dedup_cut_spans",
+    "contamination_span_overlap",
+    "contamination_cut_spans",
+    "curation_dsir_importance",
+    # --- D: 24 promoted r11-evidence queries (see header) ---
+    "sim_cosine_topk",
+    "sim_lsh_bucket_histogram",
+    "sim_ivf_ann_topk",
+    "sim_ivfpq_topk",
+    "dedup_semantic_clusters_trained",
+    "events_funnel_view_click_purchase",
+    "events_cohort_retention",
+    "events_time_to_convert",
+    "events_transition_matrix",
+    "events_rolling_wau",
+    "events_longest_streak",
+    "events_session_funnel_attribution",
+    "pandas_udaf_weighted_avg",
+    "pysource_synthetic_agg",
+    "multimodal_decode_features",
+    "contamination_fuzzy_minhash",
+    "join_fuzzy_levenshtein",
+    "quality_constraint_audit",
+    "text_token_stats",
+    "agg_median_percentile",
+    "scalar_try_arithmetic",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # --- positions 51-72: the 22 r11-evidence deferrals (one round,
+    # bound-legal; strongest alternative coverage in the registry —
+    # see header) ---
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "tpch_q12_late_lines",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_filter",
+    "tpch_q7_nation_volume",
+    "tpch_q16_supplier_variety",
+    "tpch_q20_excess_shippers",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "window_topk_per_customer",
+    "window_running_total",
+    "window_lag_lead",
+    "window_rank_dense_ntile",
+    "window_range_frame_30d",
+    "window_first_last",
 )
 
 

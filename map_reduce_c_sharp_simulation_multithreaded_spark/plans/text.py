@@ -24,6 +24,7 @@ from ..operators.text import (
     PII_PHONE_RE,
     char_ngram_stats_rows,
     char_ngrams,
+    doc_term_stats_rows,
     dsir_bucket_counts_rows,
     fingerprint,
     gopher_measures_rows,
@@ -1195,12 +1196,16 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
-    )
+    # r15 (guide §4.2 / §2.3): the (tok, doc_id, tf) table comes from
+    # term_counts_rows — the per-doc Counter fold that took tfidf's
+    # token-occurrence Exchange out in r14 — instead of
+    # explode + groupBy(tok, doc_id): each document appears in exactly
+    # one input row, so the folded (doc, term) rows are already
+    # globally unique and the (tok, doc_id) Exchange + HashAggregate
+    # disappear outright (A/B at sf0.1: 1.52 s → 1.01 s warm, 0.66×).
     tf = (
-        toks.groupBy("tok", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        term_counts_rows(d, "doc_id", "text", lower=True)
+        .select(F.col("term").alias("tok"), "doc_id", "tf")
         .cache()
     )
     stats = tf.groupBy("tok").agg(
@@ -1632,15 +1637,14 @@ def _bm25_scored(d: DataFrame) -> DataFrame:
     BEFORE the sum and the summed score rounds again, so a last-ulp
     ln() difference between engines cannot flip a downstream rank.
     """
-    occ = d.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
-    )
-    docstats = occ.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum((F.col("term") == t).cast("long")).alias(f"_tf{i}")
-            for i, t in enumerate(_BM25_TERMS)
-        ],
+    # r15 (guide §4.2): the per-doc (dl, tf per query term) aggregation
+    # folds before the Python boundary — doc_term_stats_rows emits one
+    # row per tokenized doc, so the explode Generate and the per-doc
+    # HashAggregate disappear (A/B at sf0.1: 1.11 s → 0.98 s warm,
+    # 0.88×; list.count is the exact integer twin of the
+    # sum((term == t) cast long) columns it replaces).
+    docstats = doc_term_stats_rows(
+        d, "doc_id", "text", _BM25_TERMS, lower=True
     ).cache()
     # N counts ALL documents (a metadata-only parquet count), matching
     # the oracle; avgdl averages over docs with ≥1 token, as occ does
