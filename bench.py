@@ -163,10 +163,42 @@ def sweep_channel(repo: str) -> dict:
     }
 
 
+# The two genuinely heavy optimized queries reported per-run on the
+# stdout line next to the headline set (VERDICT r14 next-round #10:
+# the nine headline queries are sub-second session-floor shapes, so
+# the driver's per-query table reads epoch noise; these two give it
+# signal). They stay in EXTRA_BENCH — reported under a separate
+# "heavy" key, NEVER added into "queries"/"value", so the headline
+# total remains comparable with BENCH_r01.json's 9-query sum.
+HEAVY_REPORT = ("dedup_exact_substr_spans", "graph_pagerank_suppliers")
+
+
+def effective_cpus() -> int:
+    """The resolved SPARK_GRAFT_CPUS grant — what session.get_spark
+    builds local[N] from. Reported as "cpus" in the stdout JSON so the
+    driver's core-scaling probe sees the grant it set, not the
+    machine's core count (VERDICT r14 next-round #3: the r14 scaling
+    block false-flagged suspect_cpus_ignored because both the 8- and
+    32-core runs reported os.cpu_count() == 32)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def prior_bench_paths(repo: str) -> list[str]:
+    """Committed MAIN-channel bench artifacts, sorted by round — the
+    headline watch's comparison base. Side artifacts (BENCH_r14_c8.json,
+    the driver's 8-core probe) sort after the main file of their round
+    and must not be matched."""
+    return sorted(
+        p for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    cpus = effective_cpus()
 
     # start-of-run load BEFORE the JVM spins up: the cross-run epoch
     # indicator (SCALE.md "host-speed epoch" — identical code measured
@@ -260,6 +292,7 @@ def main() -> int:
         "calibration_sec": calibration,
         "calibration_single_sec": calibration_single,
         "cpu_count": os.cpu_count(),
+        "cpus": cpus,
         # one-time memoized builds paid during timed passes (ADVICE r8):
         # labeled here so a cold codebook training is never read as the
         # paying query's plan cost
@@ -284,6 +317,15 @@ def main() -> int:
         "calibration_sec": calibration,
         "calibration_single_sec": calibration_single,
         "cpu_count": os.cpu_count(),
+        # the resolved SPARK_GRAFT_CPUS grant — the local[N] the
+        # session actually ran with (cpu_count stays alongside as the
+        # machine topology; VERDICT r14 next-round #3)
+        "cpus": cpus,
+        # the two heavy optimized plans, timed from EXTRA_BENCH's
+        # four interleaved passes (warm min) — additions-only, never
+        # folded into "value" (see HEAVY_REPORT)
+        "heavy": {n: extra_times[n] for n in HEAVY_REPORT
+                  if n in extra_times},
         # quiet-window annotation (VERDICT r12 stretch #9): True when
         # the PRE-JVM 1-min load was under 25% of the core budget —
         # the regime where headline numbers are epoch-comparable.
@@ -317,7 +359,7 @@ def main() -> int:
     # the headline channel had no normalizer to say so. Stderr-only:
     # advisory context for the human/judge, never a changed exit code.
     repo = os.path.dirname(os.path.abspath(__file__))
-    prior_paths = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    prior_paths = prior_bench_paths(repo)
     if prior_paths:
         try:
             from tools.sweep_times import host_norm

@@ -60,3 +60,27 @@ def test_sweep_channel_on_committed_artifacts():
     assert out, "fewer than two SWEEP_r*.json artifacts in the repo"
     assert 0.5 < out["sweep_norm_ratio"] < 2.0
     assert out["sweep_rounds"][0] < out["sweep_rounds"][1]
+
+
+def test_effective_cpus_reads_the_grant(monkeypatch):
+    """"cpus" must track SPARK_GRAFT_CPUS (the local[N] grant), not
+    os.cpu_count() — the r14 scaling probe false-flag (VERDICT r14
+    next-round #3)."""
+    from bench import effective_cpus
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert effective_cpus() == 8
+    monkeypatch.delenv("SPARK_GRAFT_CPUS")
+    assert effective_cpus() == 32
+
+
+def test_prior_bench_paths_skip_side_artifacts(tmp_path):
+    """The headline watch compares against the newest MAIN-channel
+    artifact; BENCH_r14_c8.json (8-core probe) sorts after
+    BENCH_r14.json and must be excluded."""
+    from bench import prior_bench_paths
+
+    for name in ("BENCH_r13.json", "BENCH_r14.json", "BENCH_r14_c8.json"):
+        (tmp_path / name).write_text("{}")
+    got = [os.path.basename(p) for p in prior_bench_paths(str(tmp_path))]
+    assert got == ["BENCH_r13.json", "BENCH_r14.json"]
