@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import tokens, word_shingles
+from .text import _MEMO_CAP, tokens, word_shingles
 
 # Mersenne prime 2^31-1: min-hash permutation modulus. Hashes are reduced
 # below 2^31 before the permutation multiply so a*h+b stays well under
@@ -441,11 +441,18 @@ def _simhash_md5_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         import numpy as np
         import pyarrow as pa
 
+        # BOUNDED per-task memo (ADVICE r14): distinct tokens grow
+        # with partition text volume, so an uncapped dict has no
+        # ceiling on a 100 TB-scale task over adversarial vocabulary.
+        # md5 of a short string is cheap — on overflow just reset and
+        # keep the Zipf head hot again within one batch.
         memo: dict[str, int] = {}
 
         def h60(t: str) -> int:
             v = memo.get(t)
             if v is None:
+                if len(memo) >= _MEMO_CAP:
+                    memo.clear()
                 v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
                 memo[t] = v
             return v

@@ -28,6 +28,14 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+# Per-task md5 memo bound (ADVICE r14): ~1M entries ≈ low hundreds of
+# MB worst case (key strings dominate) — big enough that the Zipf head
+# of any real vocabulary stays resident, small enough that one
+# long-lived task over adversarial input cannot grow without ceiling.
+# Shared by dsir_bucket_counts_rows here and dedup._simhash_md5_rows.
+_MEMO_CAP = 1 << 20
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization with empty-token removal."""
     return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
@@ -193,8 +201,17 @@ def gopher_measures_rows(toks: DataFrame) -> DataFrame:
             n_tok, n_dtok, bestg, best, n5, nd5 = [], [], [], [], [], []
             for tk in tks:
                 if tk is None:
-                    for acc in (n_tok, n_dtok, bestg, best, n5, nd5):
-                        acc.append(None)
+                    # the column form's null-tk row: size(null) is
+                    # NULL for the token counts, but word_shingles'
+                    # otherwise-branch is an EMPTY array, so top2 is
+                    # ('', 0) and the 5-gram counts are 0 (ADVICE r14
+                    # — previously this branch emitted all-NULL)
+                    n_tok.append(None)
+                    n_dtok.append(None)
+                    bestg.append("")
+                    best.append(0)
+                    n5.append(0)
+                    nd5.append(0)
                     continue
                 n = len(tk)
                 n_tok.append(n)
@@ -205,9 +222,16 @@ def gopher_measures_rows(toks: DataFrame) -> DataFrame:
 
                     cnt = Counter(bi)
                     # first maximal run of the SORTED gram array ==
-                    # max count, lexicographically smallest gram
+                    # max count, lexicographically smallest JOINED
+                    # gram STRING — the tie must be keyed on the
+                    # ' '-joined gram, not the token tuple: tokens may
+                    # contain code points below U+0020 (the \s+
+                    # tokenizer only strips whitespace), and for
+                    # ('a\x01','b') vs ('a','c') tuple order and
+                    # joined-string order disagree (ADVICE r14)
                     g, c = min(
-                        cnt.items(), key=lambda kv: (-kv[1], kv[0])
+                        cnt.items(),
+                        key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]),
                     )
                     bestg.append(g[0] + " " + g[1])
                     best.append(c)
@@ -275,11 +299,17 @@ def dsir_bucket_counts_rows(toks: DataFrame, buckets: int) -> DataFrame:
 
         import pyarrow as pa
 
+        # BOUNDED per-task memo (ADVICE r14): distinct bigrams grow
+        # roughly linearly with partition text volume — reset on
+        # overflow rather than grow without ceiling (md5 of a short
+        # string is cheap; the Zipf head re-warms within one batch)
         memo: dict[str, int] = {}
 
         def bucket(g: str) -> int:
             b = memo.get(g)
             if b is None:
+                if len(memo) >= _MEMO_CAP:
+                    memo.clear()
                 b = (
                     int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
                     % buckets

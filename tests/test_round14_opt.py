@@ -191,6 +191,14 @@ def test_gopher_and_ngram_vectorized_match_column_forms(spark):
         (6, "t t t t t t t t"),  # all-equal tokens
         (7, "héllo wörld héllo wörld héllo"),  # non-ascii tokens
         (8, "ab"),  # shorter than 3 chars -> (0, 0) trigrams
+        # r15 hardening pins (ADVICE r14): a NULL text row (the column
+        # form emits NULL token counts but ('', 0) top2 and 0 5-gram
+        # counts — word_shingles' otherwise-branch is an empty array),
+        # and a count-tied bigram pair whose TUPLE order and ' '-joined
+        # STRING order disagree ('a\x01' < 'a c' joined, ('a','c') <
+        # ('a\x01','b') as tuples — \x01 survives the \s+ tokenizer)
+        (9, None),
+        (10, "a\x01 b a c a\x01 b a c"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     toks = df.select(
